@@ -1,0 +1,213 @@
+"""Framework tests: StochasticTensor, BayesianNet, MetaBayesianNet.
+
+Port of the contract in reference ``tests/framework/test_base.py`` (node
+query API, observation checks, log_joint) and ``test_utils.py`` (Context
+stack), rebuilt for the explicit-key functional API.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import zhusuan_tpu as zs
+from zhusuan_tpu.framework import BayesianNet, MetaBayesianNet, meta_bayesian_net
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestStochasticTensor:
+    def test_sample_and_cache(self):
+        bn = BayesianNet(key=KEY)
+        z = bn.normal("z", jnp.zeros(3), std=jnp.ones(3))
+        t1 = z.tensor
+        t2 = z.tensor
+        assert t1 is t2  # cached, sampled once
+        assert t1.shape == (3,)
+        assert not z.is_observed
+
+    def test_observed(self):
+        obs = jnp.asarray([1.0, 2.0, 3.0])
+        bn = BayesianNet(observed={"z": obs})
+        z = bn.normal("z", jnp.zeros(3), std=jnp.ones(3))
+        assert z.is_observed
+        np.testing.assert_allclose(np.asarray(z.tensor), np.asarray(obs))
+
+    def test_observation_dtype_mismatch(self):
+        bn = BayesianNet(observed={"z": jnp.zeros(3, jnp.int32)})
+        with pytest.raises(ValueError, match="dtype"):
+            bn.normal("z", jnp.zeros(3), std=jnp.ones(3))
+
+    def test_observation_shape_mismatch(self):
+        bn = BayesianNet(observed={"z": jnp.zeros((4,))})
+        with pytest.raises(ValueError, match="broadcast"):
+            bn.normal("z", jnp.zeros(3), std=jnp.ones(3))
+
+    def test_arithmetic(self):
+        bn = BayesianNet(observed={"z": jnp.asarray([1.0, 2.0])})
+        z = bn.normal("z", jnp.zeros(2), std=jnp.ones(2))
+        np.testing.assert_allclose(np.asarray(z + 1.0), [2.0, 3.0])
+        np.testing.assert_allclose(np.asarray(2.0 * z), [2.0, 4.0])
+        np.testing.assert_allclose(np.asarray(-z), [-1.0, -2.0])
+        np.testing.assert_allclose(np.asarray(z[0]), 1.0)
+        np.testing.assert_allclose(np.asarray(jnp.sum(jnp.asarray(z))), 3.0)
+        np.testing.assert_allclose(
+            np.asarray(jnp.exp(z.tensor)), np.exp([1.0, 2.0])
+        )
+
+    def test_cond_log_p(self):
+        obs = jnp.asarray(0.5)
+        bn = BayesianNet(observed={"z": obs})
+        z = bn.normal("z", 0.0, std=1.0)
+        expected = -0.5 * np.log(2 * np.pi) - 0.5 * 0.25
+        np.testing.assert_allclose(float(z.cond_log_p), expected, rtol=1e-6)
+
+    def test_n_samples(self):
+        bn = BayesianNet(key=KEY)
+        z = bn.normal("z", jnp.zeros(3), std=jnp.ones(3), n_samples=5)
+        assert z.tensor.shape == (5, 3)
+
+
+class TestBayesianNet:
+    def test_duplicate_names(self):
+        bn = BayesianNet(key=KEY)
+        bn.normal("z", 0.0, std=1.0)
+        with pytest.raises(ValueError, match="unique"):
+            bn.normal("z", 0.0, std=1.0)
+        with pytest.raises(ValueError, match="unique"):
+            bn.deterministic("z", jnp.zeros(2))
+
+    def test_missing_key(self):
+        bn = BayesianNet()
+        z = bn.normal("z", 0.0, std=1.0)
+        with pytest.raises(ValueError, match="PRNG key"):
+            _ = z.tensor
+
+    def test_get_and_query(self):
+        bn = BayesianNet(key=KEY)
+        z = bn.normal("z", 0.0, std=1.0)
+        h = bn.deterministic("h", jnp.ones(2))
+        assert bn.get("z") is z
+        assert bn["z"] is z
+        got = bn.get(["z", "h"])
+        assert got[0] is z
+        assert "z" in bn and "h" in bn
+        with pytest.raises(ValueError, match="isn't a node"):
+            bn.get("nope")
+        with pytest.raises(ValueError, match="deterministic"):
+            bn.cond_log_prob("h")
+        with pytest.raises(TypeError):
+            bn.get(3)
+        with pytest.raises(TypeError):
+            bn["z"] = z
+
+    def test_log_joint(self):
+        obs_z, obs_x = jnp.asarray(0.3), jnp.asarray(1.2)
+        bn = BayesianNet(observed={"z": obs_z, "x": obs_x})
+        z = bn.normal("z", 0.0, std=1.0)
+        x = bn.normal("x", z, std=1.0)
+        lj = bn.log_joint()
+        expected = float(z.cond_log_p) + float(x.cond_log_p)
+        np.testing.assert_allclose(float(lj), expected, rtol=1e-6)
+
+    def test_deterministic_key_derivation(self):
+        # Same key + same names -> identical samples regardless of order.
+        bn1 = BayesianNet(key=KEY)
+        a1 = bn1.normal("a", 0.0, std=1.0).tensor
+        b1 = bn1.normal("b", 0.0, std=1.0).tensor
+        bn2 = BayesianNet(key=KEY)
+        b2 = bn2.normal("b", 0.0, std=1.0).tensor
+        a2 = bn2.normal("a", 0.0, std=1.0).tensor
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2))
+        assert not np.allclose(np.asarray(a1), np.asarray(b1))
+
+
+class TestMetaBayesianNet:
+    def _model(self):
+        @meta_bayesian_net()
+        def build(n):
+            bn = BayesianNet()
+            z = bn.normal("z", jnp.zeros(n), std=jnp.ones(n))
+            bn.normal("x", z.tensor * 2.0, std=1.0)
+            return bn
+
+        return build
+
+    def test_observe(self):
+        model = self._model()(3)
+        assert isinstance(model, MetaBayesianNet)
+        bn = model.observe(KEY)
+        assert not bn["z"].is_observed
+        assert bn["x"].tensor.shape == (3,)
+
+        obs = jnp.asarray([1.0, 1.0, 1.0])
+        bn2 = model.observe(KEY, z=obs)
+        assert bn2["z"].is_observed
+        np.testing.assert_allclose(
+            np.asarray(bn2["x"].dist.mean), 2 * np.asarray(obs)
+        )
+
+    def test_observe_fully_without_key(self):
+        model = self._model()(2)
+        bn = model.observe(z=jnp.zeros(2), x=jnp.zeros(2))
+        lj = bn.log_joint()
+        assert lj.shape == (2,)
+        assert bool(jnp.all(jnp.isfinite(lj)))
+
+    def test_log_joint_override(self):
+        model = self._model()(2)
+        model.log_joint = lambda bn: 10.0 * bn.cond_log_prob("z")
+        bn = model.observe(z=jnp.zeros(2), x=jnp.zeros(2))
+        np.testing.assert_allclose(
+            np.asarray(bn.log_joint()),
+            10.0 * np.asarray(bn.cond_log_prob("z")),
+        )
+
+    def test_builder_must_return_bn(self):
+        @meta_bayesian_net()
+        def bad():
+            return 42
+
+        with pytest.raises(TypeError, match="BayesianNet"):
+            bad().observe()
+
+    def test_bare_decorator(self):
+        @meta_bayesian_net
+        def build():
+            bn = BayesianNet()
+            bn.normal("z", 0.0, std=1.0)
+            return bn
+
+        bn = build().observe(KEY)
+        assert "z" in bn
+
+    def test_under_jit_and_grad(self):
+        @meta_bayesian_net()
+        def build(mu):
+            bn = BayesianNet()
+            bn.normal("z", mu, std=1.0)
+            return bn
+
+        @jax.jit
+        def log_joint(mu, z):
+            return build(mu).observe(z=z).log_joint()
+
+        g = jax.grad(log_joint)(0.5, jnp.asarray(1.5))
+        np.testing.assert_allclose(float(g), 1.0, rtol=1e-6)
+
+    def test_under_vmap(self):
+        @meta_bayesian_net()
+        def build():
+            bn = BayesianNet()
+            bn.normal("z", 0.0, std=1.0)
+            return bn
+
+        def sample_one(key):
+            return build().observe(key)["z"].tensor
+
+        keys = jax.random.split(KEY, 100)
+        samples = jax.vmap(sample_one)(keys)
+        assert samples.shape == (100,)
+        # Distinct keys give distinct samples.
+        assert len(np.unique(np.asarray(samples))) == 100

@@ -1,0 +1,45 @@
+"""Diagnostics tests. Port of reference ``tests/test_diagnostics.py``:
+ESS of 10k iid normals >= 2000 (:22), ESS of a random-walk MH chain
+<= 1000 (:39)."""
+
+import numpy as np
+
+from zhusuan_tpu.diagnostics import (
+    effective_sample_size,
+    effective_sample_size_1d,
+    ess_batch,
+)
+
+
+def test_iid_high_ess():
+    rng = np.random.RandomState(0)
+    samples = rng.randn(10_100, 2)
+    ess = effective_sample_size(samples, burn_in=100)
+    assert ess >= 2000
+
+
+def test_rw_mh_low_ess():
+    # Random-walk Metropolis on N(0,1) with small steps -> high
+    # autocorrelation -> low ESS (reference test_diagnostics.py:26-39).
+    rng = np.random.RandomState(1)
+    n = 10_100
+    x = 0.0
+    chain = []
+    for _ in range(n):
+        prop = x + 0.5 * rng.randn()
+        log_ratio = -0.5 * (prop ** 2 - x ** 2)
+        if np.log(rng.rand()) < log_ratio:
+            x = prop
+        chain.append(x)
+    samples = np.asarray(chain)[:, None]
+    ess = effective_sample_size(samples, burn_in=100)
+    assert ess <= 1000
+
+
+def test_batch_matches_1d():
+    rng = np.random.RandomState(2)
+    x = rng.randn(500, 3).cumsum(axis=0) * 0.1 + rng.randn(500, 3)
+    batch = ess_batch(x)
+    for d in range(3):
+        single = effective_sample_size_1d(x[:, d])
+        np.testing.assert_allclose(batch[d], single, rtol=1e-8)

@@ -1,0 +1,106 @@
+"""MCMC diagnostics: effective sample size.
+
+Capability parity with reference ``zhusuan/diagnostics.py``:
+``effective_sample_size_1d`` (diagnostics.py:17-40) and
+``effective_sample_size`` (diagnostics.py:43-64, min over dimensions).
+
+The reference estimator (kept bit-for-bit here, it backs the BASELINE.md
+test bounds): with ``mu = mean(x)``, ``var = np.var(x) * n/(n-1)``,
+``var_plus = np.var(x)`` and ``acov(t) = mean((x[:n-t]-mu)*(x[t:]-mu))``
+(note the 1/(n-t) normalization), accumulate
+``rho_t = 1 - (var - acov(t)) / var_plus`` from t=0 upward until the first
+negative value, then ``ess = n / (1 + 2 * sum_rho)``.
+
+TPU-native: the O(n^2) per-lag Python loop of the reference becomes one
+batched FFT autocovariance (O(n log n)) over all dimensions at once —
+this is what makes the ESS/sec north-star metric cheap to evaluate on-chip.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["effective_sample_size", "effective_sample_size_1d", "ess_batch"]
+
+
+def _batched_reference_acov(x):
+    """Reference-style autocovariance for all lags, batched.
+
+    x: float64 array [n, d]. Returns acov [n, d] with
+    ``acov[t] = (1/(n-t)) * sum_i (x[i]-mu)(x[i+t]-mu)`` (parity with
+    reference diagnostics.py:29-30 which uses ``np.mean`` over n-t terms).
+    """
+    n = x.shape[0]
+    xc = x - x.mean(axis=0, keepdims=True)
+    m = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(xc, n=m, axis=0)
+    raw = np.fft.irfft(f * np.conj(f), n=m, axis=0)[:n]
+    counts = (n - np.arange(n))[:, None]
+    return raw / counts
+
+
+def _ess_from_acov(acov, n):
+    """Vectorized reference recurrence: acov [n, d] -> ess [d]."""
+    # acov[0] = mean((x-mu)^2) = biased variance = the reference's var_plus;
+    # the reference's var is the unbiased variance.
+    var_plus = acov[0]
+    var = acov[0] * n / (n - 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rho = 1.0 - (var - acov) / var_plus  # [n, d]
+    rho = np.where(np.isfinite(rho), rho, -1.0)
+    neg = rho < 0  # [n, d]
+    # First negative lag per dimension; if none, include all lags.
+    any_neg = neg.any(axis=0)
+    cutoff = np.where(any_neg, neg.argmax(axis=0), n)  # [d]
+    lag_idx = np.arange(n)[:, None]
+    sum_rho = np.sum(np.where(lag_idx < cutoff, rho, 0.0), axis=0)
+    return n / (1.0 + 2.0 * sum_rho)
+
+
+def effective_sample_size_1d(samples):
+    """ESS of a 1-D chain of scalar samples.
+
+    Parity: reference ``diagnostics.py:17-40`` (identical estimator, FFT
+    accelerated).
+
+    :param samples: 1-D array of correlated samples.
+    :return: float, the effective sample size.
+    """
+    samples = np.asarray(samples, dtype=np.float64)
+    n = samples.shape[0]
+    acov = _batched_reference_acov(samples[:, None])
+    return float(_ess_from_acov(acov, n)[0])
+
+
+def ess_batch(samples):
+    """Per-dimension ESS for a chain of vector samples ``[n, d]`` -> ``[d]``.
+
+    Same estimator as :func:`effective_sample_size_1d`, all dimensions at
+    once. Backs the ESS/sec north-star benchmark (BASELINE.md).
+    """
+    samples = np.asarray(samples, dtype=np.float64)
+    n = samples.shape[0]
+    acov = _batched_reference_acov(samples.reshape(n, -1))
+    return _ess_from_acov(acov, n)
+
+
+def effective_sample_size(samples, burn_in: int = 100):
+    """Minimum positive ESS across dimensions after discarding ``burn_in``.
+
+    Parity: reference ``diagnostics.py:43-64`` (which returns the running
+    minimum over dimensions, ignoring zero-ESS dimensions).
+
+    :param samples: array ``[n_iters, d]`` (or any trailing shape, which is
+        flattened), iterations first.
+    :param burn_in: leading iterations to discard.
+    :return: float, the minimum ESS.
+    """
+    samples = np.asarray(samples, dtype=np.float64)
+    samples = samples[burn_in:]
+    flat = samples.reshape(samples.shape[0], -1)
+    esses = ess_batch(flat)
+    positive = esses[esses > 0]
+    if positive.size == 0:
+        return np.inf
+    return float(np.min(positive))

@@ -1,0 +1,20 @@
+"""Distribution zoo.
+
+Parity with reference ``zhusuan/distributions/__init__.py``: 14 univariate +
+12 multivariate classes plus the special Empirical/Implicit pair, all exposed
+flat in this namespace.
+"""
+
+from zhusuan_tpu.distributions.base import Distribution
+from zhusuan_tpu.distributions.univariate import *  # noqa: F401,F403
+from zhusuan_tpu.distributions.multivariate import *  # noqa: F401,F403
+from zhusuan_tpu.distributions.special import *  # noqa: F401,F403
+from zhusuan_tpu.distributions import utils  # noqa: F401
+
+from zhusuan_tpu.distributions import univariate as _uni
+from zhusuan_tpu.distributions import multivariate as _multi
+from zhusuan_tpu.distributions import special as _special
+
+__all__ = (
+    ["Distribution"] + _uni.__all__ + _multi.__all__ + _special.__all__
+)

@@ -1,0 +1,801 @@
+"""Univariate distributions.
+
+Capability parity with reference ``zhusuan/distributions/univariate.py``
+(14 classes, univariate.py:25-40). Each class documents the reference
+citation for its parameterization, sampler, and density so numerics can be
+cross-checked test-for-test.
+
+TPU-native design notes:
+  * Samplers take an explicit PRNG ``key`` and use ``jax.random`` primitives,
+    which lower to the on-chip TPU PRNG; everything is ``vmap``/``scan`` safe.
+  * Non-reparameterized distributions sample from ``stop_gradient``-ed
+    parameters (same effect as the reference's explicit stop_gradient, e.g.
+    univariate.py:161-172).
+  * ``check_numerics`` is an opt-in host-callback guard
+    (:func:`zhusuan_tpu.ops.check_numerics`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zhusuan_tpu.distributions.base import Distribution
+from zhusuan_tpu.distributions.utils import (
+    assert_same_float_dtype,
+    broadcast_shapes,
+    log_combination,
+    open_interval_standard_uniform,
+)
+from zhusuan_tpu.ops.checks import check_numerics
+
+__all__ = [
+    "Normal",
+    "FoldNormal",
+    "Bernoulli",
+    "Categorical",
+    "Discrete",
+    "Uniform",
+    "Gamma",
+    "Beta",
+    "Poisson",
+    "Binomial",
+    "InverseGamma",
+    "Laplace",
+    "BinConcrete",
+    "BinGumbelSoftmax",
+]
+
+_HALF_LOG_2PI = 0.5 * (np.log(2.0) + np.log(np.pi))
+
+
+def _maybe_stop(params, is_reparameterized):
+    if is_reparameterized:
+        return params
+    return tuple(jax.lax.stop_gradient(p) for p in params)
+
+
+class Normal(Distribution):
+    """Univariate Normal.
+
+    Parity: reference ``univariate.py:43-184``. Exactly one of ``std`` /
+    ``logstd`` must be given (univariate.py:92-95); the ``_sentinel``
+    positional guard (univariate.py:89, distributions/utils.py:327) is kept so
+    legacy positional ``Normal(mean, logstd)`` calls fail loudly.
+
+    Sampler: reparameterized ``randn * std + mean`` (univariate.py:161-172).
+    Density: ``-0.5*log(2*pi) - logstd - 0.5*exp(-2*logstd)*(x-mean)**2``
+    (univariate.py:174-181), with ``path_param`` on parameters.
+    """
+
+    def __init__(
+        self,
+        mean=0.0,
+        _sentinel=None,
+        std=None,
+        logstd=None,
+        group_ndims: int = 0,
+        is_reparameterized: bool = True,
+        use_path_derivative: bool = False,
+        check_numerics: bool = False,
+        **kwargs,
+    ):
+        if _sentinel is not None:
+            raise ValueError(
+                "The order of `std` and `logstd` has changed from the legacy "
+                "API; please use keyword arguments: Normal(mean, std=...) or "
+                "Normal(mean, logstd=...)."
+            )
+        if (std is None) == (logstd is None):
+            raise ValueError("Exactly one of `std` and `logstd` should be given.")
+        if std is not None:
+            dtype = assert_same_float_dtype([(mean, "mean"), (std, "std")])
+            self._std = jnp.asarray(std, dtype)
+            self._logstd = jnp.log(self._std)
+        else:
+            dtype = assert_same_float_dtype([(mean, "mean"), (logstd, "logstd")])
+            self._logstd = jnp.asarray(logstd, dtype)
+            self._std = jnp.exp(self._logstd)
+        self._mean = jnp.asarray(mean, dtype)
+        self._check_numerics = check_numerics
+        broadcast_shapes(jnp.shape(self._mean), jnp.shape(self._std))
+        super().__init__(
+            dtype=dtype,
+            param_dtype=dtype,
+            is_continuous=True,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    mean = property(lambda self: self._mean, doc="The mean.")
+    std = property(lambda self: self._std, doc="The standard deviation.")
+    logstd = property(lambda self: self._logstd, doc="The log standard deviation.")
+
+    def _batch_shape(self):
+        return broadcast_shapes(jnp.shape(self._mean), jnp.shape(self._std))
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        mean, std = _maybe_stop((self._mean, self._std), self.is_reparameterized)
+        shape = (n_samples,) + self.batch_shape
+        eps = jax.random.normal(key, shape, dtype=self.dtype)
+        return eps * std + mean
+
+    def _log_prob(self, given):
+        mean = self.path_param(self._mean)
+        logstd = self.path_param(self._logstd)
+        precision = jnp.exp(-2.0 * logstd)
+        precision = check_numerics(precision, "precision", self._check_numerics)
+        return -_HALF_LOG_2PI - logstd - 0.5 * precision * jnp.square(given - mean)
+
+
+class FoldNormal(Distribution):
+    """Folded Normal (|X| for X ~ Normal).
+
+    Parity: reference ``univariate.py:187-331``. Density
+    (univariate.py:319-328): Normal log-density plus
+    ``softplus(-2*mean*x/sigma^2)`` and a ``log(1[x>=0])`` mask.
+
+    Divergence from the reference (intentional fix): the reference's sampler
+    forgets to take the absolute value (univariate.py:306-317, upstream
+    quirk); we return ``|randn*std + mean|`` so samples actually lie in the
+    support of the density. Set ``fold_samples=False`` for bug-compatible
+    behavior.
+    """
+
+    def __init__(
+        self,
+        mean=0.0,
+        _sentinel=None,
+        std=None,
+        logstd=None,
+        group_ndims: int = 0,
+        is_reparameterized: bool = True,
+        use_path_derivative: bool = False,
+        check_numerics: bool = False,
+        fold_samples: bool = True,
+        **kwargs,
+    ):
+        if _sentinel is not None:
+            raise ValueError(
+                "Please use keyword arguments: FoldNormal(mean, std=...) or "
+                "FoldNormal(mean, logstd=...)."
+            )
+        if (std is None) == (logstd is None):
+            raise ValueError("Exactly one of `std` and `logstd` should be given.")
+        if std is not None:
+            dtype = assert_same_float_dtype([(mean, "mean"), (std, "std")])
+            self._std = jnp.asarray(std, dtype)
+            self._logstd = jnp.log(self._std)
+        else:
+            dtype = assert_same_float_dtype([(mean, "mean"), (logstd, "logstd")])
+            self._logstd = jnp.asarray(logstd, dtype)
+            self._std = jnp.exp(self._logstd)
+        self._mean = jnp.asarray(mean, dtype)
+        self._check_numerics = check_numerics
+        self._fold_samples = fold_samples
+        broadcast_shapes(jnp.shape(self._mean), jnp.shape(self._std))
+        super().__init__(
+            dtype=dtype,
+            param_dtype=dtype,
+            is_continuous=True,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    mean = property(lambda self: self._mean)
+    std = property(lambda self: self._std)
+    logstd = property(lambda self: self._logstd)
+
+    def _batch_shape(self):
+        return broadcast_shapes(jnp.shape(self._mean), jnp.shape(self._std))
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        mean, std = _maybe_stop((self._mean, self._std), self.is_reparameterized)
+        shape = (n_samples,) + self.batch_shape
+        samples = jax.random.normal(key, shape, dtype=self.dtype) * std + mean
+        if self._fold_samples:
+            samples = jnp.abs(samples)
+        return samples
+
+    def _log_prob(self, given):
+        mean = self.path_param(self._mean)
+        logstd = self.path_param(self._logstd)
+        precision = jnp.exp(-2.0 * logstd)
+        precision = check_numerics(precision, "precision", self._check_numerics)
+        mask = jnp.log((given >= 0.0).astype(self.param_dtype))
+        return (
+            -_HALF_LOG_2PI
+            - logstd
+            - 0.5 * precision * jnp.square(given - mean)
+            + jax.nn.softplus(-2.0 * mean * given * precision)
+            + mask
+        )
+
+
+class Bernoulli(Distribution):
+    """Bernoulli on {0, 1} parameterized by log-odds.
+
+    Parity: reference ``univariate.py:334-406``. Sampler: ``uniform <
+    sigmoid(logits)`` (univariate.py:386-396); density: the negative sigmoid
+    cross-entropy (univariate.py:398-403). Not reparameterized.
+    """
+
+    def __init__(self, logits, dtype=jnp.int32, group_ndims: int = 0, **kwargs):
+        param_dtype = assert_same_float_dtype([(logits, "logits")])
+        self._logits = jnp.asarray(logits, param_dtype)
+        super().__init__(
+            dtype=np.dtype(dtype),
+            param_dtype=param_dtype,
+            is_continuous=False,
+            is_reparameterized=False,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    logits = property(lambda self: self._logits, doc="The log-odds of being 1.")
+
+    def _batch_shape(self):
+        return jnp.shape(self._logits)
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        shape = (n_samples,) + self.batch_shape
+        p = jax.nn.sigmoid(jax.lax.stop_gradient(self._logits))
+        u = jax.random.uniform(key, shape, dtype=self.param_dtype)
+        return (u < p).astype(self.dtype)
+
+    def _log_prob(self, given):
+        x = jnp.asarray(given, self.param_dtype)
+        logits = self._logits
+        # -sigmoid_cross_entropy_with_logits(labels=x, logits=l)
+        #   = x*l - softplus(l)   (stable form).
+        return x * logits - jax.nn.softplus(logits)
+
+
+class Categorical(Distribution):
+    """Categorical over {0, ..., K-1} parameterized by unnormalized logits.
+
+    Parity: reference ``univariate.py:409-554``. ``logits`` has shape
+    ``batch_shape + [K]``; samples are integer class indices of shape
+    ``([n]+) batch_shape``. Density is the log-softmax gathered at ``given``
+    with mutual broadcasting of ``given`` against the logits batch
+    (univariate.py:496-548).
+    """
+
+    def __init__(self, logits, dtype=jnp.int32, group_ndims: int = 0, **kwargs):
+        param_dtype = assert_same_float_dtype([(logits, "logits")])
+        self._logits = jnp.asarray(logits, param_dtype)
+        if self._logits.ndim < 1:
+            raise ValueError("logits must be at least 1-D (..., n_categories).")
+        self._n_categories = self._logits.shape[-1]
+        super().__init__(
+            dtype=np.dtype(dtype),
+            param_dtype=param_dtype,
+            is_continuous=False,
+            is_reparameterized=False,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    logits = property(lambda self: self._logits)
+    n_categories = property(lambda self: self._n_categories)
+
+    def _batch_shape(self):
+        return jnp.shape(self._logits)[:-1]
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        logits = jax.lax.stop_gradient(self._logits)
+        # jax.random.categorical draws over the last axis; put n_samples first.
+        samples = jax.random.categorical(
+            key, logits, axis=-1, shape=(n_samples,) + self.batch_shape
+        )
+        return samples.astype(self.dtype)
+
+    def _log_prob(self, given):
+        given = jnp.asarray(given)
+        log_p = jax.nn.log_softmax(self._logits, axis=-1)
+        # Broadcast given against batch_shape, then gather the class axis.
+        out_shape = broadcast_shapes(jnp.shape(given), self.batch_shape)
+        given_b = jnp.broadcast_to(given, out_shape).astype(jnp.int32)
+        log_p_b = jnp.broadcast_to(log_p, out_shape + (self._n_categories,))
+        gathered = jnp.take_along_axis(log_p_b, given_b[..., None], axis=-1)
+        return jnp.squeeze(gathered, axis=-1)
+
+
+Discrete = Categorical
+
+
+class Uniform(Distribution):
+    """Continuous Uniform on [minval, maxval).
+
+    Parity: reference ``univariate.py:557-659``. Reparameterized
+    ``u * (maxval - minval) + minval`` (univariate.py:632-644); density
+    ``-log(maxval - minval)`` inside the support, ``-inf`` outside
+    (univariate.py:646-659).
+    """
+
+    def __init__(
+        self,
+        minval=0.0,
+        maxval=1.0,
+        group_ndims: int = 0,
+        is_reparameterized: bool = True,
+        check_numerics: bool = False,
+        **kwargs,
+    ):
+        dtype = assert_same_float_dtype([(minval, "minval"), (maxval, "maxval")])
+        self._minval = jnp.asarray(minval, dtype)
+        self._maxval = jnp.asarray(maxval, dtype)
+        self._check_numerics = check_numerics
+        broadcast_shapes(jnp.shape(self._minval), jnp.shape(self._maxval))
+        super().__init__(
+            dtype=dtype,
+            param_dtype=dtype,
+            is_continuous=True,
+            is_reparameterized=is_reparameterized,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    minval = property(lambda self: self._minval)
+    maxval = property(lambda self: self._maxval)
+
+    def _batch_shape(self):
+        return broadcast_shapes(jnp.shape(self._minval), jnp.shape(self._maxval))
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        minval, maxval = _maybe_stop(
+            (self._minval, self._maxval), self.is_reparameterized
+        )
+        shape = (n_samples,) + self.batch_shape
+        u = jax.random.uniform(key, shape, dtype=self.dtype)
+        return u * (maxval - minval) + minval
+
+    def _log_prob(self, given):
+        # -inf outside the support (log of the masked density).
+        return jnp.log(self._prob(given))
+
+    def _prob(self, given):
+        inv_range = 1.0 / (self._maxval - self._minval)
+        inv_range = check_numerics(
+            inv_range, "1 / (maxval - minval)", self._check_numerics
+        )
+        mask = (given >= self._minval) & (given < self._maxval)
+        return inv_range * mask.astype(self.param_dtype)
+
+
+class Gamma(Distribution):
+    """Gamma with shape ``alpha`` and rate ``beta``.
+
+    Parity: reference ``univariate.py:662-750``. Sampler uses the native
+    ``jax.random.gamma`` (Marsaglia-Tsang on-chip; reference used
+    ``tf.random_gamma``, univariate.py:733-735); density
+    ``alpha*log(beta) - lgamma(alpha) + (alpha-1)*log(x) - beta*x``
+    (univariate.py:737-747). Not reparameterized (matching the reference; note
+    JAX's gamma does support implicit reparameterization gradients, which we
+    deliberately cut with stop_gradient for estimator parity).
+    """
+
+    def __init__(self, alpha, beta, group_ndims: int = 0, check_numerics=False, **kwargs):
+        dtype = assert_same_float_dtype([(alpha, "alpha"), (beta, "beta")])
+        self._alpha = jnp.asarray(alpha, dtype)
+        self._beta = jnp.asarray(beta, dtype)
+        self._check_numerics = check_numerics
+        broadcast_shapes(jnp.shape(self._alpha), jnp.shape(self._beta))
+        super().__init__(
+            dtype=dtype,
+            param_dtype=dtype,
+            is_continuous=True,
+            is_reparameterized=False,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    alpha = property(lambda self: self._alpha)
+    beta = property(lambda self: self._beta)
+
+    def _batch_shape(self):
+        return broadcast_shapes(jnp.shape(self._alpha), jnp.shape(self._beta))
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        alpha = jax.lax.stop_gradient(self._alpha)
+        beta = jax.lax.stop_gradient(self._beta)
+        shape = (n_samples,) + self.batch_shape
+        g = jax.random.gamma(key, jnp.broadcast_to(alpha, shape), dtype=self.dtype)
+        return g / beta
+
+    def _log_prob(self, given):
+        alpha, beta = self._alpha, self._beta
+        log_given = jnp.log(given)
+        log_beta = jnp.log(beta)
+        lgamma_alpha = jax.lax.lgamma(alpha)
+        if self._check_numerics:
+            log_given = check_numerics(log_given, "log(given)")
+            log_beta = check_numerics(log_beta, "log(beta)")
+            lgamma_alpha = check_numerics(lgamma_alpha, "lgamma(alpha)")
+        return alpha * log_beta - lgamma_alpha + (alpha - 1) * log_given - beta * given
+
+
+class Beta(Distribution):
+    """Beta on (0, 1).
+
+    Parity: reference ``univariate.py:753-854``. Sampler: ``x/(x+y)`` from two
+    Gammas (univariate.py:826-831); here we use the native
+    ``jax.random.beta``. Density ``(a-1)log x + (b-1)log(1-x) - lbeta(a, b)``
+    (univariate.py:833-851). Not reparameterized.
+    """
+
+    def __init__(self, alpha, beta, group_ndims: int = 0, check_numerics=False, **kwargs):
+        dtype = assert_same_float_dtype([(alpha, "alpha"), (beta, "beta")])
+        self._alpha = jnp.asarray(alpha, dtype)
+        self._beta = jnp.asarray(beta, dtype)
+        self._check_numerics = check_numerics
+        broadcast_shapes(jnp.shape(self._alpha), jnp.shape(self._beta))
+        super().__init__(
+            dtype=dtype,
+            param_dtype=dtype,
+            is_continuous=True,
+            is_reparameterized=False,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    alpha = property(lambda self: self._alpha)
+    beta = property(lambda self: self._beta)
+
+    def _batch_shape(self):
+        return broadcast_shapes(jnp.shape(self._alpha), jnp.shape(self._beta))
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        alpha = jax.lax.stop_gradient(self._alpha)
+        beta = jax.lax.stop_gradient(self._beta)
+        shape = (n_samples,) + self.batch_shape
+        return jax.random.beta(
+            key,
+            jnp.broadcast_to(alpha, shape),
+            jnp.broadcast_to(beta, shape),
+            dtype=self.dtype,
+        )
+
+    def _log_prob(self, given):
+        alpha, beta = self._alpha, self._beta
+        log_given = jnp.log(given)
+        log_1_minus_given = jnp.log1p(-given)
+        lgamma_alpha = jax.lax.lgamma(alpha)
+        lgamma_beta = jax.lax.lgamma(beta)
+        lgamma_alpha_beta = jax.lax.lgamma(alpha + beta)
+        if self._check_numerics:
+            log_given = check_numerics(log_given, "log(given)")
+            log_1_minus_given = check_numerics(log_1_minus_given, "log(1 - given)")
+        return (
+            (alpha - 1) * log_given
+            + (beta - 1) * log_1_minus_given
+            - (lgamma_alpha + lgamma_beta - lgamma_alpha_beta)
+        )
+
+
+class Poisson(Distribution):
+    """Poisson with rate ``rate``.
+
+    Parity: reference ``univariate.py:857-936``. Sampler:
+    ``jax.random.poisson`` (Knuth/transformed-rejection on-chip, replacing
+    ``tf.random_poisson``, univariate.py:915-920); density
+    ``x*log(rate) - rate - lgamma(x+1)`` (univariate.py:922-933).
+    """
+
+    def __init__(self, rate, dtype=jnp.int32, group_ndims: int = 0, check_numerics=False, **kwargs):
+        param_dtype = assert_same_float_dtype([(rate, "rate")])
+        self._rate = jnp.asarray(rate, param_dtype)
+        self._check_numerics = check_numerics
+        super().__init__(
+            dtype=np.dtype(dtype),
+            param_dtype=param_dtype,
+            is_continuous=False,
+            is_reparameterized=False,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    rate = property(lambda self: self._rate)
+
+    def _batch_shape(self):
+        return jnp.shape(self._rate)
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        rate = jax.lax.stop_gradient(self._rate)
+        shape = (n_samples,) + self.batch_shape
+        return jax.random.poisson(key, rate, shape=shape).astype(self.dtype)
+
+    def _log_prob(self, given):
+        x = jnp.asarray(given, self.param_dtype)
+        rate = self._rate
+        log_rate = jnp.log(rate)
+        lgamma_x_plus_1 = jax.lax.lgamma(x + 1.0)
+        if self._check_numerics:
+            log_rate = check_numerics(log_rate, "log(rate)")
+            lgamma_x_plus_1 = check_numerics(lgamma_x_plus_1, "lgamma(given + 1)")
+        return x * log_rate - rate - lgamma_x_plus_1
+
+
+class Binomial(Distribution):
+    """Binomial: number of successes in ``n_experiments`` Bernoulli trials.
+
+    Parity: reference ``univariate.py:939-1067``. ``n_experiments`` must be a
+    positive Python int (static shape; reference allowed a scalar tensor,
+    univariate.py:975-992). Sampler: sum of ``n_experiments`` vectorized
+    Bernoulli draws (reference used n*n_samples two-class categorical draws,
+    univariate.py:1025-1045 — same distribution, one fused uniform-compare +
+    reduction here). Density: ``log C(n, x) + x*logits - n*softplus(logits)``
+    (univariate.py:1047-1064).
+    """
+
+    def __init__(
+        self,
+        logits,
+        n_experiments: int,
+        dtype=jnp.int32,
+        group_ndims: int = 0,
+        check_numerics=False,
+        **kwargs,
+    ):
+        param_dtype = assert_same_float_dtype([(logits, "logits")])
+        self._logits = jnp.asarray(logits, param_dtype)
+        if not isinstance(n_experiments, (int, np.integer)) or n_experiments < 1:
+            raise ValueError(
+                "n_experiments must be a positive Python int; got {!r}.".format(
+                    n_experiments
+                )
+            )
+        self._n_experiments = int(n_experiments)
+        self._check_numerics = check_numerics
+        super().__init__(
+            dtype=np.dtype(dtype),
+            param_dtype=param_dtype,
+            is_continuous=False,
+            is_reparameterized=False,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    logits = property(lambda self: self._logits)
+    n_experiments = property(lambda self: self._n_experiments)
+
+    def _batch_shape(self):
+        return jnp.shape(self._logits)
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        p = jax.nn.sigmoid(jax.lax.stop_gradient(self._logits))
+        shape = (n_samples, self._n_experiments) + self.batch_shape
+        u = jax.random.uniform(key, shape, dtype=self.param_dtype)
+        return jnp.sum(u < p, axis=1).astype(self.dtype)
+
+    def _log_prob(self, given):
+        x = jnp.asarray(given, self.param_dtype)
+        logits = self._logits
+        n = jnp.asarray(self._n_experiments, self.param_dtype)
+        log_choose = (
+            jax.lax.lgamma(n + 1.0)
+            - jax.lax.lgamma(x + 1.0)
+            - jax.lax.lgamma(n - x + 1.0)
+        )
+        if self._check_numerics:
+            log_choose = check_numerics(log_choose, "log_choose")
+        return log_choose + x * logits - n * jax.nn.softplus(logits)
+
+
+class InverseGamma(Distribution):
+    """Inverse-Gamma: 1/X for X ~ Gamma(alpha, beta).
+
+    Parity: reference ``univariate.py:1070-1161``. Sampler ``1 / Gamma``
+    (univariate.py:1141-1144); density
+    ``alpha*log(beta) - lgamma(alpha) - (alpha+1)*log(x) - beta/x``
+    (univariate.py:1146-1158).
+    """
+
+    def __init__(self, alpha, beta, group_ndims: int = 0, check_numerics=False, **kwargs):
+        dtype = assert_same_float_dtype([(alpha, "alpha"), (beta, "beta")])
+        self._alpha = jnp.asarray(alpha, dtype)
+        self._beta = jnp.asarray(beta, dtype)
+        self._check_numerics = check_numerics
+        broadcast_shapes(jnp.shape(self._alpha), jnp.shape(self._beta))
+        super().__init__(
+            dtype=dtype,
+            param_dtype=dtype,
+            is_continuous=True,
+            is_reparameterized=False,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    alpha = property(lambda self: self._alpha)
+    beta = property(lambda self: self._beta)
+
+    def _batch_shape(self):
+        return broadcast_shapes(jnp.shape(self._alpha), jnp.shape(self._beta))
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        alpha = jax.lax.stop_gradient(self._alpha)
+        beta = jax.lax.stop_gradient(self._beta)
+        shape = (n_samples,) + self.batch_shape
+        g = jax.random.gamma(key, jnp.broadcast_to(alpha, shape), dtype=self.dtype)
+        return beta / g
+
+    def _log_prob(self, given):
+        alpha, beta = self._alpha, self._beta
+        log_given = jnp.log(given)
+        log_beta = jnp.log(beta)
+        lgamma_alpha = jax.lax.lgamma(alpha)
+        if self._check_numerics:
+            log_given = check_numerics(log_given, "log(given)")
+            log_beta = check_numerics(log_beta, "log(beta)")
+        return alpha * log_beta - lgamma_alpha - (alpha + 1) * log_given - beta / given
+
+
+class Laplace(Distribution):
+    """Laplace with location ``loc`` and scale ``scale``.
+
+    Parity: reference ``univariate.py:1164-1276``. Reparameterized inverse-CDF
+    sampler from an open-interval uniform (univariate.py:1246-1265); density
+    ``-log(2) - log(scale) - |x - loc| / scale`` (univariate.py:1267-1273).
+    """
+
+    def __init__(
+        self,
+        loc,
+        scale,
+        group_ndims: int = 0,
+        is_reparameterized: bool = True,
+        use_path_derivative: bool = False,
+        check_numerics=False,
+        **kwargs,
+    ):
+        dtype = assert_same_float_dtype([(loc, "loc"), (scale, "scale")])
+        self._loc = jnp.asarray(loc, dtype)
+        self._scale = jnp.asarray(scale, dtype)
+        self._check_numerics = check_numerics
+        broadcast_shapes(jnp.shape(self._loc), jnp.shape(self._scale))
+        super().__init__(
+            dtype=dtype,
+            param_dtype=dtype,
+            is_continuous=True,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    loc = property(lambda self: self._loc)
+    scale = property(lambda self: self._scale)
+
+    def _batch_shape(self):
+        return broadcast_shapes(jnp.shape(self._loc), jnp.shape(self._scale))
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        loc, scale = _maybe_stop((self._loc, self._scale), self.is_reparameterized)
+        shape = (n_samples,) + self.batch_shape
+        u = open_interval_standard_uniform(key, shape, self.dtype) - 0.5
+        return loc - scale * jnp.sign(u) * jnp.log1p(-2.0 * jnp.abs(u))
+
+    def _log_prob(self, given):
+        loc = self.path_param(self._loc)
+        scale = self.path_param(self._scale)
+        log_scale = jnp.log(scale)
+        if self._check_numerics:
+            log_scale = check_numerics(log_scale, "log(scale)")
+        return -np.log(2.0) - log_scale - jnp.abs(given - loc) / scale
+
+
+class BinConcrete(Distribution):
+    """Binary Concrete (Maddison et al. 2017) — relaxed Bernoulli on (0, 1).
+
+    Parity: reference ``univariate.py:1279-1405``. Sampler:
+    ``sigmoid((logits + Logistic) / temperature)`` with the Logistic noise
+    built from an open-interval uniform (univariate.py:1363-1379). Density
+    (univariate.py:1381-1399): with ``t = temperature*logit(x) - logits``,
+    ``log(temperature) - log(x) - log(1-x) + t - 2*softplus(t)``.
+    Reparameterized; supports ``use_path_derivative``.
+    """
+
+    def __init__(
+        self,
+        temperature,
+        logits,
+        group_ndims: int = 0,
+        is_reparameterized: bool = True,
+        use_path_derivative: bool = False,
+        check_numerics: bool = False,
+        **kwargs,
+    ):
+        dtype = assert_same_float_dtype(
+            [(temperature, "temperature"), (logits, "logits")]
+        )
+        self._temperature = jnp.asarray(temperature, dtype)
+        self._logits = jnp.asarray(logits, dtype)
+        if self._temperature.ndim != 0:
+            raise ValueError("temperature must be a scalar.")
+        self._check_numerics = check_numerics
+        super().__init__(
+            dtype=dtype,
+            param_dtype=dtype,
+            is_continuous=True,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    temperature = property(lambda self: self._temperature)
+    logits = property(lambda self: self._logits)
+
+    def _batch_shape(self):
+        return jnp.shape(self._logits)
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        logits, temperature = _maybe_stop(
+            (self._logits, self._temperature), self.is_reparameterized
+        )
+        shape = (n_samples,) + self.batch_shape
+        u = open_interval_standard_uniform(key, shape, self.dtype)
+        logistic = jnp.log(u) - jnp.log1p(-u)
+        return jax.nn.sigmoid((logits + logistic) / temperature)
+
+    def _log_prob(self, given):
+        temperature = self.path_param(self._temperature)
+        logits = self.path_param(self._logits)
+        log_given = jnp.log(given)
+        log_1_minus_given = jnp.log1p(-given)
+        log_temperature = jnp.log(temperature)
+        if self._check_numerics:
+            log_given = check_numerics(log_given, "log(given)")
+            log_1_minus_given = check_numerics(log_1_minus_given, "log(1 - given)")
+            log_temperature = check_numerics(log_temperature, "log(temperature)")
+        t = temperature * (log_given - log_1_minus_given) - logits
+        return (
+            log_temperature - log_given - log_1_minus_given
+            + t - 2.0 * jax.nn.softplus(t)
+        )
+
+
+BinGumbelSoftmax = BinConcrete

@@ -1,0 +1,20 @@
+"""Model framework: BayesianNet, StochasticTensor, MetaBayesianNet.
+
+Parity: reference ``zhusuan/framework/__init__.py`` flat re-exports.
+"""
+
+from zhusuan_tpu.framework.bn import BayesianNet, StochasticTensor
+from zhusuan_tpu.framework.meta_bn import MetaBayesianNet, meta_bayesian_net
+from zhusuan_tpu.framework.utils import Context, Local, reuse_variables
+from zhusuan_tpu.framework.arith import TensorArithmeticMixin
+
+__all__ = [
+    "BayesianNet",
+    "StochasticTensor",
+    "MetaBayesianNet",
+    "meta_bayesian_net",
+    "Context",
+    "Local",
+    "reuse_variables",
+    "TensorArithmeticMixin",
+]

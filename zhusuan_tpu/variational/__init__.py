@@ -1,0 +1,27 @@
+"""Variational inference objectives and gradient estimators.
+
+Parity: reference ``zhusuan/variational/__init__.py``.
+"""
+
+from zhusuan_tpu.variational.base import VariationalObjective
+from zhusuan_tpu.variational.exclusive_kl import (
+    EvidenceLowerBoundObjective,
+    elbo,
+)
+from zhusuan_tpu.variational.monte_carlo import (
+    ImportanceWeightedObjective,
+    importance_weighted_objective,
+    iw_objective,
+)
+from zhusuan_tpu.variational.inclusive_kl import InclusiveKLObjective, klpq
+
+__all__ = [
+    "VariationalObjective",
+    "EvidenceLowerBoundObjective",
+    "elbo",
+    "ImportanceWeightedObjective",
+    "importance_weighted_objective",
+    "iw_objective",
+    "InclusiveKLObjective",
+    "klpq",
+]

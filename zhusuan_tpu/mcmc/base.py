@@ -1,0 +1,123 @@
+"""Shared MCMC machinery: latent-dict handling and Hamiltonian helpers.
+
+Parity: the free helper functions of reference ``zhusuan/hmc.py:21-61``
+(``random_momentum``, ``velocity``, ``hamiltonian``, ``leapfrog_integrator``,
+``get_acceptance_rate``), re-expressed over latent *dicts* (pytrees) instead
+of lists, fully ``vmap``/``scan``-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from zhusuan_tpu.framework.meta_bn import MetaBayesianNet
+from zhusuan_tpu.utils import merge_dicts
+
+__all__ = [
+    "make_log_joint_fn",
+    "tree_random_momentum",
+    "tree_velocity",
+    "hamiltonian",
+    "leapfrog_step",
+    "get_acceptance_rate",
+]
+
+Latent = Dict[str, jnp.ndarray]
+
+
+def make_log_joint_fn(meta_bn_or_log_joint, observed):
+    """Build ``log_posterior(latent_dict) -> chain-shaped array``.
+
+    Accepts a :class:`MetaBayesianNet` or a raw ``log_joint(obs_dict)``
+    callable (parity: reference hmc.py:412-416, sgmcmc.py:121-133).
+    """
+    if isinstance(meta_bn_or_log_joint, MetaBayesianNet):
+        log_joint = lambda obs: meta_bn_or_log_joint.observe(**obs).log_joint()
+    elif callable(meta_bn_or_log_joint):
+        log_joint = meta_bn_or_log_joint
+    else:
+        raise TypeError(
+            "Expected a MetaBayesianNet or a callable log-joint function, "
+            "got {!r}.".format(type(meta_bn_or_log_joint))
+        )
+
+    def log_posterior(latent: Latent):
+        return log_joint(merge_dicts(latent, observed))
+
+    return log_posterior
+
+
+def _data_axes(q: Latent, n_chain_dims: int):
+    return {k: tuple(range(n_chain_dims, v.ndim)) for k, v in q.items()}
+
+
+def tree_random_momentum(key, q: Latent, mass: Latent) -> Latent:
+    """p[name] = randn(shape(q[name])) * sqrt(mass[name])
+    (reference hmc.py:21-23)."""
+    names = sorted(q.keys())
+    keys = jax.random.split(key, len(names))
+    return {
+        name: jax.random.normal(k, q[name].shape, q[name].dtype)
+        * jnp.sqrt(mass[name])
+        for name, k in zip(names, keys)
+    }
+
+
+def tree_velocity(p: Latent, mass: Latent) -> Latent:
+    """v = p / m (reference hmc.py:26-27)."""
+    return {k: p[k] / mass[k] for k in p}
+
+
+def hamiltonian(
+    q: Latent,
+    p: Latent,
+    log_posterior: Callable[[Latent], jnp.ndarray],
+    mass: Latent,
+    n_chain_dims: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """H = -log_post(q) + 0.5 * sum p^2/m over data axes
+    (reference hmc.py:30-35). Returns ``(H, log_post)``, both chain-shaped.
+    """
+    log_p = log_posterior(q)
+    potential = -log_p
+    axes = _data_axes(q, n_chain_dims)
+    kinetic = None
+    for k in q:
+        term = 0.5 * jnp.sum(jnp.square(p[k]) / mass[k], axis=axes[k])
+        kinetic = term if kinetic is None else kinetic + term
+    return potential + kinetic, log_p
+
+
+def leapfrog_step(q, p, step_size1, step_size2, grad_fn, mass):
+    """One generalized leapfrog sub-step: drift by ``step_size1``, then kick
+    by ``step_size2`` (reference hmc.py:38-43)."""
+    v = tree_velocity(p, mass)
+    q = {k: q[k] + step_size1 * v[k] for k in q}
+    grads = grad_fn(q)
+    p = {k: p[k] + step_size2 * grads[k] for k in p}
+    return q, p
+
+
+def get_acceptance_rate(
+    q, p, new_q, new_p, log_posterior, mass, n_chain_dims
+):
+    """MH acceptance with the non-finite -> reject guard
+    (reference hmc.py:46-61: non-finite acceptance or log-prob gives rate 0
+    — this IS the sampler's fault tolerance, SURVEY.md §5).
+
+    Returns (old_hamiltonian, new_hamiltonian, old_log_prob, new_log_prob,
+    acceptance_rate), all chain-shaped.
+    """
+    old_h, old_log_prob = hamiltonian(q, p, log_posterior, mass, n_chain_dims)
+    new_h, new_log_prob = hamiltonian(
+        new_q, new_p, log_posterior, mass, n_chain_dims
+    )
+    acceptance_rate = jnp.exp(jnp.minimum(old_h - new_h, 0.0))
+    is_finite = jnp.isfinite(acceptance_rate) & jnp.isfinite(new_log_prob)
+    acceptance_rate = jnp.where(
+        is_finite, acceptance_rate, jnp.zeros_like(acceptance_rate)
+    )
+    return old_h, new_h, old_log_prob, new_log_prob, acceptance_rate

@@ -1,0 +1,480 @@
+"""Hamiltonian Monte Carlo with dual-averaging step-size and mass-matrix
+adaptation.
+
+Capability parity with reference ``zhusuan/hmc.py`` (522 LoC): the
+``StepsizeTuner`` Nesterov dual averaging (hmc.py:64-112), the
+``ExponentialWeightedMovingVariance`` diagonal mass adaptation
+(hmc.py:115-159), the heuristic initial step-size search (hmc.py:307-345),
+the boundary-aware leapfrog loop (hmc.py:347-372), the per-chain MH test
+with non-finite -> reject (hmc.py:479-498), and ``HMCInfo`` statistics
+(hmc.py:162-201).
+
+TPU-native design (SURVEY.md §2.7 [TPU]): every piece of mutable
+``tf.Variable`` state becomes a field of the explicit :class:`HMCState`
+pytree; one iteration is the pure function ``sample(state, key) -> (state,
+info)``; whole chains run on-device via ``HMC.run`` (``lax.scan``), so the
+per-iteration host round-trip of the reference (one ``sess.run`` per
+iteration, SURVEY.md §3.3) disappears. Parallel chains are leading batch
+axes on the latent state — thousands of chains vectorize on the VPU/MXU and
+shard over a device mesh (see ``zhusuan_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zhusuan_tpu.mcmc.base import (
+    get_acceptance_rate,
+    leapfrog_step,
+    make_log_joint_fn,
+    tree_random_momentum,
+)
+
+__all__ = ["HMC", "HMCState", "HMCInfo"]
+
+Latent = Dict[str, jnp.ndarray]
+
+
+class HMCState(NamedTuple):
+    """Explicit sampler state (replaces the reference's tf.Variables,
+    hmc.py:219-222,258-264)."""
+
+    q: Latent  # position: chain_axes + data_axes per variable
+    t: jnp.ndarray  # iteration counter (int32)
+    step_size: jnp.ndarray  # current step size (scalar)
+    # Dual-averaging state (hmc.py:82-87).
+    da_step: jnp.ndarray
+    h_bar: jnp.ndarray
+    log_epsilon_bar: jnp.ndarray
+    # EW moving variance state for mass adaptation (hmc.py:115-159);
+    # shapes: (1,)*n_chain_dims + data_shape.
+    ewmv_t: jnp.ndarray
+    ewmv_mean: Latent
+    ewmv_var: Latent
+    mass: Latent
+
+
+class HMCInfo(NamedTuple):
+    """Per-iteration statistics (parity: reference ``HMCInfo``
+    hmc.py:162-201)."""
+
+    samples: Latent
+    acceptance_rate: jnp.ndarray
+    updated_step_size: jnp.ndarray
+    init_momentum: Latent
+    orig_hamiltonian: jnp.ndarray
+    hamiltonian: jnp.ndarray
+    orig_log_prob: jnp.ndarray
+    log_prob: jnp.ndarray
+
+
+class HMC:
+    """Hamiltonian Monte Carlo sampler.
+
+    :param step_size: initial leapfrog step size.
+    :param n_leapfrogs: number of leapfrog steps per iteration.
+    :param adapt_step_size: None disables the dual-averaging machinery
+        entirely; a bool enables it and sets the default runtime gate
+        (override per call via ``sample(..., adapt_step_size=flag)`` with a
+        traced bool — e.g. ``i < n_burnin`` under ``scan``; adaptation
+        breaks detailed balance, so gate it off after burn-in, reference
+        hmc.py:224-231).
+    :param target_acceptance_rate: dual-averaging target (delta).
+    :param gamma, t0, kappa: dual-averaging hyperparameters (Hoffman &
+        Gelman 2014; reference hmc.py:89-112).
+    :param adapt_mass: None disables mass adaptation; a bool enables the EW
+        variance machinery and sets the default gate. Requires
+        ``adapt_step_size`` (reference hmc.py:270-272).
+    :param mass_collect_iters: iterations before the adapted mass is used.
+    :param mass_decay: EW variance decay.
+    """
+
+    def __init__(
+        self,
+        step_size: float = 1.0,
+        n_leapfrogs: int = 10,
+        adapt_step_size: Optional[bool] = None,
+        target_acceptance_rate: float = 0.8,
+        gamma: float = 0.05,
+        t0: float = 100.0,
+        kappa: float = 0.75,
+        adapt_mass: Optional[bool] = None,
+        mass_collect_iters: int = 10,
+        mass_decay: float = 0.99,
+    ):
+        self.init_step_size = float(step_size)
+        self.n_leapfrogs = int(n_leapfrogs)
+        self.adapt_step_size = adapt_step_size
+        self.target_acceptance_rate = float(target_acceptance_rate)
+        self.gamma = float(gamma)
+        self.t0 = float(t0)
+        self.kappa = float(kappa)
+        # mu = log(10 * eps0), the dual-averaging attractor
+        # (reference hmc.py:80: tf.constant(10 * initial_stepsize) used as mu
+        # in log space via `self.mu - sqrt(t)/gamma*h_bar`; the reference
+        # stores 10*eps0 directly and mixes spaces — we follow Hoffman &
+        # Gelman and use log(10*eps0), which is the published recipe).
+        self.mu = float(np.log(10.0 * step_size))
+        if adapt_mass is not None and adapt_step_size is None:
+            raise ValueError(
+                "adapt_mass requires adapt_step_size "
+                "(parity: reference hmc.py:270-272)."
+            )
+        self.adapt_mass = adapt_mass
+        self.mass_collect_iters = int(mass_collect_iters)
+        self.mass_decay = float(mass_decay)
+
+    # ------------------------------------------------------------------ #
+    def init(self, latent: Latent, n_chain_dims: Optional[int] = None,
+             log_joint=None, observed=None) -> HMCState:
+        """Create the initial :class:`HMCState` from initial positions.
+
+        :param latent: dict of initial chain positions, each of shape
+            ``chain_axes + data_axes``.
+        :param n_chain_dims: number of leading chain axes. If None, it is
+            inferred by tracing ``log_joint`` (which then must be given,
+            optionally with ``observed``): the log-joint output shape IS the
+            chain shape (parity: reference hmc.py:434-449).
+        """
+        q = {k: jnp.asarray(v) for k, v in latent.items()}
+        if n_chain_dims is None:
+            if log_joint is None:
+                raise ValueError(
+                    "Provide either n_chain_dims or log_joint (+observed) "
+                    "so the chain rank can be inferred."
+                )
+            log_post = make_log_joint_fn(log_joint, observed or {})
+            out_shape = jax.eval_shape(log_post, q).shape
+            n_chain_dims = len(out_shape)
+        n_chain_dims = int(n_chain_dims)
+        dtype = jnp.result_type(*[v.dtype for v in q.values()])
+        data_shapes = {
+            k: (1,) * n_chain_dims + v.shape[n_chain_dims:]
+            for k, v in q.items()
+        }
+        zeros = {k: jnp.zeros(s, dtype) for k, s in data_shapes.items()}
+        ones = {k: jnp.ones(s, dtype) for k, s in data_shapes.items()}
+        self._n_chain_dims = n_chain_dims
+        return HMCState(
+            q=q,
+            t=jnp.zeros((), jnp.int32),
+            step_size=jnp.asarray(self.init_step_size, dtype),
+            da_step=jnp.zeros((), dtype),
+            h_bar=jnp.zeros((), dtype),
+            log_epsilon_bar=jnp.zeros((), dtype),
+            ewmv_t=jnp.zeros((), dtype),
+            ewmv_mean=zeros,
+            ewmv_var=zeros,
+            mass=ones,
+        )
+
+    # ------------------------------------------------------------------ #
+    # internal pieces                                                    #
+    # ------------------------------------------------------------------ #
+    def _ewmv_update(self, state: HMCState, gate, n_chain_dims):
+        """EW moving variance update over chain axes (reference
+        hmc.py:115-159), gated by ``gate`` (traced bool)."""
+        chain_axes = tuple(range(n_chain_dims))
+        new_t = state.ewmv_t + jnp.where(gate, 1.0, 0.0)
+        safe_t = jnp.maximum(new_t, 1.0)
+        weight = (1.0 - self.mass_decay) / (1.0 - self.mass_decay ** safe_t)
+        new_mean, new_var = {}, {}
+        for k, x in state.q.items():
+            incr = weight * (x - state.ewmv_mean[k])
+            mean_k = state.ewmv_mean[k] + jnp.mean(
+                incr, axis=chain_axes, keepdims=True
+            )
+            var_k = (1.0 - weight) * state.ewmv_var[k] + jnp.mean(
+                incr * (x - mean_k), axis=chain_axes, keepdims=True
+            )
+            new_mean[k] = jnp.where(gate, mean_k, state.ewmv_mean[k])
+            new_var[k] = jnp.where(gate, var_k, state.ewmv_var[k])
+        return new_t, new_mean, new_var
+
+    def _init_step_size_search(
+        self, q, p, mass, grad_fn, log_post, n_chain_dims, current_step_size
+    ):
+        """Heuristic initial step-size search: scale by 1.5 up/down until
+        the mean acceptance crosses the target (reference hmc.py:307-345),
+        as a ``lax.while_loop``."""
+        factor = 1.5
+        target = self.target_acceptance_rate
+
+        def trial_acceptance(step_size):
+            nq, np_ = leapfrog_step(q, p, 0.0, step_size / 2, grad_fn, mass)
+            nq, np_ = leapfrog_step(
+                nq, np_, step_size, step_size / 2, grad_fn, mass
+            )
+            *_, acc = get_acceptance_rate(
+                q, p, nq, np_, log_post, mass, n_chain_dims
+            )
+            return jnp.mean(acc)
+
+        def cond(carry):
+            _, _, go = carry
+            return go
+
+        def body(carry):
+            step_size, last_acc, _ = carry
+            acc = trial_acceptance(step_size)
+            new_step_size = jnp.where(
+                acc < target, step_size / factor, step_size * factor
+            )
+            # Continue while we haven't crossed the target boundary.
+            go = ~jnp.logical_xor(last_acc < target, acc < target)
+            return (new_step_size, acc, go)
+
+        out, _, _ = jax.lax.while_loop(
+            cond, body, (current_step_size, jnp.ones_like(current_step_size),
+                         jnp.asarray(True))
+        )
+        return out
+
+    def _leapfrog(self, q, p, step_size, grad_fn, mass):
+        """n_leapfrogs+1 boundary-aware sub-steps under ``lax.scan``
+        (reference hmc.py:347-372): drift is skipped on the first iteration
+        and the kick is halved on the first and last."""
+        n = self.n_leapfrogs
+
+        def body(carry, i):
+            q, p = carry
+            step_size1 = jnp.where(i > 0, step_size, 0.0)
+            step_size2 = jnp.where(
+                (i > 0) & (i < n), step_size, step_size / 2
+            )
+            q, p = leapfrog_step(q, p, step_size1, step_size2, grad_fn, mass)
+            return (q, p), None
+
+        (q, p), _ = jax.lax.scan(body, (q, p), jnp.arange(n + 1))
+        return q, p
+
+    def _tune_step_size(self, state: HMCState, acceptance_rate, gate,
+                        fresh_start):
+        """Nesterov dual averaging (reference hmc.py:89-112), gated."""
+        fs = jnp.where(fresh_start, 1.0, 0.0)
+        new_step = (1.0 - fs) * state.da_step + 1.0
+        rate1 = 1.0 / (new_step + self.t0)
+        new_h_bar = (1.0 - fs) * (1.0 - rate1) * state.h_bar + rate1 * (
+            self.target_acceptance_rate - acceptance_rate
+        )
+        log_epsilon = self.mu - jnp.sqrt(new_step) / self.gamma * new_h_bar
+        rate = jnp.power(new_step, -self.kappa)
+        new_log_epsilon_bar = (
+            rate * log_epsilon
+            + (1.0 - fs) * (1.0 - rate) * state.log_epsilon_bar
+        )
+        adapted = jnp.exp(log_epsilon)
+        frozen = jnp.exp(state.log_epsilon_bar)
+        new_step_size = jnp.where(gate, adapted, frozen)
+        da_step = jnp.where(gate, new_step, state.da_step)
+        h_bar = jnp.where(gate, new_h_bar, state.h_bar)
+        log_eps_bar = jnp.where(gate, new_log_epsilon_bar,
+                                state.log_epsilon_bar)
+        return new_step_size, da_step, h_bar, log_eps_bar
+
+    # ------------------------------------------------------------------ #
+    def sample(
+        self,
+        meta_bn,
+        observed,
+        state: HMCState,
+        key,
+        adapt_step_size=None,
+        adapt_mass=None,
+    ):
+        """Run ONE HMC iteration: pure ``(state, key) -> (state, info)``.
+
+        Parity: reference ``HMC.sample`` (hmc.py:382-522) which *builds* the
+        iteration graph; here the function itself is the iteration and can
+        be ``jit``-ed or scanned (see :meth:`run`).
+
+        :param meta_bn: MetaBayesianNet or ``log_joint(obs_dict)`` callable.
+        :param observed: dict of observations.
+        :param state: current :class:`HMCState`.
+        :param key: PRNG key for this iteration.
+        :param adapt_step_size: optional traced bool gating step-size
+            adaptation this iteration (default: the constructor setting).
+        :param adapt_mass: optional traced bool gating mass adaptation.
+        :return: ``(new_state, HMCInfo)``.
+        """
+        log_post = make_log_joint_fn(meta_bn, observed)
+        q = state.q
+        n_chain_dims = len(jax.eval_shape(log_post, q).shape)
+
+        def grad_fn(qq):
+            # Gradient of the summed log-posterior: chains are independent,
+            # so sum-then-grad gives per-chain gradients in one pass.
+            return jax.grad(lambda v: jnp.sum(log_post(v)))(qq)
+
+        new_t = state.t + 1
+
+        # --- mass adaptation (reference hmc.py:283-305,452-456) -------- #
+        if self.adapt_mass is not None:
+            gate_mass = (
+                jnp.asarray(adapt_mass)
+                if adapt_mass is not None
+                else jnp.asarray(self.adapt_mass)
+            )
+            ewmv_t, ewmv_mean, ewmv_var = self._ewmv_update(
+                state, gate_mass, n_chain_dims
+            )
+            use_adapted = new_t >= self.mass_collect_iters
+            mass = {
+                k: jax.lax.stop_gradient(
+                    jnp.where(
+                        use_adapted,
+                        1.0 / jnp.maximum(ewmv_var[k], 1e-20),
+                        jnp.ones_like(ewmv_var[k]),
+                    )
+                )
+                for k in q
+            }
+        else:
+            ewmv_t, ewmv_mean, ewmv_var = (
+                state.ewmv_t, state.ewmv_mean, state.ewmv_var
+            )
+            mass = state.mass
+
+        key_p, key_u = jax.random.split(key)
+        p = tree_random_momentum(key_p, q, mass)
+
+        # --- step size (+ heuristic init search; hmc.py:458-472) ------- #
+        if self.adapt_step_size is not None:
+            if_init_ss = (new_t == 1) | (new_t == self.mass_collect_iters)
+            searched = jax.lax.cond(
+                if_init_ss,
+                lambda: jax.lax.stop_gradient(
+                    self._init_step_size_search(
+                        q, p, mass, grad_fn, log_post, n_chain_dims,
+                        jnp.asarray(self.init_step_size, state.step_size.dtype),
+                    )
+                ),
+                lambda: state.step_size,
+            )
+            step_size = searched
+        else:
+            if_init_ss = jnp.asarray(False)
+            step_size = state.step_size
+
+        # --- leapfrog (hmc.py:474-476) --------------------------------- #
+        new_q, new_p = self._leapfrog(q, p, step_size, grad_fn, mass)
+
+        # --- MH test (hmc.py:479-498) ---------------------------------- #
+        old_h, new_h, old_log_prob, new_log_prob, acceptance_rate = (
+            get_acceptance_rate(
+                q, p, new_q, new_p, log_post, mass, n_chain_dims
+            )
+        )
+        u01 = jax.random.uniform(key_u, acceptance_rate.shape,
+                                 acceptance_rate.dtype)
+        if_accept = u01 < acceptance_rate
+        accepted_q = {}
+        for k in q:
+            cond = if_accept.reshape(
+                if_accept.shape + (1,) * (q[k].ndim - if_accept.ndim)
+            )
+            accepted_q[k] = jnp.where(cond, new_q[k], q[k])
+        new_log_prob = jnp.where(if_accept, new_log_prob, old_log_prob)
+
+        # --- step-size adaptation (hmc.py:500-505) --------------------- #
+        if self.adapt_step_size is not None:
+            gate_ss = (
+                jnp.asarray(adapt_step_size)
+                if adapt_step_size is not None
+                else jnp.asarray(self.adapt_step_size)
+            )
+            updated_step_size, da_step, h_bar, log_eps_bar = (
+                self._tune_step_size(
+                    state._replace(step_size=step_size),
+                    jnp.mean(acceptance_rate),
+                    gate_ss,
+                    if_init_ss,
+                )
+            )
+        else:
+            updated_step_size = step_size
+            da_step, h_bar, log_eps_bar = (
+                state.da_step, state.h_bar, state.log_epsilon_bar
+            )
+
+        new_state = HMCState(
+            q=accepted_q,
+            t=new_t,
+            step_size=updated_step_size,
+            da_step=da_step,
+            h_bar=h_bar,
+            log_epsilon_bar=log_eps_bar,
+            ewmv_t=ewmv_t,
+            ewmv_mean=ewmv_mean,
+            ewmv_var=ewmv_var,
+            mass=mass,
+        )
+        info = HMCInfo(
+            samples=accepted_q,
+            acceptance_rate=acceptance_rate,
+            updated_step_size=updated_step_size,
+            init_momentum=p,
+            orig_hamiltonian=old_h,
+            hamiltonian=new_h,
+            orig_log_prob=old_log_prob,
+            log_prob=new_log_prob,
+        )
+        return new_state, info
+
+    # ------------------------------------------------------------------ #
+    def run(
+        self,
+        meta_bn,
+        observed,
+        state: HMCState,
+        key,
+        n_iters: int,
+        n_adapt: int = 0,
+        collect: bool = True,
+    ):
+        """Run ``n_iters`` iterations fully on-device via ``lax.scan``.
+
+        The first ``n_adapt`` iterations have step-size/mass adaptation
+        gated ON, the rest OFF (burn-in gating; reference users did this
+        with a feed-dict placeholder, examples/toy_examples/gaussian.py:53-62
+        — here it folds into the scan).
+
+        :param collect: if True, stack per-iteration samples, acceptance
+            rates and step sizes; if False only the final state is returned
+            (use for burn-in at zero memory cost).
+        :return: ``(final_state, outputs)`` where outputs is a dict with
+            ``samples`` (stacked, iteration-major), ``acceptance_rate``,
+            ``step_size`` when ``collect`` else None.
+        """
+        adapt_enabled = self.adapt_step_size is not None
+
+        def body(carry, inp):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            i = st.t
+            gate = i < n_adapt if adapt_enabled else None
+            st2, info = self.sample(
+                meta_bn, observed, st, sub,
+                adapt_step_size=gate,
+                adapt_mass=gate if self.adapt_mass is not None else None,
+            )
+            if collect:
+                out = {
+                    "samples": info.samples,
+                    "acceptance_rate": info.acceptance_rate,
+                    "step_size": info.updated_step_size,
+                    "log_prob": info.log_prob,
+                }
+            else:
+                out = None
+            return (st2, k), out
+
+        (final_state, _), outputs = jax.lax.scan(
+            body, (state, key), None, length=n_iters
+        )
+        return final_state, outputs

@@ -1,0 +1,358 @@
+"""Stochastic-gradient MCMC: SGLD, PSGLD, SGHMC, SGNHT.
+
+Capability parity with reference ``zhusuan/sgmcmc.py`` (523 LoC): the
+``SGMCMC.sample`` contract (sgmcmc.py:119-161), SGLD (Welling & Teh 2011,
+Eq. 3; sgmcmc.py:170-200), PSGLD with the RMSprop preconditioner (Li et al.
+2015, Eq. 4-5; sgmcmc.py:203-257), SGHMC (Chen et al. 2014, Eq. 15) with the
+optional 2nd-order symmetric-splitting integrator (Chen et al. 2015)
+(sgmcmc.py:260-371), and SGNHT (Ding et al. 2014, Alg. 2) with scalar or
+per-coordinate thermostat (sgmcmc.py:374-523).
+
+TPU-native design (SURVEY.md §2.7 [TPU]): every sampler is a pure kernel
+``sample(state, key) -> (state, info)`` iterated by ``lax.scan``; momentum,
+preconditioner and thermostat variables are fields of the explicit
+:class:`SGMCMCState` pytree. Minibatch gradients for data-parallel runs are
+``pmean``-reduced over a device mesh (see ``zhusuan_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from zhusuan_tpu.mcmc.base import make_log_joint_fn
+
+__all__ = ["SGMCMC", "SGMCMCState", "SGMCMCInfo", "SGLD", "PSGLD", "SGHMC", "SGNHT"]
+
+Latent = Dict[str, jnp.ndarray]
+
+
+class SGMCMCState(NamedTuple):
+    """Explicit sampler state. Unused auxiliary fields are empty dicts."""
+
+    q: Latent
+    t: jnp.ndarray  # iteration counter (int32)
+    v: Latent  # momentum (SGHMC/SGNHT)
+    alpha: Latent  # thermostat (SGNHT)
+    rms: Latent  # RMSprop accumulator (PSGLD)
+
+
+class SGMCMCInfo(NamedTuple):
+    """Per-iteration statistics (parity: reference ``SGMCMCInfo`` namedtuple,
+    sgmcmc.py:102-117 — attrs are dicts keyed by latent name)."""
+
+    q: Latent
+    mean_k: Optional[Dict[str, jnp.ndarray]] = None
+    alpha: Optional[Dict[str, jnp.ndarray]] = None
+
+
+def _tree_normal(key, like: Latent, stddev):
+    names = sorted(like.keys())
+    keys = jax.random.split(key, len(names))
+    return {
+        n: stddev * jax.random.normal(k, like[n].shape, like[n].dtype)
+        for n, k in zip(names, keys)
+    }
+
+
+class SGMCMC:
+    """Base class: the shared ``sample``/``run`` driver.
+
+    Subclasses implement ``_init_aux(key, q)`` and
+    ``_update(state, grads_fn, key) -> (new_state_fields, info)``.
+    """
+
+    def _lr(self, t):
+        lr = self.learning_rate
+        if callable(lr):
+            return lr(t)
+        return jnp.asarray(lr)
+
+    def init(self, latent: Latent, key=None) -> SGMCMCState:
+        """Create the initial state from initial positions. Samplers with
+        momentum (SGHMC/SGNHT) need a ``key`` to initialize it."""
+        q = {k: jnp.asarray(v) for k, v in latent.items()}
+        t = jnp.zeros((), jnp.int32)
+        return self._init_state(q, t, key)
+
+    def _init_state(self, q, t, key):
+        return SGMCMCState(q=q, t=t, v={}, alpha={}, rms={})
+
+    def sample(self, meta_bn, observed, state: SGMCMCState, key):
+        """One SGMCMC iteration: pure ``(state, key) -> (state, info)``.
+
+        Parity: the ``sample(meta_bn, observed, latent)`` contract of
+        reference sgmcmc.py:119-161, with the latent dict living in
+        ``state.q`` instead of tf.Variables.
+        """
+        log_post = make_log_joint_fn(meta_bn, observed)
+
+        def grad_fn(qq):
+            return jax.grad(lambda v: jnp.sum(log_post(v)))(qq)
+
+        new_state, info = self._update(state, grad_fn, key)
+        return new_state, info
+
+    def run(
+        self,
+        meta_bn,
+        observed,
+        state: SGMCMCState,
+        key,
+        n_iters: int,
+        collect: bool = True,
+        thinning: int = 1,
+    ):
+        """Run ``n_iters`` iterations on-device via ``lax.scan``.
+
+        :param collect: stack per-iteration ``q`` (thinned) when True.
+        :return: ``(final_state, stacked_q_or_None)``.
+        """
+
+        def body(carry, _):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st2, info = self.sample(meta_bn, observed, st, sub)
+            out = info.q if collect else None
+            return (st2, k), out
+
+        (final_state, _), qs = jax.lax.scan(
+            body, (state, key), None, length=n_iters
+        )
+        if collect and thinning > 1:
+            qs = {k: v[::thinning] for k, v in qs.items()}
+        return final_state, qs
+
+
+class SGLD(SGMCMC):
+    """Stochastic Gradient Langevin Dynamics (Welling & Teh 2011, Eq. 3).
+
+    Update (reference sgmcmc.py:195-200):
+    ``q += 0.5*lr*grad + Normal(0, sqrt(lr))``.
+
+    :param learning_rate: float, traced scalar, or callable ``t -> lr`` for
+        decaying schedules (replaces the reference's feed-dict placeholder).
+    """
+
+    def __init__(self, learning_rate: Union[float, Callable]):
+        self.learning_rate = learning_rate
+
+    def _update(self, state, grad_fn, key):
+        lr = self._lr(state.t)
+        grads = grad_fn(state.q)
+        noise = _tree_normal(key, state.q, jnp.sqrt(lr))
+        new_q = {
+            k: state.q[k] + 0.5 * lr * grads[k] + noise[k] for k in state.q
+        }
+        new_state = state._replace(q=new_q, t=state.t + 1)
+        return new_state, SGMCMCInfo(q=new_q)
+
+
+class PSGLD(SGLD):
+    """Preconditioned SGLD with the RMSprop preconditioner (Li et al. 2015,
+    Eq. 4-5; reference sgmcmc.py:203-257).
+
+    Aux: ``rms = decay*rms + (1-decay)*grad**2``;
+    ``G = 1/(epsilon + sqrt(rms))``;
+    update ``q += 0.5*lr*G*grad + Normal(0, sqrt(lr*G))``.
+    """
+
+    def __init__(self, learning_rate, decay: float = 0.9,
+                 epsilon: float = 1e-3):
+        super().__init__(learning_rate)
+        self.decay = float(decay)
+        self.epsilon = float(epsilon)
+
+    def _init_state(self, q, t, key):
+        rms = {k: jnp.zeros_like(v) for k, v in q.items()}
+        return SGMCMCState(q=q, t=t, v={}, alpha={}, rms=rms)
+
+    def _update(self, state, grad_fn, key):
+        lr = self._lr(state.t)
+        grads = grad_fn(state.q)
+        new_rms = {
+            k: self.decay * state.rms[k] + (1 - self.decay) * grads[k] ** 2
+            for k in state.q
+        }
+        g = {k: 1.0 / (self.epsilon + jnp.sqrt(new_rms[k])) for k in state.q}
+        names = sorted(state.q.keys())
+        keys = jax.random.split(key, len(names))
+        new_q = {}
+        for k, kk in zip(names, keys):
+            noise = jnp.sqrt(lr * g[k]) * jax.random.normal(
+                kk, state.q[k].shape, state.q[k].dtype
+            )
+            new_q[k] = state.q[k] + 0.5 * lr * g[k] * grads[k] + noise
+        new_state = state._replace(q=new_q, t=state.t + 1, rms=new_rms)
+        return new_state, SGMCMCInfo(q=new_q)
+
+
+class SGHMC(SGMCMC):
+    """Stochastic Gradient HMC (Chen et al. 2014, Eq. 15) with optional
+    2nd-order symmetric splitting integrator (Chen et al. 2015).
+
+    Parity: reference sgmcmc.py:260-371 — momentum resampled every
+    ``n_iter_resample_v`` iterations; noise stddev ``sqrt(2*(alpha-beta)*lr)``;
+    1st-order: ``v' = (1-alpha)*v + lr*grad(q) + noise; q' = q + v'``;
+    2nd-order: ``q1 = q + v/2;
+    v' = e^{-alpha/2}(e^{-alpha/2} v + lr*grad(q1) + noise); q' = q1 + v'/2``.
+    Info carries per-variable mean kinetic energy.
+
+    :param learning_rate: eta in Eq. 15 (O(step^2)).
+    :param friction: alpha.
+    :param variance_estimate: beta (must be < alpha).
+    :param n_iter_resample_v: momentum resample period (0/None disables).
+    :param second_order: enable the 2nd-order integrator.
+    """
+
+    def __init__(self, learning_rate, friction: float = 0.25,
+                 variance_estimate: float = 0.0,
+                 n_iter_resample_v: Optional[int] = 20,
+                 second_order: bool = True):
+        self.learning_rate = learning_rate
+        self.alpha = float(friction)
+        self.beta = float(variance_estimate)
+        self.n_iter_resample_v = int(n_iter_resample_v or 0)
+        self.second_order = bool(second_order)
+
+    def _init_state(self, q, t, key):
+        if key is None:
+            raise ValueError("SGHMC.init requires a PRNG key (momentum init).")
+        lr0 = self._lr(t)
+        v = _tree_normal(key, q, jnp.sqrt(lr0))
+        return SGMCMCState(q=q, t=t, v=v, alpha={}, rms={})
+
+    def _maybe_resample_v(self, state, key, lr):
+        if self.n_iter_resample_v == 0:
+            return state.v
+        fresh = _tree_normal(key, state.v, jnp.sqrt(lr))
+        resample = (state.t % self.n_iter_resample_v) == 0
+        return {
+            k: jnp.where(resample, fresh[k], state.v[k]) for k in state.v
+        }
+
+    def _update(self, state, grad_fn, key):
+        key_r, key_n = jax.random.split(key)
+        lr = self._lr(state.t)
+        old_v = self._maybe_resample_v(state, key_r, lr)
+        noise = _tree_normal(
+            key_n, old_v, jnp.sqrt(2 * (self.alpha - self.beta) * lr)
+        )
+        if not self.second_order:
+            grads = grad_fn(state.q)
+            new_v = {
+                k: (1 - self.alpha) * old_v[k] + lr * grads[k] + noise[k]
+                for k in state.q
+            }
+            new_q = {k: state.q[k] + new_v[k] for k in state.q}
+        else:
+            decay_half = jnp.exp(-0.5 * self.alpha)
+            q1 = {k: state.q[k] + 0.5 * old_v[k] for k in state.q}
+            grads = grad_fn(q1)
+            new_v = {
+                k: decay_half
+                * (decay_half * old_v[k] + lr * grads[k] + noise[k])
+                for k in state.q
+            }
+            new_q = {k: q1[k] + 0.5 * new_v[k] for k in state.q}
+        mean_k = {k: jnp.mean(new_v[k] ** 2) for k in state.q}
+        new_state = state._replace(q=new_q, v=new_v, t=state.t + 1)
+        return new_state, SGMCMCInfo(q=new_q, mean_k=mean_k)
+
+
+class SGNHT(SGMCMC):
+    """Stochastic Gradient Nosé-Hoover Thermostat (Ding et al. 2014, Alg. 2)
+    with auto-tuned friction, scalar or per-coordinate.
+
+    Parity: reference sgmcmc.py:374-523 — noise stddev ``sqrt(2*a*lr)``;
+    1st-order: ``v' = (1-alpha)*v + lr*grad + noise; q' = q + v';
+    alpha' = alpha + tune_rate*(mean(v'^2) - lr)``; 2nd-order with half-step
+    thermostat updates and ``exp(-alpha1/2)`` decay.
+
+    :param use_vector_alpha: per-coordinate friction when True (alpha has the
+        latent's shape), scalar otherwise.
+    """
+
+    def __init__(self, learning_rate, variance_extra: float = 0.0,
+                 tune_rate: float = 1.0,
+                 n_iter_resample_v: Optional[int] = None,
+                 second_order: bool = True, use_vector_alpha: bool = True):
+        self.learning_rate = learning_rate
+        self.a = float(variance_extra)
+        self.tune_rate = float(tune_rate)
+        self.n_iter_resample_v = int(n_iter_resample_v or 0)
+        self.second_order = bool(second_order)
+        self.use_vector_alpha = bool(use_vector_alpha)
+
+    def _init_state(self, q, t, key):
+        if key is None:
+            raise ValueError("SGNHT.init requires a PRNG key (momentum init).")
+        lr0 = self._lr(t)
+        v = _tree_normal(key, q, jnp.sqrt(lr0))
+        if self.use_vector_alpha:
+            alpha = {k: self.a * jnp.ones_like(x) for k, x in q.items()}
+        else:
+            alpha = {k: jnp.asarray(self.a, x.dtype) for k, x in q.items()}
+        return SGMCMCState(q=q, t=t, v=v, alpha=alpha, rms={})
+
+    def _maybe_reduce_mean(self, x):
+        return x if self.use_vector_alpha else jnp.mean(x)
+
+    def _maybe_resample_v(self, state, key, lr):
+        if self.n_iter_resample_v == 0:
+            return state.v
+        fresh = _tree_normal(key, state.v, jnp.sqrt(lr))
+        resample = (state.t % self.n_iter_resample_v) == 0
+        return {
+            k: jnp.where(resample, fresh[k], state.v[k]) for k in state.v
+        }
+
+    def _update(self, state, grad_fn, key):
+        key_r, key_n = jax.random.split(key)
+        lr = self._lr(state.t)
+        old_v = self._maybe_resample_v(state, key_r, lr)
+        noise = _tree_normal(key_n, old_v, jnp.sqrt(2 * self.a * lr))
+        if not self.second_order:
+            grads = grad_fn(state.q)
+            new_v = {
+                k: (1 - state.alpha[k]) * old_v[k] + lr * grads[k] + noise[k]
+                for k in state.q
+            }
+            new_q = {k: state.q[k] + new_v[k] for k in state.q}
+            mean_k = {
+                k: self._maybe_reduce_mean(new_v[k] ** 2) for k in state.q
+            }
+            new_alpha = {
+                k: state.alpha[k] + self.tune_rate * (mean_k[k] - lr)
+                for k in state.q
+            }
+        else:
+            q1 = {k: state.q[k] + 0.5 * old_v[k] for k in state.q}
+            mean_k1 = {
+                k: self._maybe_reduce_mean(old_v[k] ** 2) for k in state.q
+            }
+            alpha1 = {
+                k: state.alpha[k] + 0.5 * self.tune_rate * (mean_k1[k] - lr)
+                for k in state.q
+            }
+            decay_half = {k: jnp.exp(-0.5 * alpha1[k]) for k in state.q}
+            grads = grad_fn(q1)
+            new_v = {
+                k: decay_half[k]
+                * (decay_half[k] * old_v[k] + lr * grads[k] + noise[k])
+                for k in state.q
+            }
+            new_q = {k: q1[k] + 0.5 * new_v[k] for k in state.q}
+            mean_k = {
+                k: self._maybe_reduce_mean(new_v[k] ** 2) for k in state.q
+            }
+            new_alpha = {
+                k: alpha1[k] + 0.5 * self.tune_rate * (mean_k[k] - lr)
+                for k in state.q
+            }
+        new_state = state._replace(
+            q=new_q, v=new_v, alpha=new_alpha, t=state.t + 1
+        )
+        return new_state, SGMCMCInfo(q=new_q, mean_k=mean_k, alpha=new_alpha)

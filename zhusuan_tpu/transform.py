@@ -1,4 +1,167 @@
-"""Normalizing flows (planar, IAF). Full implementation lands with the
-flow examples; parity target: reference ``zhusuan/transform.py``."""
+"""Normalizing flows: planar flows and inverse autoregressive flows.
 
-__all__ = []
+Capability parity with reference ``zhusuan/transform.py``:
+``planar_normalizing_flow`` (transform.py:70-198) with the invertibility
+reparameterization of (Rezende & Mohamed 2015), ``inv_autoregressive_flow``
+(transform.py:201-291) with pluggable autoregressive nets and the masked
+``linear_ar`` (transform.py:17-67).
+
+TPU-native divergence: flow parameters are explicit pytrees created by the
+``init_*`` helpers and passed in by the caller (the reference created hidden
+``tf.Variable``s inside the transform; JAX parameters are explicit). The
+flow math is unchanged and the log-det-Jacobian bookkeeping matches the
+reference formulas exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "planar_normalizing_flow",
+    "init_planar_flow",
+    "inv_autoregressive_flow",
+    "linear_ar",
+    "init_linear_ar",
+]
+
+
+def init_planar_flow(key, n_iters: int, d: int, dtype=jnp.float32):
+    """Initialize parameters for ``n_iters`` stacked planar flows over the
+    last axis of dimension ``d``.
+
+    Matches the reference initialization (transform.py:152-165): ``b = 0``,
+    ``u``/``w ~ Normal(0, 0.005)``.
+
+    :return: list of ``{"u": [d], "w": [d], "b": []}`` dicts.
+    """
+    params = []
+    for i in range(n_iters):
+        k_u, k_w, key = jax.random.split(key, 3)
+        params.append(
+            {
+                "u": 0.005 * jax.random.normal(k_u, (d,), dtype),
+                "w": 0.005 * jax.random.normal(k_w, (d,), dtype),
+                "b": jnp.zeros((), dtype),
+            }
+        )
+    return params
+
+
+def _planar_u_hat(u, w):
+    """Invertibility reparameterization
+    ``u_hat = u + w*(softplus(w.u) - 1 - w.u)/||w||^2``
+    (reference transform.py:161-165), guaranteeing ``w.u_hat >= -1``."""
+    wu = jnp.sum(w * u, axis=-1)
+    return u + w * (jax.nn.softplus(wu) - 1.0 - wu) / jnp.sum(w * w, axis=-1)
+
+
+def planar_normalizing_flow(samples, log_probs, params):
+    """Apply stacked planar flows ``z <- z + u_hat * tanh(z.w + b)`` along
+    the last axis, tracking the log-det-Jacobian
+    ``log|1 + (u_hat.w) * (1 - tanh^2(z.w + b))|`` per flow
+    (reference transform.py:168-196).
+
+    :param samples: ``[..., d]`` array.
+    :param log_probs: ``[...]`` array (same leading shape).
+    :param params: list from :func:`init_planar_flow`.
+    :return: ``(transformed_samples, transformed_log_probs)``.
+    """
+    samples = jnp.asarray(samples)
+    log_probs = jnp.asarray(log_probs)
+    if samples.ndim < 2:
+        raise ValueError("samples should have rank >= 2")
+    if log_probs.ndim != samples.ndim - 1:
+        raise ValueError(
+            "log_probs should have rank (N-1), while N is the rank of samples"
+        )
+    z = samples
+    for p in params:
+        u_hat = _planar_u_hat(p["u"], p["w"])
+        scalar = jnp.sum(u_hat * p["w"])  # u_hat . w  >= -1
+        activation = jnp.tanh(
+            jnp.sum(z * p["w"], axis=-1, keepdims=True) + p["b"]
+        )
+        act = jnp.squeeze(activation, axis=-1)
+        det_ja = scalar * (1.0 - act * act) + 1.0
+        log_probs = log_probs - jnp.log(det_ja)
+        z = z + activation * u_hat
+    return z, log_probs
+
+
+def init_linear_ar(key, n_iters: int, d: int, dtype=jnp.float32):
+    """Initialize masked-linear AR parameters
+    (reference transform.py:50-58: Normal(0, 0.005) weights).
+
+    :return: list of ``{"m_w": [d, d], "s_w": [d, d]}`` dicts.
+    """
+    params = []
+    for i in range(n_iters):
+        k_m, k_s, key = jax.random.split(key, 3)
+        params.append(
+            {
+                "m_w": 0.005 * jax.random.normal(k_m, (d, d), dtype),
+                "s_w": 0.005 * jax.random.normal(k_s, (d, d), dtype),
+            }
+        )
+    return params
+
+
+def linear_ar(params_i, z, hidden=None):
+    """Masked linear autoregressive net returning ``(m, s)`` with
+    ``s = exp(z @ (mask * s_w))`` — output j depends only on inputs i < j
+    (strictly-upper-triangular mask; reference transform.py:17-67).
+    """
+    d = z.shape[-1]
+    mask = jnp.triu(jnp.ones((d, d), z.dtype), k=1)
+    m = z @ (mask * params_i["m_w"])
+    s = jnp.exp(z @ (mask * params_i["s_w"]))
+    return m, s
+
+
+def inv_autoregressive_flow(
+    samples,
+    hidden,
+    log_probs,
+    autoregressive_nn: Callable,
+    params: List,
+    update: str = "normal",
+):
+    """Inverse Autoregressive Flow (Kingma et al. 2016) along the last axis.
+
+    Parity: reference ``transform.py:201-291``; the dimension order is
+    reversed between flows (transform.py:289).
+
+    :param autoregressive_nn: callable ``(params_i, z, hidden) -> (m, s)``
+        (e.g. :func:`linear_ar`).
+    :param params: list of per-flow parameter pytrees.
+    :param update: "normal" (``z = s*z + m``) or "gru"
+        (``z = sigmoid(s)*z + (1-sigmoid(s))*m``).
+    :return: ``(transformed_samples, transformed_log_probs)``.
+    """
+    samples = jnp.asarray(samples)
+    log_probs = jnp.asarray(log_probs)
+    if samples.ndim < 2:
+        raise ValueError("samples should have rank >= 2")
+    if log_probs.ndim != samples.ndim - 1:
+        raise ValueError(
+            "log_probs should have rank (N-1), while N is the rank of samples"
+        )
+    if update not in ("normal", "gru"):
+        raise ValueError("update should be 'normal' or 'gru'")
+    z = samples
+    joint_probs = log_probs
+    for p in params:
+        m, s = autoregressive_nn(p, z, hidden)
+        if update == "gru":
+            sigma = jax.nn.sigmoid(s)
+            z = sigma * z + (1.0 - sigma) * m
+            joint_probs = joint_probs - jnp.sum(jnp.log(sigma), axis=-1)
+        else:
+            z = s * z + m
+            joint_probs = joint_probs - jnp.sum(jnp.log(s), axis=-1)
+        z = jnp.flip(z, axis=-1)
+    return z, joint_probs

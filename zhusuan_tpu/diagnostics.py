@@ -21,7 +21,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["effective_sample_size", "effective_sample_size_1d", "ess_batch"]
+__all__ = [
+    "effective_sample_size",
+    "effective_sample_size_1d",
+    "ess_batch",
+    "ess_batch_device",
+]
 
 
 def _batched_reference_acov(x):
@@ -83,6 +88,44 @@ def ess_batch(samples):
     n = samples.shape[0]
     acov = _batched_reference_acov(samples.reshape(n, -1))
     return _ess_from_acov(acov, n)
+
+
+def ess_batch_device(samples, chunk: int = 1 << 18):
+    """On-device per-dimension ESS for huge chain batches.
+
+    Same estimator as :func:`ess_batch` but the FFT autocovariance and the
+    initial-positive-sequence cutoff run on the accelerator in float32,
+    chunked over columns to bound HBM usage. Input ``[n, d]`` -> ``[d]``
+    (numpy, on host).
+    """
+    import jax
+
+    samples = jnp.asarray(samples, jnp.float32)
+    n, d = samples.shape
+
+    @jax.jit
+    def one_chunk(x):
+        xc = x - jnp.mean(x, axis=0, keepdims=True)
+        m = 1 << (2 * n - 1).bit_length()
+        f = jnp.fft.rfft(xc, n=m, axis=0)
+        raw = jnp.fft.irfft(f * jnp.conj(f), n=m, axis=0)[:n]
+        counts = (n - jnp.arange(n))[:, None]
+        acov = raw / counts
+        var_plus = acov[0]
+        var = acov[0] * n / (n - 1)
+        rho = 1.0 - (var - acov) / jnp.where(var_plus == 0, 1.0, var_plus)
+        rho = jnp.where(jnp.isfinite(rho), rho, -1.0)
+        neg = rho < 0
+        any_neg = jnp.any(neg, axis=0)
+        cutoff = jnp.where(any_neg, jnp.argmax(neg, axis=0), n)
+        lag_idx = jnp.arange(n)[:, None]
+        sum_rho = jnp.sum(jnp.where(lag_idx < cutoff, rho, 0.0), axis=0)
+        return n / (1.0 + 2.0 * sum_rho)
+
+    out = []
+    for start in range(0, d, chunk):
+        out.append(np.asarray(one_chunk(samples[:, start:start + chunk])))
+    return np.concatenate(out)
 
 
 def effective_sample_size(samples, burn_in: int = 100):

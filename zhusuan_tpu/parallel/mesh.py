@@ -1,0 +1,112 @@
+"""Mesh construction and sharding helpers.
+
+TPU-native replacements for the reference's multi-GPU example helper
+(``examples/utils/multi_gpu.py``): SPMD over a ``jax.sharding.Mesh`` with
+XLA collectives riding ICI, instead of in-graph tower replication with
+CPU-side gradient averaging.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "chain_mesh",
+    "shard_chains",
+    "replicated",
+    "data_parallel_grad",
+    "sharded_run",
+]
+
+
+def chain_mesh(n_devices: Optional[int] = None, axis_name: str = "chains"):
+    """Build a 1-D device mesh over which the leading chain/particle axis is
+    sharded — the PPL's flagship parallel axis (SURVEY.md §2.10 row 1).
+
+    :param n_devices: number of devices (default: all).
+    :param axis_name: mesh axis name.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def shard_chains(mesh: Mesh, pytree, axis_name: str = "chains"):
+    """Place a latent/state pytree with a leading chain axis so that axis is
+    sharded across ``mesh``. Everything downstream (HMC/SGMCMC kernels,
+    log-prob evaluation) then runs SPMD with zero cross-device traffic —
+    chains are independent.
+    """
+    sharding = NamedSharding(mesh, P(axis_name))
+    n_dev = mesh.shape[axis_name]
+
+    def place(x):
+        x = jnp.asarray(x)
+        # Only arrays whose leading axis is divisible by the device count
+        # carry the chain axis; everything else (scalars, adaptation state
+        # with broadcast leading 1s) is replicated.
+        if x.ndim >= 1 and x.shape[0] % n_dev == 0 and x.shape[0] >= n_dev:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(place, pytree)
+
+
+def replicated(mesh: Mesh, pytree):
+    """Fully replicate a pytree (e.g. model parameters) across ``mesh``."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding),
+                        pytree)
+
+
+def data_parallel_grad(
+    loss_fn: Callable,
+    mesh: Mesh,
+    axis_name: str = "dp",
+    argnums=0,
+):
+    """Build a data-parallel value-and-grad function: the minibatch is
+    sharded over ``axis_name``; per-shard gradients are ``pmean``-reduced
+    over ICI inside ``shard_map``.
+
+    Replaces reference ``examples/utils/multi_gpu.py:24-60``
+    (``average_gradients``) with a single XLA all-reduce.
+
+    :param loss_fn: ``loss_fn(params, batch, key) -> scalar`` where the
+        loss is a mean over the batch shard.
+    :return: ``f(params, batch, key) -> (loss, grads)`` with batch sharded
+        on its leading axis and params/grads replicated.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def per_shard(params, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn, argnums=argnums)(
+            params, batch, key
+        )
+        loss = jax.lax.pmean(loss, axis_name)
+        grads = jax.lax.pmean(grads, axis_name)
+        return loss, grads
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(sharded)
+
+
+def sharded_run(mesh: Mesh, fn: Callable, state, key, axis_name="chains"):
+    """Jit-compile ``fn(state, key)`` with the chain axis of ``state``
+    sharded over ``mesh`` and outputs sharded the same way. ``fn`` is
+    typically a closure over ``sampler.run``."""
+    state_sharded = shard_chains(mesh, state, axis_name)
+    f = jax.jit(fn)
+    return f(state_sharded, key)

@@ -42,11 +42,15 @@ def standardize(data_train, data_test):
     """Standardize train/test by train statistics.
 
     Parity: reference ``examples/utils/dataset.py:20-36``.
+
+    :return: ``(train_standardized, test_standardized, mean, std)``.
     """
     std = np.std(data_train, 0, keepdims=True)
     std[std == 0] = 1
     mean = np.mean(data_train, 0, keepdims=True)
-    return (data_train - mean) / std, (data_test - mean) / std
+    out_train = (data_train - mean) / std
+    out_test = (data_test - mean) / std
+    return out_train, out_test, np.squeeze(mean, 0), np.squeeze(std, 0)
 
 
 def to_one_hot(x, depth):

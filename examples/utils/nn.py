@@ -14,7 +14,15 @@ from typing import Callable, List, Sequence
 import jax
 import jax.numpy as jnp
 
-__all__ = ["init_mlp", "mlp_apply", "init_linear", "linear_apply"]
+__all__ = [
+    "init_mlp",
+    "mlp_apply",
+    "init_linear",
+    "linear_apply",
+    "init_conv",
+    "conv_apply",
+    "deconv_apply",
+]
 
 
 def init_linear(key, n_in: int, n_out: int, dtype=jnp.float32):
@@ -51,3 +59,39 @@ def mlp_apply(params: List, x, activation: Callable = jax.nn.relu,
         elif final_activation is not None:
             x = final_activation(x)
     return x
+
+
+def init_conv(key, kh, kw, c_in, c_out, dtype=jnp.float32):
+    """Conv kernel params in HWIO layout plus bias."""
+    w_key, _ = jax.random.split(key)
+    scale = jnp.sqrt(2.0 / (kh * kw * c_in)).astype(dtype)
+    return {
+        "w": scale * jax.random.normal(w_key, (kh, kw, c_in, c_out), dtype),
+        "b": jnp.zeros((c_out,), dtype),
+    }
+
+
+def conv_apply(params, x, stride=1, padding="SAME"):
+    """2-D convolution; x: [..., H, W, C] (leading axes are batched)."""
+    lead = x.shape[:-3]
+    x2 = x.reshape((-1,) + x.shape[-3:]).astype(params["w"].dtype)
+    out = jax.lax.conv_general_dilated(
+        x2, params["w"], (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["b"]
+    return out.reshape(lead + out.shape[1:])
+
+
+def deconv_apply(params, x, stride=2, padding="SAME"):
+    """2-D transposed convolution (fractionally-strided); x: [..., H, W, C].
+
+    Parity target: reference ``examples/utils/utils.py:74``
+    (``conv2d_transpose``).
+    """
+    lead = x.shape[:-3]
+    x2 = x.reshape((-1,) + x.shape[-3:]).astype(params["w"].dtype)
+    out = jax.lax.conv_transpose(
+        x2, params["w"], (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["b"]
+    return out.reshape(lead + out.shape[1:])

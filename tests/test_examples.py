@@ -1,0 +1,461 @@
+"""Smoke tests: every example's training loop runs a few steps and
+improves/stays finite on tiny configurations. These mirror the reference's
+examples as acceptance workloads (SURVEY.md §2.12)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _fake_binary(n, d, seed=0):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(n, d) < 0.4).astype(np.float32)
+
+
+class TestToyExamples:
+    def test_gaussian_hmc(self):
+        from examples.toy_examples import gaussian
+
+        rel_err = gaussian.main()
+        assert np.all(rel_err < 0.2)
+
+    def test_toy2d_intractable(self):
+        from examples.toy_examples import toy2d_intractable
+
+        params = toy2d_intractable.main(n_iters=300, n_particles=200)
+        # The funnel pulls z2 down; check the optimizer moved params from
+        # the (-2, -5) init and produced finite values.
+        assert np.isfinite(float(params["z1_mean"]))
+        assert float(params["z2_logstd"]) > -5.0
+
+    def test_mixture_sgnht(self):
+        from examples.toy_examples import mixture_sgnht
+
+        samples = mixture_sgnht.main(n_chains=100, n_iters=3000)
+        frac_right = float(np.mean(samples > 1.0))
+        assert 0.2 < frac_right < 0.8
+
+
+class TestVAEFamily:
+    def _train(self, step_fn, params, opt_state, x, n_steps=30):
+        key = KEY
+        first = None
+        for i in range(n_steps):
+            key, sub = jax.random.split(key)
+            out = step_fn(params, opt_state, x, sub)
+            params, opt_state, lb = out[0], out[1], out[-1]
+            if first is None:
+                first = float(lb)
+        return params, float(lb), first
+
+    def test_vae(self):
+        from examples.variational_autoencoders import vae
+
+        params = vae.init_params(KEY, 64, 8, hidden=32)
+        opt = optax.adam(1e-3)
+        step = vae.make_train_step(opt, 8)
+        x = jnp.asarray(_fake_binary(16, 64))
+        params, last, first = self._train(
+            step, params, opt.init(params), x
+        )
+        assert last > first  # ELBO improves
+
+    def test_iwae(self):
+        from examples.variational_autoencoders import iwae, vae
+
+        params = vae.init_params(KEY, 64, 8, hidden=32)
+        opt = optax.adam(1e-3)
+        step = iwae.make_train_step(opt, 8, n_particles=5)
+        x = jnp.asarray(_fake_binary(16, 64))
+        params, last, first = self._train(
+            step, params, opt.init(params), x
+        )
+        assert last > first
+
+    def test_bernoulli_latent_vae(self):
+        from examples.variational_autoencoders import bernoulli_latent_vae as blv
+
+        params = blv.init_params(KEY, 64, 8, hidden=32)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        mm = jnp.asarray(0.0)
+
+        @jax.jit
+        def step(params, opt_state, mm, x, key):
+            (loss, (lb, new_mm)), grads = jax.value_and_grad(
+                blv.loss_fn, has_aux=True
+            )(params, mm, x, key, 8)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, new_mm, lb
+
+        x = jnp.asarray(_fake_binary(16, 64))
+        key, first = KEY, None
+        for i in range(30):
+            key, sub = jax.random.split(key)
+            params, opt_state, mm, lb = step(params, opt_state, mm, x, sub)
+            if first is None:
+                first = float(lb)
+        assert float(lb) > first
+
+    def test_vae_nf(self):
+        from examples.normalizing_flows import vae_nf
+        from examples.variational_autoencoders import vae
+        from zhusuan_tpu.transform import init_planar_flow
+
+        params = vae.init_params(KEY, 64, 8, hidden=32)
+        params["flow"] = init_planar_flow(KEY, 4, 8)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, x, key):
+            loss, grads = jax.value_and_grad(vae_nf.nf_elbo_loss)(
+                params, x, key, 8
+            )
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, -loss
+
+        x = jnp.asarray(_fake_binary(16, 64))
+        params, last, first = self._train(step, params, opt_state, x)
+        assert last > first
+
+
+class TestBNN:
+    def test_bnn_vi(self):
+        from examples.bayesian_neural_nets import bnn_vi
+
+        layer_sizes = [5, 8, 1]
+        params = bnn_vi.init_params(layer_sizes)
+        loss_fn = bnn_vi.make_loss(layer_sizes, n_train=64, n_particles=5)
+        opt = optax.adam(0.01)
+        opt_state = opt.init(params)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(64, 5).astype(np.float32))
+        y = jnp.asarray(rng.randn(64).astype(np.float32))
+
+        @jax.jit
+        def step(params, opt_state, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, y, key)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, -loss
+
+        key, first, last = KEY, None, None
+        for i in range(50):
+            key, sub = jax.random.split(key)
+            params, opt_state, lb = step(params, opt_state, sub)
+            if first is None:
+                first = float(lb)
+            last = float(lb)
+        assert last > first
+
+        rmse, ll = bnn_vi.predict(
+            params, x, y, layer_sizes, 50, KEY, 1.0
+        )
+        assert np.isfinite(float(rmse)) and np.isfinite(float(ll))
+
+    def test_bnn_sgmcmc_steps(self):
+        from examples.bayesian_neural_nets.bnn_sgmcmc import build_bnn
+        import zhusuan_tpu as zs
+
+        layer_sizes = [5, 8, 1]
+        n_particles = 4
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(32, 5).astype(np.float32))
+        y = jnp.asarray(rng.randn(32).astype(np.float32))
+        logstds = [jnp.zeros([8, 6]), jnp.zeros([1, 9])]
+        w_init = {
+            "w0": jnp.asarray(rng.rand(n_particles, 8, 6).astype(np.float32)),
+            "w1": jnp.asarray(rng.rand(n_particles, 1, 9).astype(np.float32)),
+        }
+        sgmcmc = zs.SGHMC(learning_rate=1e-5, friction=0.2,
+                          second_order=True)
+        state = sgmcmc.init(w_init, key=KEY)
+        model = build_bnn(x, layer_sizes, logstds, n_particles)
+        model.log_joint = lambda bn: (
+            sum(bn.cond_log_prob(["w0", "w1"]))
+            + jnp.mean(bn.cond_log_prob("y"), 1) * 32
+        )
+        state, info = jax.jit(
+            lambda s, k: sgmcmc.sample(model, {"y": y}, s, k)
+        )(state, KEY)
+        assert np.all(np.isfinite(np.asarray(state.q["w0"])))
+        assert info.mean_k is not None
+
+    def test_variational_dropout_smoke(self):
+        from examples.bayesian_neural_nets import variational_dropout as vd
+
+        net_size = [10, 16, 3]
+        params = vd.init_params(KEY, net_size)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(8, 10).astype(np.float32))
+        y = jnp.asarray(rng.randint(0, 3, 8).astype(np.int32))
+        model = vd.var_dropout(params, x, 8, net_size, 4)
+        q = vd.build_q(params, 8, net_size, 4, KEY)
+        import zhusuan_tpu as zs
+
+        lb = zs.variational.elbo(
+            model,
+            {"y": jnp.tile(y[None], (4, 1))},
+            variational=q, axis=0,
+        )
+        assert np.all(np.isfinite(np.asarray(lb.sgvb())))
+
+
+class TestSBN:
+    def test_vimco_training(self):
+        from examples.sigmoid_belief_nets import sbn_vimco
+        from examples.sigmoid_belief_nets.sbn import init_sbn_params
+
+        params = init_sbn_params(KEY, 32, 16)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        x = jnp.asarray(_fake_binary(12, 32))
+
+        @jax.jit
+        def step(params, opt_state, key):
+            (cost, lb), grads = jax.value_and_grad(
+                sbn_vimco.vimco_loss, has_aux=True
+            )(params, x, key, 16, 5)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, lb
+
+        key, first, last = KEY, None, None
+        for i in range(40):
+            key, sub = jax.random.split(key)
+            params, opt_state, lb = step(params, opt_state, sub)
+            if first is None:
+                first = float(lb)
+            last = float(lb)
+        assert last > first
+
+    def test_adaptive_is(self):
+        from examples.sigmoid_belief_nets import sbn_adaptive_is as sais
+        from examples.sigmoid_belief_nets.sbn import init_sbn_params
+
+        params = init_sbn_params(KEY, 32, 16)
+        x = jnp.asarray(_fake_binary(12, 32))
+        (cost, lb), grads = jax.value_and_grad(
+            sais.combined_cost, has_aux=True
+        )(params, x, KEY, 16, 5)
+        flat = jax.tree.leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+        # Both parameter groups receive gradients.
+        assert float(jnp.sum(jnp.abs(grads["g_h1_x"]["w"]))) > 0
+        assert float(jnp.sum(jnp.abs(grads["q_x_h1"]["w"]))) > 0
+
+
+class TestSVGP:
+    def test_svgp_elbo_improves(self):
+        import argparse
+        from examples.gaussian_process import svgp
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(40, 3).astype(np.float32)
+        y = np.sin(x.sum(-1)).astype(np.float32)
+        hps_n_z, n_particles = 10, 5
+
+        params = svgp.init_params(KEY, hps_n_z, 3, x)
+        opt = optax.adam(1e-2)
+        opt_state = opt.init(params)
+
+        def loss_fn(params, key):
+            model = svgp.build_model(params, jnp.asarray(x), hps_n_z,
+                                     n_particles)
+
+            def log_joint(bn):
+                prior, log_py = bn.cond_log_prob(["fz", "y"])
+                return prior + log_py
+
+            model.log_joint = log_joint
+            latent = svgp.build_variational_samples(
+                params, jnp.asarray(x), hps_n_z, n_particles, key
+            )
+            import zhusuan_tpu as zs
+
+            lb = zs.variational.elbo(
+                model, observed={"y": jnp.asarray(y)}, latent=latent, axis=0
+            )
+            return jnp.mean(lb.sgvb()), jnp.mean(lb.tensor)
+
+        @jax.jit
+        def step(params, opt_state, key):
+            (loss, lb), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, key)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, lb
+
+        key, first, last = KEY, None, None
+        for i in range(60):
+            key, sub = jax.random.split(key)
+            params, opt_state, lb = step(params, opt_state, sub)
+            if first is None:
+                first = float(lb)
+            last = float(lb)
+        assert last > first
+
+
+class TestSSL:
+    def test_ssl_cost_and_grads(self):
+        from examples.semi_supervised_vae import vae_ssl
+
+        n_class, z_dim, x_dim = 3, 6, 20
+        params = vae_ssl.init_params(KEY, x_dim, n_class, z_dim, hidden=16)
+        x_l = jnp.asarray(_fake_binary(6, x_dim))
+        y_l = jnp.asarray(np.eye(n_class, dtype=np.float32)[[0, 1, 2, 0, 1, 2]])
+        x_u = jnp.asarray(_fake_binary(8, x_dim, seed=1))
+        (cost, (lb_l, lb_u, acc)), grads = jax.value_and_grad(
+            vae_ssl.ssl_cost, has_aux=True
+        )(params, x_l, y_l, x_u, KEY, n_class, z_dim, 4, 10.0)
+        assert np.isfinite(float(cost))
+        assert all(
+            np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads)
+        )
+
+    def test_ssl_adaptive_is_cost(self):
+        from examples.semi_supervised_vae import vae_ssl, vae_ssl_adaptive_is
+
+        n_class, z_dim, x_dim = 3, 6, 20
+        params = vae_ssl.init_params(KEY, x_dim, n_class, z_dim, hidden=16)
+        x_l = jnp.asarray(_fake_binary(6, x_dim))
+        y_l = jnp.asarray(np.eye(n_class, dtype=np.float32)[[0, 1, 2, 0, 1, 2]])
+        x_u = jnp.asarray(_fake_binary(8, x_dim, seed=1))
+        (cost, aux), grads = jax.value_and_grad(
+            vae_ssl_adaptive_is.adaptive_is_cost, has_aux=True
+        )(params, x_l, y_l, x_u, KEY, n_class, z_dim, 4, 10.0)
+        assert np.isfinite(float(cost))
+        assert all(
+            np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads)
+        )
+
+
+class TestConvVAE:
+    def test_conv_vae_improves(self):
+        from examples.variational_autoencoders import vae_conv
+
+        params = vae_conv.init_params(KEY, z_dim=8)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        x = jnp.asarray(_fake_binary(8, 784))
+
+        @jax.jit
+        def step(params, opt_state, x, key):
+            loss, grads = jax.value_and_grad(vae_conv.elbo_loss)(
+                params, x, key, 8
+            )
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, -loss
+
+        key, first, last = KEY, None, None
+        for i in range(15):
+            key, sub = jax.random.split(key)
+            params, opt_state, lb = step(params, opt_state, x, sub)
+            if first is None:
+                first = float(lb)
+            last = float(lb)
+        assert last > first
+
+
+class TestTopicModel:
+    def test_lntm_steps(self):
+        from examples.topic_models import lntm_mcem
+
+        beta, eta_mean, eta_logstd = lntm_mcem.main(
+            epochs=2, batch_size=50, n_topics=5
+        )
+        assert np.all(np.isfinite(np.asarray(beta)))
+
+
+class TestPMF:
+    def test_pmf_sweeps(self):
+        from examples.probabilistic_matrix_factorization import pmf_hmc
+
+        state_u, state_v = pmf_hmc.main(n_epochs=5, D=4, K=2, n_leapfrogs=3)
+        assert np.all(np.isfinite(np.asarray(state_u.q["u"])))
+
+
+class TestGANs:
+    def test_dcgan_losses(self):
+        from examples.generative_adversarial_nets import dcgan
+
+        key = KEY
+        gen_params = dcgan.init_gen_params(key, 8, ngf=8)
+        disc_params = dcgan.init_disc_params(key, ndf=4)
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(4, 32, 32, 3).astype(np.float32)
+        )
+        gl, dl = dcgan.gan_losses(gen_params, disc_params, x, key, 8)
+        assert np.isfinite(float(gl)) and np.isfinite(float(dl))
+        g = jax.grad(
+            lambda gp: dcgan.gan_losses(gp, disc_params, x, key, 8)[0]
+        )(gen_params)
+        assert all(
+            np.all(np.isfinite(np.asarray(leaf)))
+            for leaf in jax.tree.leaves(g)
+        )
+
+    def test_wgan_steps(self):
+        from examples.generative_adversarial_nets import dcgan, wasserstein_gan
+
+        key = KEY
+        gen_params = dcgan.init_gen_params(key, 8, ngf=8)
+        disc_params = dcgan.init_disc_params(key, ndf=4)
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(4, 32, 32, 3).astype(np.float32)
+        )
+        closs = wasserstein_gan.critic_loss(disc_params, gen_params, x, key, 8)
+        gloss = wasserstein_gan.gen_loss(gen_params, disc_params, x, key, 8)
+        assert np.isfinite(float(closs)) and np.isfinite(float(gloss))
+
+
+class TestParallel:
+    def test_data_parallel_grad(self):
+        # Deterministic loss (no per-shard sampling) so the sharded result
+        # must bitwise-match the single-device computation.
+        from zhusuan_tpu.parallel import chain_mesh, data_parallel_grad
+        import zhusuan_tpu as zs
+
+        mesh = chain_mesh(axis_name="dp")
+        params = {"w": jnp.ones((32,)) * 0.1, "logstd": jnp.zeros(())}
+        x = jnp.asarray(np.random.RandomState(0).randn(16, 32))
+
+        def loss_fn(params, batch, key):
+            pred = batch @ params["w"]
+            dist = zs.distributions.Normal(pred, logstd=params["logstd"])
+            return -jnp.mean(dist.log_prob(jnp.ones(batch.shape[0])))
+
+        f = data_parallel_grad(loss_fn, mesh, axis_name="dp")
+        with mesh:
+            loss, grads = f(params, x, KEY)
+        loss_ref, grads_ref = jax.value_and_grad(loss_fn)(params, x, KEY)
+        np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(grads_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8
+            )
+
+    def test_shard_chains_hmc(self):
+        from zhusuan_tpu.parallel import chain_mesh, shard_chains
+        import zhusuan_tpu as zs
+
+        mesh = chain_mesh(axis_name="chains")
+        n_dev = len(jax.devices())
+        n_chains = 8 * n_dev
+
+        def log_joint(obs):
+            return jnp.sum(-0.5 * obs["x"] ** 2, -1)
+
+        hmc = zs.HMC(step_size=0.3, n_leapfrogs=3)
+        state = hmc.init(
+            {"x": jnp.zeros((n_chains, 4))}, log_joint=log_joint
+        )
+        state = shard_chains(mesh, state)
+        step = jax.jit(lambda s, k: hmc.sample(log_joint, {}, s, k))
+        new_state, info = step(state, KEY)
+        assert new_state.q["x"].shape == (n_chains, 4)
+        assert np.all(np.isfinite(np.asarray(info.acceptance_rate)))

@@ -41,7 +41,7 @@ __all__ = [
     "MatrixVariateNormalCholesky",
 ]
 
-_LOG_2PI = np.log(2.0) + np.log(np.pi)
+_LOG_2PI = float(np.log(2.0) + np.log(np.pi))
 
 
 class MultivariateNormalCholesky(Distribution):

@@ -49,7 +49,7 @@ __all__ = [
     "BinGumbelSoftmax",
 ]
 
-_HALF_LOG_2PI = 0.5 * (np.log(2.0) + np.log(np.pi))
+_HALF_LOG_2PI = float(0.5 * (np.log(2.0) + np.log(np.pi)))
 
 
 def _maybe_stop(params, is_reparameterized):
@@ -721,7 +721,7 @@ class Laplace(Distribution):
         log_scale = jnp.log(scale)
         if self._check_numerics:
             log_scale = check_numerics(log_scale, "log(scale)")
-        return -np.log(2.0) - log_scale - jnp.abs(given - loc) / scale
+        return -float(np.log(2.0)) - log_scale - jnp.abs(given - loc) / scale
 
 
 class BinConcrete(Distribution):

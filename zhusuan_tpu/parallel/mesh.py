@@ -84,23 +84,20 @@ def data_parallel_grad(
     :return: ``f(params, batch, key) -> (loss, grads)`` with batch sharded
         on its leading axis and params/grads replicated.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
-    def per_shard(params, batch, key):
-        loss, grads = jax.value_and_grad(loss_fn, argnums=argnums)(
-            params, batch, key
-        )
-        loss = jax.lax.pmean(loss, axis_name)
-        grads = jax.lax.pmean(grads, axis_name)
-        return loss, grads
-
-    sharded = shard_map(
-        per_shard,
+    # Differentiate THROUGH shard_map: the forward computes the pmean of the
+    # per-shard losses; AD transposes the collectives correctly (note the
+    # replicated-param cotangent is psum'd automatically under shard_map's
+    # varying-axes semantics — hand-rolled per-shard grad + pmean would
+    # double count).
+    sharded_loss = shard_map(
+        lambda p, b, k: jax.lax.pmean(loss_fn(p, b, k), axis_name),
         mesh=mesh,
         in_specs=(P(), P(axis_name), P()),
-        out_specs=(P(), P()),
+        out_specs=P(),
     )
-    return jax.jit(sharded)
+    return jax.jit(jax.value_and_grad(sharded_loss, argnums=argnums))
 
 
 def sharded_run(mesh: Mesh, fn: Callable, state, key, axis_name="chains"):

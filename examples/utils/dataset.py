@@ -25,8 +25,13 @@ __all__ = [
     "data_dir",
     "load_mnist_realval",
     "load_binary_mnist",
+    "load_mnist_semi_supervised",
+    "load_cifar10",
     "load_uci_boston_housing",
     "load_uci_protein_data",
+    "load_uci_german_credits",
+    "load_uci_bow",
+    "load_movielens1m",
     "standardize",
     "to_one_hot",
 ]
@@ -206,4 +211,185 @@ def load_uci_protein_data(path=None, seed=0):
         x[n_train:n_train + n_valid], y[n_train:n_train + n_valid],
         x[n_train + n_valid:], y[n_train + n_valid:],
         synthetic,
+    )
+
+
+def load_mnist_semi_supervised(path=None, n_labeled=100, seed=1234):
+    """MNIST split into a small labeled set (class-balanced) and the rest
+    unlabeled. Parity: reference ``dataset.py`` semi-supervised loader used
+    by examples/semi_supervised_vae.
+
+    :return: ``(x_labeled, t_labeled_onehot, x_unlabeled, x_test, t_test,
+        synthetic)``.
+    """
+    x_train, t_train, x_valid, t_valid, x_test, t_test, synthetic = (
+        load_mnist_realval(path)
+    )
+    per_class = n_labeled // 10
+    labeled_idx = np.concatenate(
+        [np.where(t_train == c)[0][:per_class] for c in range(10)]
+    )
+    x_labeled = x_train[labeled_idx]
+    t_labeled = to_one_hot(t_train[labeled_idx], 10).astype(np.float32)
+    x_unlabeled = np.delete(x_train, labeled_idx, axis=0)
+    return x_labeled, t_labeled, x_unlabeled, x_test, t_test, synthetic
+
+
+def load_cifar10(path=None, normalize=True, one_hot=True, seed=0):
+    """CIFAR-10 (reference ``dataset.py:198``); pickled-batches format when
+    present, deterministic synthetic 32x32x3 fallback otherwise.
+
+    :return: ``(x_train, t_train, x_test, t_test, synthetic)``.
+    """
+    import pickle as _pickle
+    import tarfile
+
+    base = path or os.path.join(data_dir(), "cifar-10-python.tar.gz")
+    if os.path.exists(base):
+        xs, ts, xs_test, ts_test = [], [], [], []
+        with tarfile.open(base) as tar:
+            for member in tar.getmembers():
+                name = os.path.basename(member.name)
+                if name.startswith("data_batch") or name == "test_batch":
+                    d = _pickle.load(tar.extractfile(member),
+                                     encoding="bytes")
+                    data = d[b"data"].reshape(-1, 3, 32, 32).transpose(
+                        0, 2, 3, 1
+                    )
+                    if name == "test_batch":
+                        xs_test.append(data)
+                        ts_test.extend(d[b"labels"])
+                    else:
+                        xs.append(data)
+                        ts.extend(d[b"labels"])
+        x_train = np.concatenate(xs).astype(np.float32)
+        x_test = np.concatenate(xs_test).astype(np.float32)
+        t_train = np.asarray(ts, np.int32)
+        t_test = np.asarray(ts_test, np.int32)
+        synthetic = False
+    else:
+        rng = np.random.RandomState(seed)
+        base_imgs = rng.rand(10, 32, 32, 3)
+        t_train = rng.randint(0, 10, 50000).astype(np.int32)
+        t_test = rng.randint(0, 10, 10000).astype(np.int32)
+        x_train = (base_imgs[t_train] * 0.7
+                   + 0.3 * rng.rand(50000, 32, 32, 3)) * 255
+        x_test = (base_imgs[t_test] * 0.7
+                  + 0.3 * rng.rand(10000, 32, 32, 3)) * 255
+        x_train = x_train.astype(np.float32)
+        x_test = x_test.astype(np.float32)
+        synthetic = True
+    if normalize:
+        x_train /= 255.0
+        x_test /= 255.0
+    if one_hot:
+        t_train = to_one_hot(t_train, 10)
+        t_test = to_one_hot(t_test, 10)
+    return x_train, t_train, x_test, t_test, synthetic
+
+
+def load_uci_german_credits(path=None, n_train=700, seed=0):
+    """German credits binary classification (1000 x 24); reference
+    ``dataset.py:301``. Synthetic logistic fallback.
+
+    :return: ``(x_train, y_train, x_test, y_test, synthetic)``.
+    """
+    base = path or os.path.join(data_dir(), "german.data-numeric")
+    if os.path.exists(base):
+        data = np.loadtxt(base)
+        x, y = data[:, :-1], data[:, -1] - 1
+        synthetic = False
+    else:
+        rng = np.random.RandomState(seed)
+        x = rng.randn(1000, 24)
+        w = rng.randn(24)
+        y = (1 / (1 + np.exp(-(x @ w))) > rng.rand(1000)).astype(np.float64)
+        synthetic = True
+    x = x.astype(np.float32)
+    y = y.astype(np.int32)
+    return x[:n_train], y[:n_train], x[n_train:], y[n_train:], synthetic
+
+
+def load_uci_bow(data_name="nips", path=None, n_docs=1500, n_vocab=1000,
+                 seed=0):
+    """UCI bag-of-words corpus (reference ``dataset.py:373,422``).
+    Synthetic LDA-like corpus fallback.
+
+    :return: ``(doc_word_counts [n_docs, n_vocab] float32, vocab list,
+        synthetic)``.
+    """
+    base = path or os.path.join(data_dir(), "docword.{}.txt".format(data_name))
+    vocab_path = os.path.join(data_dir(), "vocab.{}.txt".format(data_name))
+    if os.path.exists(base):
+        with open(base) as f:
+            n_docs = int(f.readline())
+            n_vocab = int(f.readline())
+            f.readline()  # nnz
+            X = np.zeros((n_docs, n_vocab), np.float32)
+            for line in f:
+                d, w, c = map(int, line.split())
+                X[d - 1, w - 1] = c
+        vocab = [l.strip() for l in open(vocab_path)] if os.path.exists(
+            vocab_path
+        ) else [str(i) for i in range(n_vocab)]
+        return X, vocab, False
+    rng = np.random.RandomState(seed)
+    n_topics = 25
+    phi = rng.dirichlet(np.full(n_vocab, 0.05), n_topics)
+    theta = rng.dirichlet(np.full(n_topics, 0.2), n_docs)
+    doc_word = theta @ phi
+    lengths = rng.poisson(150, n_docs) + 30
+    X = np.stack([
+        rng.multinomial(n, p) for n, p in zip(lengths, doc_word)
+    ]).astype(np.float32)
+    vocab = ["w{}".format(i) for i in range(n_vocab)]
+    return X, vocab, True
+
+
+def load_movielens1m(path=None, seed=0):
+    """MovieLens-1M ratings (reference ``dataset.py:466,528``). Synthetic
+    low-rank ratings fallback.
+
+    :return: ``(n_users, n_movies, (user_idx, movie_idx, rating) train,
+        same valid, same test, synthetic)``.
+    """
+    base = path or os.path.join(data_dir(), "ml-1m", "ratings.dat")
+    if os.path.exists(base):
+        rows = []
+        with open(base, encoding="latin-1") as f:
+            for line in f:
+                u, m, r, _ = line.strip().split("::")
+                rows.append((int(u) - 1, int(m) - 1, float(r)))
+        arr = np.asarray(rows)
+        synthetic = False
+    else:
+        rng = np.random.RandomState(seed)
+        n_users, n_movies, n_obs = 6040, 3706, 1000209
+        u_f = rng.randn(n_users, 8)
+        m_f = rng.randn(n_movies, 8)
+        ui = rng.randint(0, n_users, n_obs)
+        mi = rng.randint(0, n_movies, n_obs)
+        r = np.clip(
+            np.round(2.5 + 0.8 * np.sum(u_f[ui] * m_f[mi], -1) / 8 * 5
+                     + 0.5 * rng.randn(n_obs)),
+            1, 5,
+        )
+        arr = np.stack([ui, mi, r], axis=1)
+        synthetic = True
+    rng = np.random.RandomState(seed + 1)
+    perm = rng.permutation(arr.shape[0])
+    arr = arr[perm]
+    n = arr.shape[0]
+    n_tr, n_va = int(0.85 * n), int(0.05 * n)
+    n_users = int(arr[:, 0].max()) + 1
+    n_movies = int(arr[:, 1].max()) + 1
+
+    def unpack(a):
+        return (a[:, 0].astype(np.int32), a[:, 1].astype(np.int32),
+                a[:, 2].astype(np.float32))
+
+    return (
+        n_users, n_movies,
+        unpack(arr[:n_tr]), unpack(arr[n_tr:n_tr + n_va]),
+        unpack(arr[n_tr + n_va:]), synthetic,
     )

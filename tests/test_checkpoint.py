@@ -1,0 +1,59 @@
+"""Checkpoint/resume and profiling-meter tests (SURVEY.md §5 subsystems)."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import zhusuan_tpu as zs
+from zhusuan_tpu.checkpoint import restore_checkpoint, save_checkpoint
+from zhusuan_tpu.profiling import SpeedMeter, ess_per_sec
+
+
+def test_checkpoint_roundtrip_params():
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)}
+    with tempfile.TemporaryDirectory() as d:
+        p = save_checkpoint(os.path.join(d, "ckpt"), params, step=7,
+                            use_orbax=False)
+        restored, step = restore_checkpoint(p)
+    assert step == 7
+    np.testing.assert_allclose(np.asarray(restored["w"]),
+                               np.asarray(params["w"]))
+
+
+def test_checkpoint_roundtrip_hmc_state():
+    def lj(obs):
+        return jnp.sum(-0.5 * obs["x"] ** 2, -1)
+
+    hmc = zs.HMC(step_size=0.3, n_leapfrogs=3, adapt_step_size=True)
+    state = hmc.init({"x": jnp.zeros((4, 2))}, log_joint=lj)
+    state, _ = hmc.sample(lj, {}, state, jax.random.PRNGKey(0))
+    with tempfile.TemporaryDirectory() as d:
+        p = save_checkpoint(os.path.join(d, "hmc"), state, step=1,
+                            use_orbax=False)
+        restored, step = restore_checkpoint(p, like=state)
+    # Resume sampling from the restored state.
+    assert isinstance(restored, zs.HMCState)
+    np.testing.assert_allclose(np.asarray(restored.q["x"]),
+                               np.asarray(state.q["x"]))
+    state2, info = hmc.sample(lj, {}, restored, jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(state2.q["x"])))
+
+
+def test_speed_meter():
+    m = SpeedMeter(items_per_step=32)
+    for _ in range(5):
+        m.tick()
+    assert m.steps_per_sec > 0
+    # items/sec is steps/sec scaled by items_per_step (each property call
+    # re-reads the clock, so compare with tolerance).
+    assert abs(m.items_per_sec / (32 * m.steps_per_sec) - 1.0) < 0.5
+
+
+def test_ess_per_sec():
+    rng = np.random.RandomState(0)
+    samples = rng.randn(200, 3, 4)
+    v = ess_per_sec(samples, wall_seconds=2.0)
+    assert v > 0

@@ -35,3 +35,6 @@ from zhusuan_tpu import utils
 from zhusuan_tpu.utils import *  # noqa: F401,F403
 from zhusuan_tpu import parallel
 from zhusuan_tpu import ops
+from zhusuan_tpu import checkpoint
+from zhusuan_tpu.checkpoint import save_checkpoint, restore_checkpoint
+from zhusuan_tpu import profiling

@@ -17,6 +17,7 @@ from zhusuan_tpu.parallel.mesh import (
     data_parallel_grad,
     replicated,
     shard_chains,
+    shard_params_tp,
     sharded_run,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "shard_chains",
     "replicated",
     "data_parallel_grad",
+    "shard_params_tp",
     "sharded_run",
 ]

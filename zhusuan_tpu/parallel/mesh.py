@@ -22,6 +22,7 @@ __all__ = [
     "replicated",
     "data_parallel_grad",
     "sharded_run",
+    "shard_params_tp",
 ]
 
 
@@ -98,6 +99,27 @@ def data_parallel_grad(
         out_specs=P(),
     )
     return jax.jit(jax.value_and_grad(sharded_loss, argnums=argnums))
+
+
+def shard_params_tp(mesh: Mesh, params, axis_name: str = "tp"):
+    """Tensor-parallel placement for parameter pytrees: 2-D weight matrices
+    are sharded on their output (last) axis over ``axis_name``; 1-D biases
+    likewise; everything else replicated. XLA inserts the all-gathers /
+    reduce-scatters over ICI at use sites.
+
+    SURVEY.md §2.10 row 3 ("optional TP: shard large BNN weight matrices /
+    GP Gram matrices") made first-class.
+    """
+    n_dev = mesh.shape[axis_name]
+
+    def place(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 1 and x.shape[-1] % n_dev == 0 and x.shape[-1] >= n_dev:
+            spec = P(*([None] * (x.ndim - 1) + [axis_name]))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(place, params)
 
 
 def sharded_run(mesh: Mesh, fn: Callable, state, key, axis_name="chains"):

@@ -1,8 +1,8 @@
 """North-star benchmark: HMC effective samples per second on a 100-dim
 Gaussian (BASELINE.md / BASELINE.json).
 
-Measures the fully on-device HMC chain (adaptive step size + mass, 10
-leapfrogs) with many vectorized parallel chains on the default backend
+Measures the fully on-device HMC chain (adaptive step size + mass, 5
+leapfrogs — ESS/sec-optimal for this target) with many vectorized parallel chains on the default backend
 (TPU when present), then measures the same sampler on the local CPU backend
 as the baseline proxy. The reference implementation (TF1 ZhuSuan on CPU,
 one sess.run per iteration) is strictly slower than single-process CPU JAX
@@ -36,7 +36,7 @@ def build(jax, jnp, zs, n_chains, dtype):
 
     hmc = zs.HMC(
         step_size=0.1,
-        n_leapfrogs=10,
+        n_leapfrogs=5,
         adapt_step_size=True,
         adapt_mass=True,
         mass_collect_iters=50,

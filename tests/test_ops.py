@@ -1,0 +1,79 @@
+"""Tests for zhusuan_tpu.ops: numerics checks and the Pallas fused leapfrog
+(interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zhusuan_tpu.mcmc.base import leapfrog_step
+from zhusuan_tpu.ops.leapfrog import fused_leapfrog, leapfrog_supported
+
+
+def _reference_trajectory(grad_fn, q, p, ss, n_leapfrogs, mass):
+    def body(carry, i):
+        q, p = carry
+        ss1 = jnp.where(i > 0, ss, 0.0)
+        ss2 = jnp.where((i > 0) & (i < n_leapfrogs), ss, ss / 2)
+        qd, pd = leapfrog_step(
+            {"x": q}, {"x": p}, ss1, ss2,
+            lambda d: {"x": grad_fn(d["x"])}, {"x": mass},
+        )
+        return (qd["x"], pd["x"]), None
+
+    (q, p), _ = jax.lax.scan(body, (q, p), jnp.arange(n_leapfrogs + 1))
+    return q, p
+
+
+class TestFusedLeapfrog:
+    def test_matches_reference(self):
+        C, D, NL = 64, 12, 6
+        std = jnp.linspace(0.2, 1.5, D, dtype=jnp.float32)
+
+        def grad_fn(q):
+            return jax.grad(lambda qq: jnp.sum(-0.5 * (qq / std) ** 2))(q)
+
+        key = jax.random.PRNGKey(0)
+        q = jax.random.normal(key, (C, D), jnp.float32)
+        p = jax.random.normal(jax.random.PRNGKey(1), (C, D), jnp.float32)
+        mass = jnp.ones((1, D), jnp.float32) * 1.7
+        ss = jnp.float32(0.07)
+
+        q_ref, p_ref = _reference_trajectory(grad_fn, q, p, ss, NL, mass)
+        q_pal, p_pal = fused_leapfrog(
+            grad_fn, q, p, ss, NL, mass, block_chains=32, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(q_pal), np.asarray(q_ref), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_pal), np.asarray(p_ref), rtol=1e-5, atol=1e-6
+        )
+
+    def test_closure_constants_hoisted(self):
+        # Gradient closes over an observed data array — must be hoisted.
+        C, D, NL = 16, 8, 3
+        obs = jax.random.normal(jax.random.PRNGKey(5), (D,), jnp.float32)
+
+        def grad_fn(q):
+            return jax.grad(
+                lambda qq: jnp.sum(-0.5 * (qq - obs) ** 2)
+            )(q)
+
+        q = jnp.zeros((C, D), jnp.float32)
+        p = jnp.ones((C, D), jnp.float32)
+        mass = jnp.ones((1, D), jnp.float32)
+        q_ref, p_ref = _reference_trajectory(
+            grad_fn, q, p, jnp.float32(0.1), NL, mass
+        )
+        q_pal, p_pal = fused_leapfrog(
+            grad_fn, q, p, 0.1, NL, mass, block_chains=16, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(q_pal), np.asarray(q_ref), rtol=1e-5, atol=1e-6
+        )
+
+    def test_supported_predicate(self):
+        assert leapfrog_supported((1024, 16))
+        assert not leapfrog_supported((7, 4, 4))
+        assert not leapfrog_supported((1000, 16), block_chains=512)

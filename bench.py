@@ -82,6 +82,32 @@ def measure(jax, jnp, zs, device, n_chains, dtype):
     return total_eff_samples / dt, acc, dt
 
 
+def measure_vae_steps(jax, jnp, n_steps=100, batch=128, z_dim=40):
+    """Secondary metric (BASELINE.md north-star part 2): VAE MNIST-shape
+    SGVB train steps/sec, one fused jitted step."""
+    import optax
+
+    from examples.variational_autoencoders.vae import (
+        init_params, make_train_step,
+    )
+
+    key = jax.random.PRNGKey(0)
+    params = init_params(key)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_train_step(optimizer, z_dim)
+    x = (jax.random.uniform(key, (batch, 784)) < 0.5).astype(jnp.float32)
+
+    params, opt_state, lb = step(params, opt_state, x, key)  # compile
+    jax.block_until_ready(lb)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, lb = step(params, opt_state, x, sub)
+    jax.block_until_ready(lb)
+    return n_steps / (time.perf_counter() - t0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -122,6 +148,9 @@ def main():
             "sample_phase_sec": round(dt, 3),
             "cpu_baseline_ess_per_sec": round(base_value, 2),
             "cpu_baseline_chains": base_chains,
+            "vae_sgvb_steps_per_sec": round(
+                measure_vae_steps(jax, jnp), 2
+            ),
         },
     }
     print(json.dumps(result))

@@ -6,5 +6,12 @@ hand-written here.
 
 from zhusuan_tpu.ops.checks import check_numerics
 from zhusuan_tpu.ops.leapfrog import fused_leapfrog, leapfrog_supported
+from zhusuan_tpu.ops.random import tpu_normal, tpu_uniform
 
-__all__ = ["check_numerics", "fused_leapfrog", "leapfrog_supported"]
+__all__ = [
+    "check_numerics",
+    "fused_leapfrog",
+    "leapfrog_supported",
+    "tpu_normal",
+    "tpu_uniform",
+]

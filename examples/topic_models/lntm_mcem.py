@@ -69,7 +69,37 @@ def synthetic_bow(n_docs=1500, n_vocab=500, n_topics=20, seed=0):
     return X
 
 
-def main(epochs=20, batch_size=100, n_topics=20, num_e_steps=5, n_chains=1):
+def ais_test_perplexity(X_test, beta, eta_mean, eta_logstd, n_topics,
+                        n_chains=25, n_temperatures=100, key=None):
+    """Test perplexity upper bound via AIS (reference lntm_mcem.py:208-219):
+    anneal from the eta prior to the posterior with HMC transitions and
+    bound log p(x_test)."""
+    n_docs_test, n_vocab = X_test.shape
+    model = lntm(n_chains, n_docs_test, n_topics, n_vocab, eta_mean,
+                 eta_logstd)
+    model.log_joint = lambda bn: (
+        bn.cond_log_prob("eta") + bn.cond_log_prob("x")
+    )
+    proposal = lntm(n_chains, n_docs_test, n_topics, n_vocab, eta_mean,
+                    eta_logstd)
+    proposal.log_joint = lambda bn: bn.cond_log_prob("eta")
+    hmc = zs.HMC(step_size=0.01, n_leapfrogs=20, adapt_step_size=True,
+                 target_acceptance_rate=0.6)
+    ais = zs.evaluation.AIS(
+        model, proposal, hmc,
+        observed={"x": jnp.asarray(X_test), "beta": beta},
+        latent=["eta"],
+        n_temperatures=n_temperatures,
+    )
+    ll_lb = float(jax.jit(ais.run)(key or jax.random.PRNGKey(0)))
+    perplexity_ub = float(
+        np.exp(-ll_lb * n_docs_test / np.sum(X_test))
+    )
+    return ll_lb, perplexity_ub
+
+
+def main(epochs=20, batch_size=100, n_topics=20, num_e_steps=5, n_chains=1,
+         run_ais=True):
     X = synthetic_bow()
     training_size = 1200
     X_train, X_test = X[:training_size], X[training_size:]
@@ -174,6 +204,14 @@ def main(epochs=20, batch_size=100, n_topics=20, num_e_steps=5, n_chains=1):
     print("Topic sparsity (mean max word prob): {:.4f}".format(
         phi.max(-1).mean()
     ))
+    if run_ais:
+        print("Evaluating test perplexity using AIS...")
+        ll_lb, ppl_ub = ais_test_perplexity(
+            X_test[:50], beta, eta_mean, eta_logstd, n_topics,
+            n_chains=10, n_temperatures=100,
+        )
+        print(">> log likelihood lower bound = {:.2f}\n"
+              ">> perplexity upper bound = {:.2f}".format(ll_lb, ppl_ub))
     return beta, eta_mean, eta_logstd
 
 

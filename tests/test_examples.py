@@ -459,3 +459,19 @@ class TestParallel:
         new_state, info = step(state, KEY)
         assert new_state.q["x"].shape == (n_chains, 4)
         assert np.all(np.isfinite(np.asarray(info.acceptance_rate)))
+
+
+class TestImageUtils:
+    def test_save_image_collections(self, tmp_path):
+        from examples.utils.utils import save_image_collections
+
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(25, 28, 28, 1).astype(np.float32)
+        out = str(tmp_path / "grid.png")
+        save_image_collections(imgs, out, shape=(5, 5))
+        import os
+        assert os.path.exists(out)
+        from PIL import Image
+
+        with Image.open(out) as im:
+            assert im.size == (5 * 28, 5 * 28)

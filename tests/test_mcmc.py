@@ -204,3 +204,47 @@ class TestSGMCMC:
         )(state, jax.random.PRNGKey(0))
         assert qs["x"].shape == (100, 10)
         assert bool(jnp.all(jnp.isfinite(qs["x"])))
+
+
+class TestSGMCMCInfoCollection:
+    def test_collect_info(self):
+        sampler = zs.SGNHT(learning_rate=0.01, variance_extra=0.1,
+                           use_vector_alpha=False, second_order=False)
+        state = sampler.init({"x": jnp.zeros(8, jnp.float64)},
+                             key=jax.random.PRNGKey(0))
+        state, qs, infos = jax.jit(
+            lambda s, k: sampler.run(log_joint, {}, s, k, 20,
+                                     collect_info=True)
+        )(state, jax.random.PRNGKey(1))
+        assert qs["x"].shape == (20, 8)
+        assert infos.mean_k["x"].shape == (20,)
+        assert infos.alpha["x"].shape == (20,)
+        assert bool(jnp.all(jnp.isfinite(infos.mean_k["x"])))
+
+
+class TestTensorParallelPlacement:
+    def test_shard_params_tp(self):
+        from zhusuan_tpu.parallel import shard_params_tp
+        from jax.sharding import Mesh, PartitionSpec as P
+        import numpy as _np
+
+        n_dev = len(jax.devices())
+        mesh = Mesh(_np.array(jax.devices()), ("tp",))
+        params = {
+            "w": jnp.ones((16, 8 * n_dev)),
+            "b": jnp.ones((8 * n_dev,)),
+            "scalar": jnp.ones(()),
+            "odd": jnp.ones((3,)),  # not divisible -> replicated
+        }
+        placed = shard_params_tp(mesh, params)
+        w_spec = placed["w"].sharding.spec
+        assert w_spec == P(None, "tp")
+        assert placed["b"].sharding.spec == P("tp")
+        assert placed["odd"].sharding.spec == P()
+        # A matmul against the sharded params runs and matches.
+        x = jnp.ones((4, 16))
+        with mesh:
+            out = jax.jit(lambda w, x: x @ w)(placed["w"], x)
+        _np.testing.assert_allclose(
+            _np.asarray(out), _np.asarray(x @ params["w"]), rtol=1e-6
+        )

@@ -104,11 +104,16 @@ class SGMCMC:
         n_iters: int,
         collect: bool = True,
         thinning: int = 1,
+        collect_info: bool = False,
     ):
         """Run ``n_iters`` iterations on-device via ``lax.scan``.
 
         :param collect: stack per-iteration ``q`` (thinned) when True.
-        :return: ``(final_state, stacked_q_or_None)``.
+        :param collect_info: additionally stack the full per-iteration
+            :class:`SGMCMCInfo` (mean kinetic energy, thermostat values).
+        :return: ``(final_state, stacked_q_or_None)`` — or
+            ``(final_state, stacked_q, stacked_info)`` when
+            ``collect_info``.
         """
 
         def body(carry, _):
@@ -116,13 +121,21 @@ class SGMCMC:
             k, sub = jax.random.split(k)
             st2, info = self.sample(meta_bn, observed, st, sub)
             out = info.q if collect else None
+            if collect_info:
+                out = (out, info)
             return (st2, k), out
 
-        (final_state, _), qs = jax.lax.scan(
+        (final_state, _), outs = jax.lax.scan(
             body, (state, key), None, length=n_iters
         )
+        if collect_info:
+            qs, infos = outs
+        else:
+            qs, infos = outs, None
         if collect and thinning > 1:
             qs = {k: v[::thinning] for k, v in qs.items()}
+        if collect_info:
+            return final_state, qs, infos
         return final_state, qs
 
 

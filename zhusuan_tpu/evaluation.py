@@ -129,7 +129,11 @@ class AIS:
             log marginal likelihood lower bound.
         """
         key_init, key_adapt, key_reinit, key_run = jax.random.split(key, 4)
-        schedule = jnp.asarray(self._schedule())
+        # Temperatures adopt the chain dtype so the scan carry is uniform
+        # (f32 models under an x64-enabled host would otherwise promote).
+        q_probe = self._init_latent(key_init)
+        chain_dtype = jnp.result_type(*[v.dtype for v in q_probe.values()])
+        schedule = jnp.asarray(self._schedule(), chain_dtype)
 
         # --- phase 1: step-size adaptation at a small temperature -------- #
         adp_num_t = 2 if self._n_temperatures > 1 else 1

@@ -475,3 +475,37 @@ class TestImageUtils:
 
         with Image.open(out) as im:
             assert im.size == (5 * 28, 5 * 28)
+
+
+class TestMultiChipStatistics:
+    def test_sharded_hmc_run_moments(self):
+        # Full adaptive HMC run with the chain axis sharded over all 8
+        # virtual devices; the sharded program must recover the target
+        # moments (end-to-end multi-chip correctness, not just one step).
+        from zhusuan_tpu.parallel import chain_mesh, shard_chains
+        import zhusuan_tpu as zs
+
+        n_dev = len(jax.devices())
+        n_chains, dim = 64 * n_dev, 8
+        mean = jnp.arange(dim, dtype=jnp.float64)
+        std = jnp.linspace(0.5, 1.5, dim, dtype=jnp.float64)
+
+        def lj(obs):
+            return jnp.sum(-0.5 * ((obs["x"] - mean) / std) ** 2, -1)
+
+        hmc = zs.HMC(step_size=0.5, n_leapfrogs=5, adapt_step_size=True)
+        state = hmc.init(
+            {"x": jnp.zeros((n_chains, dim), jnp.float64)}, log_joint=lj
+        )
+        mesh = chain_mesh(axis_name="chains")
+        state = shard_chains(mesh, state)
+        state, _ = jax.jit(
+            lambda s, k: hmc.run(lj, {}, s, k, 200, n_adapt=150,
+                                 collect=False)
+        )(state, KEY)
+        _, out = jax.jit(lambda s, k: hmc.run(lj, {}, s, k, 300))(
+            state, jax.random.PRNGKey(1)
+        )
+        x = np.asarray(out["samples"]["x"]).reshape(-1, dim)
+        np.testing.assert_allclose(x.mean(0), np.asarray(mean), atol=0.2)
+        np.testing.assert_allclose(x.std(0), np.asarray(std), rtol=0.15)

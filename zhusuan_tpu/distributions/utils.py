@@ -19,11 +19,22 @@ __all__ = [
     "log_combination",
     "explicit_broadcast",
     "maybe_explicit_broadcast",
+    "is_same_dynamic_shape",
     "assert_same_float_dtype",
     "assert_same_float_and_int_dtype",
     "open_interval_standard_uniform",
     "broadcast_shapes",
 ]
+
+
+def is_same_dynamic_shape(x, y):
+    """Whether two arrays have the same shape.
+
+    Parity: reference ``distributions/utils.py:81-108`` needed a dynamic
+    graph-side comparison; JAX shapes are always static, so this is a plain
+    Python bool.
+    """
+    return tuple(jnp.shape(x)) == tuple(jnp.shape(y))
 
 
 def log_combination(n, ks):

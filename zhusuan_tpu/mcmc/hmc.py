@@ -346,12 +346,14 @@ class HMC:
         # --- step size (+ heuristic init search; hmc.py:458-472) ------- #
         if self.adapt_step_size is not None:
             if_init_ss = (new_t == 1) | (new_t == self.mass_collect_iters)
+            # The search starts from the current step size (reference
+            # hmc.py:340-344 seeds the while_loop with self.step_size).
             searched = jax.lax.cond(
                 if_init_ss,
                 lambda: jax.lax.stop_gradient(
                     self._init_step_size_search(
                         q, p, mass, grad_fn, log_post, n_chain_dims,
-                        jnp.asarray(self.init_step_size, state.step_size.dtype),
+                        state.step_size,
                     )
                 ),
                 lambda: state.step_size,
@@ -390,7 +392,7 @@ class HMC:
             )
             updated_step_size, da_step, h_bar, log_eps_bar = (
                 self._tune_step_size(
-                    state._replace(step_size=step_size),
+                    state,
                     jnp.mean(acceptance_rate),
                     gate_ss,
                     if_init_ss,

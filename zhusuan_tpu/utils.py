@@ -20,6 +20,7 @@ __all__ = [
     "log_mean_exp",
     "merge_dicts",
     "split_by_names",
+    "add_name_scope",
 ]
 
 
@@ -68,6 +69,22 @@ def merge_dicts(*dict_list: Dict[str, Any]) -> Dict[str, Any]:
 def split_by_names(d: Dict[str, Any], names) -> Dict[str, Any]:
     """Return the sub-dict of ``d`` restricted to ``names`` present in ``d``."""
     return {k: d[k] for k in names if k in d}
+
+
+def add_name_scope(fn):
+    """Decorator annotating ``fn``'s ops with a named scope so XLA HLO and
+    profiler traces are readable.
+
+    Parity: reference ``zhusuan/utils.py:211-217`` (tf.name_scope for
+    TensorBoard); here it is ``jax.named_scope``.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.named_scope(fn.__name__):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def docinherit(src):

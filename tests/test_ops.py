@@ -77,3 +77,45 @@ class TestFusedLeapfrog:
         assert leapfrog_supported((1024, 16))
         assert not leapfrog_supported((7, 4, 4))
         assert not leapfrog_supported((1000, 16), block_chains=512)
+
+
+class TestHMCFusedPath:
+    def test_hmc_fused_matches_default(self, monkeypatch):
+        # The fused path must produce identical transitions (same keys).
+        import zhusuan_tpu as zs
+        from zhusuan_tpu.ops import leapfrog as lf
+
+        # Route the kernel through interpret mode on CPU.
+        orig = lf.fused_leapfrog
+
+        def interp(*args, **kwargs):
+            kwargs["interpret"] = True
+            return orig(*args, **kwargs)
+
+        monkeypatch.setattr(lf, "fused_leapfrog", interp)
+
+        std = jnp.linspace(0.3, 1.2, 8, dtype=jnp.float32)
+
+        def lj(obs):
+            return jnp.sum(-0.5 * (obs["x"] / std) ** 2, -1)
+
+        q0 = {"x": jnp.zeros((32, 8), jnp.float32)}
+        key = jax.random.PRNGKey(3)
+
+        hmc_a = zs.HMC(step_size=0.2, n_leapfrogs=4)
+        sa = hmc_a.init(dict(q0), log_joint=lj)
+        sa, ia = hmc_a.sample(lj, {}, sa, key)
+
+        hmc_b = zs.HMC(step_size=0.2, n_leapfrogs=4,
+                       experimental_fused_leapfrog=True)
+        sb = hmc_b.init(dict(q0), log_joint=lj)
+        sb, ib = hmc_b.sample(lj, {}, sb, key)
+
+        np.testing.assert_allclose(
+            np.asarray(sa.q["x"]), np.asarray(sb.q["x"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ia.acceptance_rate), np.asarray(ib.acceptance_rate),
+            rtol=1e-5, atol=1e-6,
+        )

@@ -92,6 +92,10 @@ class HMC:
         ``adapt_step_size`` (reference hmc.py:270-272).
     :param mass_collect_iters: iterations before the adapted mass is used.
     :param mass_decay: EW variance decay.
+    :param experimental_fused_leapfrog: route the trajectory through the
+        Pallas VMEM-resident kernel (:mod:`zhusuan_tpu.ops.leapfrog`) when
+        the latent is a single ``[n_chains, dim]`` array. Numerically
+        identical; see PERF.md for when this pays.
     """
 
     def __init__(
@@ -106,6 +110,7 @@ class HMC:
         adapt_mass: Optional[bool] = None,
         mass_collect_iters: int = 10,
         mass_decay: float = 0.99,
+        experimental_fused_leapfrog: bool = False,
     ):
         self.init_step_size = float(step_size)
         self.n_leapfrogs = int(n_leapfrogs)
@@ -128,6 +133,7 @@ class HMC:
         self.adapt_mass = adapt_mass
         self.mass_collect_iters = int(mass_collect_iters)
         self.mass_decay = float(mass_decay)
+        self.experimental_fused_leapfrog = bool(experimental_fused_leapfrog)
 
     # ------------------------------------------------------------------ #
     def init(self, latent: Latent, n_chain_dims: Optional[int] = None,
@@ -253,6 +259,31 @@ class HMC:
         (q, p), _ = jax.lax.scan(body, (q, p), jnp.arange(n + 1))
         return q, p
 
+    def _run_leapfrog(self, q, p, step_size, grad_fn, mass, log_post):
+        """Dispatch the trajectory: Pallas fused kernel when opted in and
+        applicable, otherwise the XLA scan."""
+        if self.experimental_fused_leapfrog and len(q) == 1:
+            from zhusuan_tpu.ops.leapfrog import (
+                fused_leapfrog, leapfrog_supported,
+            )
+
+            (name,) = q.keys()
+            if (
+                leapfrog_supported(q[name].shape)
+                and mass[name].ndim == 2
+            ):
+                def single_grad(x):
+                    return jax.grad(
+                        lambda xx: jnp.sum(log_post({name: xx}))
+                    )(x)
+
+                nq, np_ = fused_leapfrog(
+                    single_grad, q[name], p[name], step_size,
+                    self.n_leapfrogs, mass[name],
+                )
+                return {name: nq}, {name: np_}
+        return self._leapfrog(q, p, step_size, grad_fn, mass)
+
     def _tune_step_size(self, state: HMCState, acceptance_rate, gate,
                         fresh_start):
         """Nesterov dual averaging (reference hmc.py:89-112), gated."""
@@ -364,7 +395,9 @@ class HMC:
             step_size = state.step_size
 
         # --- leapfrog (hmc.py:474-476) --------------------------------- #
-        new_q, new_p = self._leapfrog(q, p, step_size, grad_fn, mass)
+        new_q, new_p = self._run_leapfrog(
+            q, p, step_size, grad_fn, mass, log_post
+        )
 
         # --- MH test (hmc.py:479-498) ---------------------------------- #
         old_h, new_h, old_log_prob, new_log_prob, acceptance_rate = (

@@ -259,10 +259,21 @@ class HMC:
         (q, p), _ = jax.lax.scan(body, (q, p), jnp.arange(n + 1))
         return q, p
 
-    def _run_leapfrog(self, q, p, step_size, grad_fn, mass, log_post):
+    def _run_leapfrog(self, q, p, step_size, grad_fn, mass, n_chain_dims):
         """Dispatch the trajectory: Pallas fused kernel when opted in and
-        applicable, otherwise the XLA scan."""
-        if self.experimental_fused_leapfrog and len(q) == 1:
+        applicable, otherwise the XLA scan.
+
+        The fused path requires a SINGLE latent of shape ``[n_chains, dim]``
+        with exactly one chain axis (``n_chain_dims == 1``): the kernel
+        evaluates the gradient per chain-block, which is only correct when
+        the density factorizes over the leading axis. Anything else falls
+        back to the XLA scan.
+        """
+        if (
+            self.experimental_fused_leapfrog
+            and len(q) == 1
+            and n_chain_dims == 1
+        ):
             from zhusuan_tpu.ops.leapfrog import (
                 fused_leapfrog, leapfrog_supported,
             )
@@ -270,12 +281,12 @@ class HMC:
             (name,) = q.keys()
             if (
                 leapfrog_supported(q[name].shape)
-                and mass[name].ndim == 2
+                and mass[name].shape == (1,) + q[name].shape[1:]
             ):
+                # Reuse the exact same grad function as the scan path so the
+                # two trajectories can never desynchronize.
                 def single_grad(x):
-                    return jax.grad(
-                        lambda xx: jnp.sum(log_post({name: xx}))
-                    )(x)
+                    return grad_fn({name: x})[name]
 
                 nq, np_ = fused_leapfrog(
                     single_grad, q[name], p[name], step_size,
@@ -396,7 +407,7 @@ class HMC:
 
         # --- leapfrog (hmc.py:474-476) --------------------------------- #
         new_q, new_p = self._run_leapfrog(
-            q, p, step_size, grad_fn, mass, log_post
+            q, p, step_size, grad_fn, mass, n_chain_dims
         )
 
         # --- MH test (hmc.py:479-498) ---------------------------------- #

@@ -9,17 +9,21 @@ VMEM for the WHOLE trajectory and traces the user's gradient function
 inside the kernel body, reducing HBM traffic to one read + one write of
 (q, p) per iteration regardless of n_leapfrogs.
 
-Applicability: the automatic fast path in :class:`zhusuan_tpu.HMC` engages
-when the latent is a single 2-D ``[n_chains, dim]`` array whose log-density
-factorizes over chains (always true for chain-parallel MCMC) and whose
-gradient is expressible with Mosaic-supported ops (standard jnp). Falls
-back to the XLA scan otherwise — results are numerically identical (same
-order of operations).
+Applicability: opt-in via ``HMC(experimental_fused_leapfrog=True)``. The
+path engages only for a single 2-D ``[n_chains, dim]`` latent with exactly
+one chain axis — the kernel evaluates the gradient per chain-block, which
+is correct only when the log-density factorizes over the leading axis —
+and whose gradient is expressible with Mosaic-supported ops (standard
+jnp). Everything else falls back to the XLA scan; results are numerically
+identical (same order of operations).
+
+NOTE: deliberately NOT jit-wrapped — callers pass fresh gradient closures
+(static-arg identity hashing would recompile and pin memory per call);
+call it under your own jit/scan.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
@@ -27,21 +31,24 @@ import jax.numpy as jnp
 
 __all__ = ["fused_leapfrog", "leapfrog_supported"]
 
+# Per-buffer VMEM budget for one chain block: the kernel keeps q, p, mass,
+# the gradient and Box/loop temporaries live (~6 block-sized buffers), so
+# cap a single block at 2MB to stay well inside the ~16MB/core VMEM.
+_BLOCK_BYTES_LIMIT = 2 << 20
 
-def leapfrog_supported(q_shape, block_chains: int = 512) -> bool:
-    """Whether the fused kernel handles this state shape."""
+
+def leapfrog_supported(q_shape, block_chains: int = 512,
+                       itemsize: int = 4) -> bool:
+    """Whether the fused kernel handles this state shape within VMEM."""
     if len(q_shape) != 2:
         return False
     c, d = q_shape
     bc = min(block_chains, c)
-    return c % bc == 0 and d >= 1
+    if c % bc != 0 or d < 1:
+        return False
+    return bc * d * itemsize <= _BLOCK_BYTES_LIMIT
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("potential_grad", "n_leapfrogs", "block_chains",
-                     "interpret"),
-)
 def fused_leapfrog(
     potential_grad: Callable,
     q,

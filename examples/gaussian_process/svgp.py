@@ -76,12 +76,15 @@ def build_variational_samples(params, x, n_z, n_particles, key):
         "fz", params["z_mean"], z_cov_tril, n_samples=n_particles
     )
     fx_dist = gp_conditional(z_pos, fz.tensor, x, False, kernel)
-    fx_node = bn.stochastic("fx", fx_dist)
-    latent = {
-        "fz": (fz.tensor, fz.cond_log_p),
-        "fx": (fx_node.tensor, jnp.zeros_like(fx_node.cond_log_p)),
-    }
-    return latent
+    bn.stochastic("fx", fx_dist)
+    # Same query pattern as the reference (svgp.py:129-133): fetch samples
+    # and log-probs, then zero fx's log-prob so p(fx|fz) cancels between
+    # the model and the variational.
+    var_fz, var_fx = bn.query(
+        ["fz", "fx"], outputs=True, local_log_prob=True
+    )
+    var_fx = (var_fx[0], jnp.zeros_like(var_fx[1]))
+    return {"fz": var_fz, "fx": var_fx}
 
 
 def init_params(key, n_z, n_covariates, x_train):

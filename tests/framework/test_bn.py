@@ -211,3 +211,56 @@ class TestMetaBayesianNet:
         assert samples.shape == (100,)
         # Distinct keys give distinct samples.
         assert len(np.unique(np.asarray(samples))) == 100
+
+
+class TestCompatQueryAPI:
+    def test_query_outputs_and_log_prob(self):
+        bn = BayesianNet(observed={"z": jnp.asarray([0.5, 1.0])})
+        bn.normal("z", jnp.zeros(2), std=jnp.ones(2))
+        bn.deterministic("h", jnp.ones(3))
+
+        out = bn.outputs("z")
+        np.testing.assert_allclose(np.asarray(out), [0.5, 1.0])
+        np.testing.assert_allclose(np.asarray(bn.outputs("h")), np.ones(3))
+
+        lp = bn.local_log_prob("z")
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(bn.cond_log_prob("z"))
+        )
+
+        (val, logp) = bn.query("z", outputs=True, local_log_prob=True)
+        np.testing.assert_allclose(np.asarray(val), [0.5, 1.0])
+
+        pairs = bn.query(["z"], outputs=True, local_log_prob=True)
+        assert len(pairs) == 1 and len(pairs[0]) == 2
+
+        with pytest.raises(ValueError, match="No query options"):
+            bn.query("z")
+
+
+class TestCorrelatedTarget:
+    def test_hmc_correlated_gaussian(self):
+        # Correlated 2-D Gaussian (rho = 0.9): diagonal mass adaptation
+        # cannot whiten it, but HMC must still recover the covariance.
+        rho = 0.9
+        cov = np.array([[1.0, rho], [rho, 1.0]])
+        prec = np.linalg.inv(cov)
+        prec_j = jnp.asarray(prec)
+
+        def lj(obs):
+            x = obs["x"]
+            return -0.5 * jnp.einsum("ci,ij,cj->c", x, prec_j, x)
+
+        hmc = zs.HMC(step_size=0.5, n_leapfrogs=10, adapt_step_size=True)
+        state = hmc.init({"x": jnp.zeros((500, 2), jnp.float64)},
+                         log_joint=lj)
+        state, _ = jax.jit(
+            lambda s, k: hmc.run(lj, {}, s, k, 300, n_adapt=200,
+                                 collect=False)
+        )(state, jax.random.PRNGKey(0))
+        _, out = jax.jit(lambda s, k: hmc.run(lj, {}, s, k, 500))(
+            state, jax.random.PRNGKey(1)
+        )
+        x = np.asarray(out["samples"]["x"]).reshape(-1, 2)
+        emp_cov = np.cov(x.T)
+        np.testing.assert_allclose(emp_cov, cov, atol=0.08)

@@ -325,6 +325,46 @@ class BayesianNet:
     def __contains__(self, name):
         return name in self._nodes
 
+    # -- compatibility query API (deprecated in reference 0.4,
+    #    bn.py:1200-1249, but still used by its shipped examples) -------- #
+    def outputs(self, name_or_names):
+        """Node value(s) by name. Compatibility alias for
+        ``get(...).tensor`` (reference bn.py:1200-1214)."""
+        name_or_names = self._check_names_exist(name_or_names)
+        if isinstance(name_or_names, tuple):
+            return [
+                self._node_value(self._nodes[name]) for name in name_or_names
+            ]
+        return self._node_value(self._nodes[name_or_names])
+
+    @staticmethod
+    def _node_value(node):
+        return node.tensor if isinstance(node, StochasticTensor) else node
+
+    def local_log_prob(self, name_or_names):
+        """Compatibility alias of :meth:`cond_log_prob`
+        (reference bn.py:1216-1226)."""
+        return self.cond_log_prob(name_or_names)
+
+    def query(self, name_or_names, outputs=False, local_log_prob=False):
+        """Query values and/or conditional log-probs in one call.
+
+        Compatibility with reference ``bn.py:1228-1249``: returns
+        ``(value, log_prob)`` tuples (or a list of them for multiple
+        names) depending on the selected options.
+        """
+        name_or_names = self._check_names_exist(name_or_names)
+        ret = []
+        if outputs:
+            ret.append(self.outputs(name_or_names))
+        if local_log_prob:
+            ret.append(self.local_log_prob(name_or_names))
+        if len(ret) == 0:
+            raise ValueError("No query options are selected.")
+        if isinstance(name_or_names, tuple):
+            return list(zip(*ret))
+        return tuple(ret)
+
     # -- sugar methods (one per distribution; reference bn.py:556-1189) - #
     def normal(
         self, name, mean=0.0, _sentinel=None, std=None, logstd=None,

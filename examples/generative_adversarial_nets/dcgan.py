@@ -94,6 +94,8 @@ def gan_losses(gen_params, disc_params, x_real, key, z_dim):
 
 
 def synthetic_cifar(n=10000, seed=0):
+    """Small CIFAR-shaped set for smoke tests (the full loader below is
+    used by main)."""
     rng = np.random.RandomState(seed)
     base = rng.rand(10, 32, 32, 3).astype(np.float32)
     labels = rng.randint(0, 10, n)
@@ -104,8 +106,13 @@ def synthetic_cifar(n=10000, seed=0):
 
 
 def main(epochs=5, batch_size=64, z_dim=40):
-    x_train = synthetic_cifar()
-    print("[note] using synthetic CIFAR-shaped data (zero-egress env).")
+    from examples.utils.dataset import load_cifar10
+
+    x_train, _, _, _, synthetic = load_cifar10(normalize=True)
+    x_train = x_train[:10000]
+    if synthetic:
+        print("[note] CIFAR-10 not found; using synthetic CIFAR-shaped "
+              "data (zero-egress env).")
 
     key = jax.random.PRNGKey(1234)
     key, kg, kd = jax.random.split(key, 3)

@@ -40,8 +40,13 @@ def gen_loss(gen_params, disc_params, x_real, key, z_dim):
 
 
 def main(epochs=5, batch_size=64, z_dim=40, n_critic=5, clip=0.01):
-    x_train = synthetic_cifar()
-    print("[note] using synthetic CIFAR-shaped data (zero-egress env).")
+    from examples.utils.dataset import load_cifar10
+
+    x_train, _, _, _, synthetic = load_cifar10(normalize=True)
+    x_train = x_train[:10000]
+    if synthetic:
+        print("[note] CIFAR-10 not found; using synthetic CIFAR-shaped "
+              "data (zero-egress env).")
 
     key = jax.random.PRNGKey(1234)
     key, kg, kd = jax.random.split(key, 3)

@@ -20,28 +20,10 @@ import numpy as np
 import zhusuan_tpu as zs
 
 
-def pmf_u_model(n, D, n_particles, v_fixed, su, sv, alpha_u, alpha_pred):
-    """Model over U with V observed/fixed (one half of the alternation)."""
-
-    @zs.meta_bayesian_net()
-    def model():
-        bn = zs.BayesianNet()
-        u = bn.normal(
-            "u", jnp.zeros([n, D]), std=alpha_u, n_samples=n_particles,
-            group_ndims=1,
-        )
-        gather_u = u.tensor[:, su, :]  # [K, n_ratings, D]
-        gather_v = v_fixed[:, sv, :]  # [K, n_ratings, D]
-        r_logits = jnp.sum(gather_u * gather_v, axis=-1)
-        bn.deterministic("r_pred", jax.nn.sigmoid(r_logits))
-        bn.normal("r", jax.nn.sigmoid(r_logits), std=alpha_pred)
-        return bn
-
-    return model()
-
-
 def synthetic_ratings(n_users=300, n_movies=200, D_true=5, n_obs=20000,
                       seed=0):
+    """Small low-rank ratings set for smoke tests; main() uses the
+    MovieLens loader (with its own synthetic fallback)."""
     rng = np.random.RandomState(seed)
     u = rng.randn(n_users, D_true) * 0.8
     v = rng.randn(n_movies, D_true) * 0.8
@@ -54,11 +36,21 @@ def synthetic_ratings(n_users=300, n_movies=200, D_true=5, n_obs=20000,
     )
 
 
-def main(n_epochs=20, D=10, K=4, n_leapfrogs=10):
-    su, sv, r_obs, (N, M) = synthetic_ratings()
-    n_train = int(0.9 * len(r_obs))
-    su_t, sv_t, r_t = su[:n_train], sv[:n_train], r_obs[:n_train]
-    su_e, sv_e, r_e = su[n_train:], sv[n_train:], r_obs[n_train:]
+def main(n_epochs=20, D=10, K=4, n_leapfrogs=10, max_ratings=100_000):
+    from examples.utils.dataset import load_movielens1m
+
+    N, M, train, valid, test, synthetic = load_movielens1m()
+    if synthetic:
+        print("[note] MovieLens-1M not found; using synthetic ratings "
+              "(zero-egress env).")
+    # Ratings 1-5 -> [0, 1] to match the sigmoid likelihood
+    # (reference pmf_hmc.py normalizes by alpha_pred = 0.2/4).
+    su_t = np.concatenate([train[0], valid[0]])[:max_ratings]
+    sv_t = np.concatenate([train[1], valid[1]])[:max_ratings]
+    r_t = ((np.concatenate([train[2], valid[2]]) - 1.0) / 4.0)[:max_ratings]
+    n_eval = min(len(test[2]), max_ratings // 10)
+    su_e, sv_e = test[0][:n_eval], test[1][:n_eval]
+    r_e = (test[2][:n_eval] - 1.0) / 4.0
     alpha_u = alpha_v = 1.0
     alpha_pred = 0.2 / 4.0
 

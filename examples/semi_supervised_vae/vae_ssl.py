@@ -127,23 +127,17 @@ def ssl_cost(params, x_l, y_l, x_u, key, n_class, z_dim, n_particles, beta):
 
 
 def main(epochs=10, batch_size=100, lb_samples=10, z_dim=100, beta=1200.0):
-    from examples.utils.dataset import load_mnist_realval, to_one_hot
+    from examples.utils.dataset import load_mnist_semi_supervised
 
-    x_train, t_train, x_valid, t_valid, x_test, t_test, synthetic = (
-        load_mnist_realval()
-    )
-    if synthetic:
-        print("[note] using synthetic MNIST-shaped data (zero-egress env).")
     n_class = 10
     # 100 labeled examples (10 per class), rest unlabeled (M2 protocol).
-    rng = np.random.RandomState(1234)
-    labeled_idx = np.concatenate([
-        np.where(t_train == c)[0][:10] for c in range(n_class)
-    ])
-    x_labeled = x_train[labeled_idx]
-    t_labeled = to_one_hot(t_train[labeled_idx], n_class).astype(np.float32)
-    x_unlabeled = np.delete(x_train, labeled_idx, axis=0)
-    x_dim = x_train.shape[1]
+    x_labeled, t_labeled, x_unlabeled, x_test, t_test, synthetic = (
+        load_mnist_semi_supervised(n_labeled=100)
+    )
+    t_labeled = t_labeled.astype(np.float32)
+    if synthetic:
+        print("[note] using synthetic MNIST-shaped data (zero-egress env).")
+    x_dim = x_labeled.shape[1]
 
     key = jax.random.PRNGKey(1234)
     key, init_key = jax.random.split(key)

@@ -54,21 +54,6 @@ def lntm(n_chains, n_docs, n_topics, n_vocab, eta_mean, eta_logstd):
     return model()
 
 
-def synthetic_bow(n_docs=1500, n_vocab=500, n_topics=20, seed=0):
-    """Deterministic synthetic LNTM corpus (zero-egress fallback)."""
-    rng = np.random.RandomState(seed)
-    beta = rng.randn(n_topics, n_vocab) * 2.0
-    phi = np.exp(beta) / np.exp(beta).sum(-1, keepdims=True)
-    eta = rng.randn(n_docs, n_topics)
-    theta = np.exp(eta) / np.exp(eta).sum(-1, keepdims=True)
-    doc_word = theta @ phi
-    lengths = rng.poisson(120, size=n_docs) + 20
-    X = np.stack([
-        rng.multinomial(n, p) for n, p in zip(lengths, doc_word)
-    ]).astype(np.float32)
-    return X
-
-
 def ais_test_perplexity(X_test, beta, eta_mean, eta_logstd, n_topics,
                         n_chains=25, n_temperatures=100, key=None):
     """Test perplexity upper bound via AIS (reference lntm_mcem.py:208-219):
@@ -91,7 +76,9 @@ def ais_test_perplexity(X_test, beta, eta_mean, eta_logstd, n_topics,
         latent=["eta"],
         n_temperatures=n_temperatures,
     )
-    ll_lb = float(jax.jit(ais.run)(key or jax.random.PRNGKey(0)))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    ll_lb = float(jax.jit(ais.run)(key))
     perplexity_ub = float(
         np.exp(-ll_lb * n_docs_test / np.sum(X_test))
     )
@@ -100,7 +87,12 @@ def ais_test_perplexity(X_test, beta, eta_mean, eta_logstd, n_topics,
 
 def main(epochs=20, batch_size=100, n_topics=20, num_e_steps=5, n_chains=1,
          run_ais=True):
-    X = synthetic_bow()
+    from examples.utils.dataset import load_uci_bow
+
+    X, vocab, synthetic = load_uci_bow("nips", n_docs=1500, n_vocab=500)
+    if synthetic:
+        print("[note] NIPS bag-of-words not found; using a synthetic "
+              "corpus (zero-egress env).")
     training_size = 1200
     X_train, X_test = X[:training_size], X[training_size:]
     n_vocab = X_train.shape[1]

@@ -25,6 +25,8 @@ def save_image_collections(x, filename, shape=(10, 10), scale_each=False,
     from PIL import Image
 
     x = np.asarray(x)
+    if x.dtype == np.uint8:
+        x = x.astype(np.float64) / 255.0
     if transpose:
         x = np.transpose(x, (0, 2, 3, 1))
     if scale_each:

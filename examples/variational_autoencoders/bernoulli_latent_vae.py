@@ -41,7 +41,7 @@ def build_gen(params, x_dim, z_dim, n, n_particles):
 
 def build_q(params, x, z_dim, n_particles, key):
     bn = zs.BayesianNet(key=key)
-    h = mlp_apply(params["encoder"], x)
+    h = mlp_apply(params["encoder"], x, final_activation=jax.nn.relu)
     z_logits = mlp_apply([params["z_logits"]], h)
     bn.bernoulli(
         "z", z_logits, group_ndims=1, n_samples=n_particles,

@@ -20,8 +20,8 @@ from zhusuan_tpu.variational import importance_weighted_objective
 from examples.variational_autoencoders.vae import (
     build_gen,
     build_q,
+    eval_is_loglikelihood,
     init_params,
-    iw_log_likelihood,
 )
 
 
@@ -80,11 +80,11 @@ def main():
         ))
         if epoch % 5 == 0:
             key, sub = jax.random.split(key)
-            test_ll = iw_log_likelihood(
+            test_ll = eval_is_loglikelihood(
                 params, jnp.asarray(x_test[:1000]), sub, z_dim, 1000
             )
             print(">>> TEST LOG LIKELIHOOD (IS, k=1000) = {:.4f}".format(
-                float(test_ll)
+                test_ll
             ))
 
 

@@ -44,9 +44,10 @@ def build_gen(params, x_dim, z_dim, n, n_particles=1):
 
 
 def build_q(params, x, z_dim, n_particles, key):
-    """The variational posterior q(z|x) (reference vae.py:33-41)."""
+    """The variational posterior q(z|x) (reference vae.py:33-41: BOTH
+    500-unit layers are relu-activated)."""
     bn = zs.BayesianNet(key=key)
-    h = mlp_apply(params["encoder"], x)
+    h = mlp_apply(params["encoder"], x, final_activation=jax.nn.relu)
     z_mean = mlp_apply([params["z_mean"]], h)
     z_logstd = mlp_apply([params["z_logstd"]], h)
     bn.normal(
@@ -79,7 +80,11 @@ def elbo_loss(params, x, key, z_dim, n_particles=1):
 
 
 def iw_log_likelihood(params, x, key, z_dim, n_particles=1000):
-    """IS estimate of log p(x) with k particles (reference vae.py:70-75)."""
+    """IS estimate of log p(x) with k particles (reference vae.py:70-75).
+
+    Evaluates one batch; use :func:`eval_is_loglikelihood` for whole test
+    sets (it chunks + jits — [n, k, 784] intermediates get large fast).
+    """
     n = x.shape[0]
     variational = build_q(params, x, z_dim, n_particles, key)
     model = build_gen(params, x.shape[-1], z_dim, n, n_particles)
@@ -88,6 +93,24 @@ def iw_log_likelihood(params, x, key, z_dim, n_particles=1000):
             model, {"x": x}, proposal=variational, axis=0
         )
     )
+
+
+def eval_is_loglikelihood(params, x, key, z_dim, n_particles=1000,
+                          batch_size=128):
+    """Test-set IS log-likelihood, evaluated in jitted batches (the
+    reference evaluates the test set in batches too, vae.py:98-107)."""
+    n = x.shape[0]
+    n_batches = (n + batch_size - 1) // batch_size
+    eval_fn = jax.jit(
+        lambda p, xb, k: iw_log_likelihood(p, xb, k, z_dim, n_particles)
+    )
+    total, count = 0.0, 0
+    for i in range(n_batches):
+        xb = x[i * batch_size:(i + 1) * batch_size]
+        key, sub = jax.random.split(key)
+        total += float(eval_fn(params, xb, sub)) * xb.shape[0]
+        count += xb.shape[0]
+    return total / count
 
 
 def make_train_step(optimizer, z_dim, n_particles=1):
@@ -142,12 +165,12 @@ def main():
         )
         if epoch % 5 == 0:
             key, sub = jax.random.split(key)
-            test_ll = iw_log_likelihood(
+            test_ll = eval_is_loglikelihood(
                 params, jnp.asarray(x_test[:1000]), sub, z_dim,
                 n_particles=1000,
             )
             print(">>> TEST LOG LIKELIHOOD (IS, k=1000) = {:.4f}".format(
-                float(test_ll)
+                test_ll
             ))
 
 

@@ -92,8 +92,15 @@ def data_parallel_grad(
     # replicated-param cotangent is psum'd automatically under shard_map's
     # varying-axes semantics — hand-rolled per-shard grad + pmean would
     # double count).
+    def per_shard(p, b, k):
+        # Independent noise per shard: fold the shard index into the key
+        # (a replicated key would give every device identical draws and
+        # forfeit the variance reduction of N-way data parallelism).
+        k = jax.random.fold_in(k, jax.lax.axis_index(axis_name))
+        return jax.lax.pmean(loss_fn(p, b, k), axis_name)
+
     sharded_loss = shard_map(
-        lambda p, b, k: jax.lax.pmean(loss_fn(p, b, k), axis_name),
+        per_shard,
         mesh=mesh,
         in_specs=(P(), P(axis_name), P()),
         out_specs=P(),

@@ -264,3 +264,33 @@ class TestCorrelatedTarget:
         x = np.asarray(out["samples"]["x"]).reshape(-1, 2)
         emp_cov = np.cov(x.T)
         np.testing.assert_allclose(emp_cov, cov, atol=0.08)
+
+
+class TestContextStack:
+    # Parity: reference tests/framework/test_utils.py:15-45 (Context).
+    def test_push_pop_and_get(self):
+        from zhusuan_tpu.framework import Context, Local
+
+        with pytest.raises(RuntimeError):
+            Local.get_context()
+        a, b = Local(), Local()
+        with a:
+            assert Local.get_context() is a
+            with b:
+                assert Local.get_context() is b
+            assert Local.get_context() is a
+        with pytest.raises(RuntimeError):
+            Local.get_context()
+        assert Local.try_get_context() is None
+
+    def test_subclass_stacks_independent(self):
+        from zhusuan_tpu.framework import Context, Local
+
+        class Other(Context):
+            pass
+
+        o = Other()
+        with o:
+            assert Other.get_context() is o
+            with pytest.raises(RuntimeError):
+                Local.get_context()

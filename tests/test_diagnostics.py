@@ -43,3 +43,19 @@ def test_batch_matches_1d():
     for d in range(3):
         single = effective_sample_size_1d(x[:, d])
         np.testing.assert_allclose(batch[d], single, rtol=1e-8)
+
+
+def test_rhat_converged_vs_not():
+    from zhusuan_tpu.diagnostics import potential_scale_reduction
+
+    rng = np.random.RandomState(0)
+    # Converged: all chains sample the same distribution.
+    good = rng.randn(1000, 8, 3)
+    rhat = potential_scale_reduction(good)
+    assert rhat.shape == (3,)
+    assert np.all(rhat < 1.01)
+
+    # Not converged: chains stuck at different locations.
+    bad = rng.randn(1000, 8, 3) + np.arange(8)[None, :, None] * 3.0
+    rhat_bad = potential_scale_reduction(bad)
+    assert np.all(rhat_bad > 1.5)

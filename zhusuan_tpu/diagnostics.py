@@ -26,7 +26,37 @@ __all__ = [
     "effective_sample_size_1d",
     "ess_batch",
     "ess_batch_device",
+    "potential_scale_reduction",
 ]
+
+
+def potential_scale_reduction(samples):
+    """Split-R-hat (Gelman-Rubin potential scale reduction, rank-plain
+    variant) per dimension.
+
+    Not present in the reference (its only diagnostic is ESS); added
+    because multi-chain sampling is this library's flagship axis and R-hat
+    is the standard convergence check for it. Values near 1.0 indicate
+    convergence; > 1.01 is suspect.
+
+    :param samples: ``[n_iters, n_chains, ...]`` array (each chain's
+        draws along axis 0).
+    :return: numpy array of shape ``samples.shape[2:]``.
+    """
+    x = np.asarray(samples, np.float64)
+    n, m = x.shape[:2]
+    # Split each chain in half (guards against trending chains).
+    half = n // 2
+    x = np.concatenate([x[:half], x[half:2 * half]], axis=1)
+    n, m = x.shape[:2]
+    chain_means = x.mean(axis=0)  # [m, ...]
+    chain_vars = x.var(axis=0, ddof=1)  # [m, ...]
+    w = chain_vars.mean(axis=0)
+    b = n * chain_means.var(axis=0, ddof=1)
+    var_plus = (n - 1) / n * w + b / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rhat = np.sqrt(var_plus / w)
+    return rhat
 
 
 def _batched_reference_acov(x):

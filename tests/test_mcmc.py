@@ -248,3 +248,54 @@ class TestTensorParallelPlacement:
         _np.testing.assert_allclose(
             _np.asarray(out), _np.asarray(x @ params["w"]), rtol=1e-6
         )
+
+
+class TestWindowedWarmup:
+    def test_warmup_run_recovers_mass_and_samples(self):
+        dim, n_chains = 10, 400
+        std = jnp.linspace(0.3, 3.0, dim, dtype=jnp.float64)
+
+        def lj(obs):
+            return jnp.sum(-0.5 * (obs["x"] / std) ** 2, -1)
+
+        hmc = zs.HMC(step_size=0.5, n_leapfrogs=8, adapt_step_size=True)
+        state = hmc.init({"x": jnp.zeros((n_chains, dim), jnp.float64)},
+                         log_joint=lj)
+        state = jax.jit(
+            lambda s, k: hmc.warmup_run(lj, {}, s, k, 400)
+        )(state, jax.random.PRNGKey(0))
+        # Installed mass approximates the precision 1/std^2.
+        mass = np.asarray(state.mass["x"]).reshape(dim)
+        np.testing.assert_allclose(
+            mass, 1 / np.asarray(std) ** 2, rtol=0.5
+        )
+        # Post-warmup sampling recovers the moments with good acceptance.
+        _, out = jax.jit(lambda s, k: hmc.run(lj, {}, s, k, 300))(
+            state, jax.random.PRNGKey(1)
+        )
+        acc = float(jnp.mean(out["acceptance_rate"]))
+        assert acc > 0.6
+        x = np.asarray(out["samples"]["x"]).reshape(-1, dim)
+        np.testing.assert_allclose(x.std(0), np.asarray(std), rtol=0.1)
+
+    def test_warmup_requires_flags(self):
+        import pytest
+
+        hmc = zs.HMC()
+        with pytest.raises(ValueError, match="adapt_step_size"):
+            hmc.warmup_run(log_joint, {}, None, None, 100)
+        hmc2 = zs.HMC(adapt_step_size=True, adapt_mass=True)
+        with pytest.raises(ValueError, match="owns the mass"):
+            hmc2.warmup_run(log_joint, {}, None, None, 100)
+
+    def test_short_budget_falls_back(self):
+        hmc = zs.HMC(step_size=0.3, n_leapfrogs=3, adapt_step_size=True)
+        state = hmc.init({"x": jnp.zeros((16, 4), jnp.float64)},
+                         n_chain_dims=1)
+        st = hmc.warmup_run(log_joint_gauss, {}, state, jax.random.PRNGKey(0),
+                            40)
+        assert np.all(np.isfinite(np.asarray(st.q["x"])))
+
+
+def log_joint_gauss(observed):
+    return jnp.sum(-0.5 * observed["x"] ** 2, -1)

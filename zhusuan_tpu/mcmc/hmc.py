@@ -524,3 +524,133 @@ class HMC:
             body, (state, key), None, length=n_iters
         )
         return final_state, outputs
+
+    # ------------------------------------------------------------------ #
+    def warmup_run(
+        self,
+        meta_bn,
+        observed,
+        state: HMCState,
+        key,
+        n_warmup: int,
+        init_buffer: int = 75,
+        term_buffer: int = 50,
+        base_window: int = 25,
+    ):
+        """Stan-style three-phase windowed warmup (beyond the reference's
+        single burn-in gate):
+
+        1. ``init_buffer`` iterations: step-size adaptation only (early
+           positions would poison the mass estimate).
+        2. expanding windows (base_window, 2x, 4x, ...): samples accumulate
+           into a Welford variance estimator; the (regularized) diagonal
+           mass is installed only AT each window boundary and held fixed in
+           between, and the accumulator restarts — so each window's mass
+           reflects only recent, better-located samples.
+        3. ``term_buffer`` iterations: step-size-only, letting dual
+           averaging settle against the final mass.
+
+        Requires ``adapt_step_size`` enabled and ``adapt_mass`` DISABLED
+        (this driver owns the mass; the constructor's EW scheme is the
+        reference-parity alternative). Runs as one ``lax.scan``.
+
+        :return: the warmed-up :class:`HMCState` (nothing collected; the
+            installed mass lives in ``state.mass``).
+        """
+        if self.adapt_step_size is None:
+            raise ValueError("warmup_run requires adapt_step_size enabled.")
+        if self.adapt_mass is not None:
+            raise ValueError(
+                "warmup_run owns the mass schedule; construct HMC with "
+                "adapt_mass=None (the EW scheme and windowed warmup are "
+                "alternatives)."
+            )
+        n_warmup = int(n_warmup)
+        if n_warmup < init_buffer + term_buffer + base_window:
+            # Degenerate budget: plain step-size-only adaptation.
+            return self.run(
+                meta_bn, observed, state, key, n_warmup, n_adapt=n_warmup,
+                collect=False,
+            )[0]
+
+        # Host-side static schedule.
+        slow_lo = init_buffer
+        slow_hi = n_warmup - term_buffer
+        accumulate = np.zeros(n_warmup, dtype=bool)
+        accumulate[slow_lo:slow_hi] = True
+        install = np.zeros(n_warmup, dtype=bool)
+        w, pos = base_window, slow_lo
+        while pos + w < slow_hi:
+            pos += w
+            install[pos] = True
+            w *= 2
+        install[slow_hi - 1] = True  # final window installs at the end
+        accumulate_j = jnp.asarray(accumulate)
+        install_j = jnp.asarray(install)
+
+        dtype = state.step_size.dtype
+        zeros = {k: jnp.zeros_like(v) for k, v in state.mass.items()}
+
+        def body(carry, i):
+            st, k, count, mean, m2 = carry
+            k, sub = jax.random.split(k)
+            st, _ = self.sample(
+                meta_bn, observed, st, sub,
+                adapt_step_size=jnp.asarray(True),
+            )
+            # Welford update over (iteration x chains) in the slow phase.
+            acc = accumulate_j[i]
+            n_chains = next(iter(st.q.values())).shape[0]
+            new_count = count + jnp.where(acc, float(n_chains), 0.0)
+            new_mean, new_m2 = {}, {}
+            for name, x in st.q.items():
+                # Batched Welford: fold the whole chain batch at once.
+                batch_mean = jnp.mean(x, axis=0, keepdims=True)
+                batch_m2 = jnp.sum(
+                    (x - batch_mean) ** 2, axis=0, keepdims=True
+                )
+                delta = batch_mean - mean[name]
+                tot = jnp.maximum(new_count, 1.0)
+                m = mean[name] + delta * jnp.where(
+                    acc, float(n_chains) / tot, 0.0
+                )
+                m2_new = m2[name] + jnp.where(
+                    acc,
+                    batch_m2 + delta ** 2 * count * n_chains / tot,
+                    jnp.zeros_like(batch_m2),
+                )
+                new_mean[name] = m
+                new_m2[name] = m2_new
+            # Install regularized mass at window boundaries (Stan's
+            # shrinkage toward unit: var*n/(n+5) + 1e-3*5/(n+5)).
+            do_install = install_j[i] & acc
+            n_eff = jnp.maximum(new_count - 1.0, 1.0)
+            installed_mass = {}
+            for name in st.q:
+                var = new_m2[name] / n_eff
+                var = (
+                    var * (new_count / (new_count + 5.0))
+                    + 1e-3 * (5.0 / (new_count + 5.0))
+                )
+                precision = 1.0 / jnp.maximum(var, 1e-10)
+                installed_mass[name] = jnp.where(
+                    do_install, precision, st.mass[name]
+                )
+            st = st._replace(mass=installed_mass)
+            # Restart the accumulator after an install.
+            new_count = jnp.where(do_install, 0.0, new_count)
+            new_mean = {
+                n: jnp.where(do_install, jnp.zeros_like(v), v)
+                for n, v in new_mean.items()
+            }
+            new_m2 = {
+                n: jnp.where(do_install, jnp.zeros_like(v), v)
+                for n, v in new_m2.items()
+            }
+            return (st, k, new_count, new_mean, new_m2), None
+
+        carry0 = (state, key, jnp.zeros((), dtype), dict(zeros), dict(zeros))
+        (final_state, *_), _ = jax.lax.scan(
+            body, carry0, jnp.arange(n_warmup)
+        )
+        return final_state

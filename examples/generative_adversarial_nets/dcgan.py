@@ -159,6 +159,19 @@ def main(epochs=5, batch_size=64, z_dim=40):
         print("Epoch {}: gen loss = {:.4f}, disc loss = {:.4f}".format(
             epoch, np.mean(gls), np.mean(dls)
         ))
+        # Save a sample grid each epoch (reference dcgan.py saves images
+        # via utils.save_image_collections).
+        try:
+            from examples.utils.utils import save_image_collections
+
+            key, sub = jax.random.split(key)
+            samples = np.asarray(generator(gen_params, 100, z_dim,
+                                           sub)["x_gen"])
+            save_image_collections(
+                samples, "results/dcgan/epoch_{}.png".format(epoch)
+            )
+        except ImportError:
+            pass
     return gen_params, disc_params
 
 

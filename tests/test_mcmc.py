@@ -299,3 +299,31 @@ class TestWindowedWarmup:
 
 def log_joint_gauss(observed):
     return jnp.sum(-0.5 * observed["x"] ** 2, -1)
+
+
+class TestStepSizeJitter:
+    def test_jittered_hmc_samples_correctly(self):
+        std = jnp.linspace(0.5, 2.0, 6, dtype=jnp.float64)
+
+        def lj(obs):
+            return jnp.sum(-0.5 * (obs["x"] / std) ** 2, -1)
+
+        hmc = zs.HMC(step_size=0.4, n_leapfrogs=8, adapt_step_size=True,
+                     step_size_jitter=0.2)
+        state = hmc.init({"x": jnp.zeros((300, 6), jnp.float64)},
+                         log_joint=lj)
+        state, _ = jax.jit(
+            lambda s, k: hmc.run(lj, {}, s, k, 200, n_adapt=150,
+                                 collect=False)
+        )(state, jax.random.PRNGKey(0))
+        _, out = jax.jit(lambda s, k: hmc.run(lj, {}, s, k, 300))(
+            state, jax.random.PRNGKey(1)
+        )
+        x = np.asarray(out["samples"]["x"]).reshape(-1, 6)
+        np.testing.assert_allclose(x.std(0), np.asarray(std), rtol=0.1)
+
+    def test_invalid_jitter(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="jitter"):
+            zs.HMC(step_size_jitter=1.5)

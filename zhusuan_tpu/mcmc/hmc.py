@@ -110,6 +110,7 @@ class HMC:
         adapt_mass: Optional[bool] = None,
         mass_collect_iters: int = 10,
         mass_decay: float = 0.99,
+        step_size_jitter: float = 0.0,
         experimental_fused_leapfrog: bool = False,
     ):
         self.init_step_size = float(step_size)
@@ -133,6 +134,9 @@ class HMC:
         self.adapt_mass = adapt_mass
         self.mass_collect_iters = int(mass_collect_iters)
         self.mass_decay = float(mass_decay)
+        if not 0.0 <= step_size_jitter < 1.0:
+            raise ValueError("step_size_jitter must be in [0, 1).")
+        self.step_size_jitter = float(step_size_jitter)
         self.experimental_fused_leapfrog = bool(experimental_fused_leapfrog)
 
     # ------------------------------------------------------------------ #
@@ -382,7 +386,7 @@ class HMC:
             )
             mass = state.mass
 
-        key_p, key_u = jax.random.split(key)
+        key_p, key_u, key_j = jax.random.split(key, 3)
         p = tree_random_momentum(key_p, q, mass)
 
         # --- step size (+ heuristic init search; hmc.py:458-472) ------- #
@@ -406,8 +410,20 @@ class HMC:
             step_size = state.step_size
 
         # --- leapfrog (hmc.py:474-476) --------------------------------- #
+        # Optional per-iteration step-size jitter (standard anti-resonance
+        # guard, e.g. Neal 2011 §3.2; not in the reference): the jittered
+        # value is used for the whole trajectory, so detailed balance holds.
+        if self.step_size_jitter > 0.0:
+            u_j = jax.random.uniform(
+                key_j, (), step_size.dtype,
+                minval=1.0 - self.step_size_jitter,
+                maxval=1.0 + self.step_size_jitter,
+            )
+            trajectory_step = step_size * u_j
+        else:
+            trajectory_step = step_size
         new_q, new_p = self._run_leapfrog(
-            q, p, step_size, grad_fn, mass, n_chain_dims
+            q, p, trajectory_step, grad_fn, mass, n_chain_dims
         )
 
         # --- MH test (hmc.py:479-498) ---------------------------------- #

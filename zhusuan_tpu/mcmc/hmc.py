@@ -111,6 +111,7 @@ class HMC:
         mass_collect_iters: int = 10,
         mass_decay: float = 0.99,
         step_size_jitter: float = 0.0,
+        check_numerics: bool = False,
         experimental_fused_leapfrog: bool = False,
     ):
         self.init_step_size = float(step_size)
@@ -132,11 +133,18 @@ class HMC:
                 "(parity: reference hmc.py:270-272)."
             )
         self.adapt_mass = adapt_mass
-        self.mass_collect_iters = int(mass_collect_iters)
+        # Without mass adaptation there is no second init-search trigger
+        # (parity: reference hmc.py:275-277 zeroes mass_collect_iters) —
+        # otherwise dual averaging would be spuriously fresh-started at
+        # t == mass_collect_iters in every mass-free adaptive run.
+        self.mass_collect_iters = (
+            int(mass_collect_iters) if adapt_mass is not None else 0
+        )
         self.mass_decay = float(mass_decay)
         if not 0.0 <= step_size_jitter < 1.0:
             raise ValueError("step_size_jitter must be in [0, 1).")
         self.step_size_jitter = float(step_size_jitter)
+        self.check_numerics = bool(check_numerics)
         self.experimental_fused_leapfrog = bool(experimental_fused_leapfrog)
 
     # ------------------------------------------------------------------ #
@@ -169,7 +177,6 @@ class HMC:
         }
         zeros = {k: jnp.zeros(s, dtype) for k, s in data_shapes.items()}
         ones = {k: jnp.ones(s, dtype) for k, s in data_shapes.items()}
-        self._n_chain_dims = n_chain_dims
         return HMCState(
             q=q,
             t=jnp.zeros((), jnp.int32),
@@ -284,7 +291,9 @@ class HMC:
 
             (name,) = q.keys()
             if (
-                leapfrog_supported(q[name].shape)
+                leapfrog_supported(
+                    q[name].shape, itemsize=q[name].dtype.itemsize
+                )
                 and mass[name].shape == (1,) + q[name].shape[1:]
             ):
                 # Reuse the exact same grad function as the scan path so the
@@ -315,7 +324,14 @@ class HMC:
             + (1.0 - fs) * (1.0 - rate) * state.log_epsilon_bar
         )
         adapted = jnp.exp(log_epsilon)
-        frozen = jnp.exp(state.log_epsilon_bar)
+        # If dual averaging never ran (da_step == 0), exp(log_epsilon_bar)
+        # would be exp(0) = 1.0 regardless of the configured step size; fall
+        # back to the current step size instead.
+        frozen = jnp.where(
+            state.da_step > 0,
+            jnp.exp(state.log_epsilon_bar),
+            state.step_size,
+        )
         new_step_size = jnp.where(gate, adapted, frozen)
         da_step = jnp.where(gate, new_step, state.da_step)
         h_bar = jnp.where(gate, new_h_bar, state.h_bar)
@@ -332,6 +348,7 @@ class HMC:
         key,
         adapt_step_size=None,
         adapt_mass=None,
+        reinit_step_size=None,
     ):
         """Run ONE HMC iteration: pure ``(state, key) -> (state, info)``.
 
@@ -346,6 +363,9 @@ class HMC:
         :param adapt_step_size: optional traced bool gating step-size
             adaptation this iteration (default: the constructor setting).
         :param adapt_mass: optional traced bool gating mass adaptation.
+        :param reinit_step_size: optional traced bool forcing the heuristic
+            step-size re-search and a dual-averaging fresh start this
+            iteration (used by :meth:`warmup_run` at window boundaries).
         :return: ``(new_state, HMCInfo)``.
         """
         log_post = make_log_joint_fn(meta_bn, observed)
@@ -369,7 +389,10 @@ class HMC:
             ewmv_t, ewmv_mean, ewmv_var = self._ewmv_update(
                 state, gate_mass, n_chain_dims
             )
-            use_adapted = new_t >= self.mass_collect_iters
+            # Adapted mass only after the collect window AND at least one
+            # gated accumulator update (otherwise var==0 -> mass 1e20 and
+            # frozen chains when the runtime gate never fired).
+            use_adapted = (new_t >= self.mass_collect_iters) & (ewmv_t > 0)
             mass = {
                 k: jax.lax.stop_gradient(
                     jnp.where(
@@ -392,6 +415,8 @@ class HMC:
         # --- step size (+ heuristic init search; hmc.py:458-472) ------- #
         if self.adapt_step_size is not None:
             if_init_ss = (new_t == 1) | (new_t == self.mass_collect_iters)
+            if reinit_step_size is not None:
+                if_init_ss = if_init_ss | jnp.asarray(reinit_step_size)
             # The search starts from the current step size (reference
             # hmc.py:340-344 seeds the while_loop with self.step_size).
             searched = jax.lax.cond(
@@ -432,6 +457,17 @@ class HMC:
                 q, p, new_q, new_p, log_post, mass, n_chain_dims
             )
         )
+        if self.check_numerics:
+            # Parity: reference hmc.py:51-53 raised on a non-finite
+            # pre-move log prob ("Try better initialization"); opt-in host
+            # callback here (a silent chain would otherwise reject forever).
+            from zhusuan_tpu.ops.checks import check_numerics as _check
+
+            old_log_prob = _check(
+                old_log_prob,
+                "HMC: old_log_prob has numeric errors! "
+                "Try better initialization.",
+            )
         u01 = jax.random.uniform(key_u, acceptance_rate.shape,
                                  acceptance_rate.dtype)
         if_accept = u01 < acceptance_rate
@@ -581,6 +617,17 @@ class HMC:
                 "adapt_mass=None (the EW scheme and windowed warmup are "
                 "alternatives)."
             )
+        # The Welford reductions below assume exactly one leading chain
+        # axis (shape[0], axis=0); other chain ranks must use run()'s plain
+        # gated adaptation.
+        log_post = make_log_joint_fn(meta_bn, observed)
+        n_chain_dims = len(jax.eval_shape(log_post, state.q).shape)
+        if n_chain_dims != 1:
+            raise ValueError(
+                "warmup_run supports exactly one chain axis (log-joint "
+                "output rank 1); got chain rank {}. Use run(n_adapt=...) "
+                "for other chain shapes.".format(n_chain_dims)
+            )
         n_warmup = int(n_warmup)
         if n_warmup < init_buffer + term_buffer + base_window:
             # Degenerate budget: plain step-size-only adaptation.
@@ -603,6 +650,13 @@ class HMC:
         install[slow_hi - 1] = True  # final window installs at the end
         accumulate_j = jnp.asarray(accumulate)
         install_j = jnp.asarray(install)
+        # Re-search + fresh-start dual averaging right after each mass
+        # install (Stan re-initializes step-size adaptation at window
+        # close; stale DA statistics would otherwise dominate the final
+        # frozen step size).
+        reinit = np.zeros(n_warmup, dtype=bool)
+        reinit[1:] = install[:-1]
+        reinit_j = jnp.asarray(reinit)
 
         dtype = state.step_size.dtype
         zeros = {k: jnp.zeros_like(v) for k, v in state.mass.items()}
@@ -613,6 +667,7 @@ class HMC:
             st, _ = self.sample(
                 meta_bn, observed, st, sub,
                 adapt_step_size=jnp.asarray(True),
+                reinit_step_size=reinit_j[i],
             )
             # Welford update over (iteration x chains) in the slow phase.
             acc = accumulate_j[i]

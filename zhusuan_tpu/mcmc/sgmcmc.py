@@ -80,6 +80,17 @@ class SGMCMC:
     def _init_state(self, q, t, key):
         return SGMCMCState(q=q, t=t, v={}, alpha={}, rms={})
 
+    def _maybe_resample_v(self, state, key, lr):
+        """Resample momentum every ``n_iter_resample_v`` iterations (0
+        disables). Shared by SGHMC/SGNHT (reference sgmcmc.py:326-337)."""
+        if self.n_iter_resample_v == 0:
+            return state.v
+        fresh = _tree_normal(key, state.v, jnp.sqrt(lr))
+        resample = (state.t % self.n_iter_resample_v) == 0
+        return {
+            k: jnp.where(resample, fresh[k], state.v[k]) for k in state.v
+        }
+
     def sample(self, meta_bn, observed, state: SGMCMCState, key):
         """One SGMCMC iteration: pure ``(state, key) -> (state, info)``.
 
@@ -125,6 +136,34 @@ class SGMCMC:
                 out = (out, info)
             return (st2, k), out
 
+        if collect and thinning > 1 and not collect_info:
+            # Memory-bounded thinning: inner loop of `thinning` un-collected
+            # iterations per emitted draw (stacking all n_iters and slicing
+            # afterwards would allocate the full trajectory).
+            n_out = n_iters // thinning
+
+            def outer(carry, _):
+                def inner(_, c):
+                    st, k = c
+                    k, sub = jax.random.split(k)
+                    st2, _ = self.sample(meta_bn, observed, st, sub)
+                    return (st2, k)
+
+                st, k = jax.lax.fori_loop(0, thinning, inner, carry)
+                return (st, k), st.q
+
+            (final_state, _), qs = jax.lax.scan(
+                outer, (state, key), None, length=n_out
+            )
+            rem = n_iters - n_out * thinning
+            if rem:
+                (final_state, _), _ = jax.lax.scan(
+                    lambda c, _: (body(c, None)[0], None),
+                    (final_state, jax.random.fold_in(key, 1)),
+                    None, length=rem,
+                )
+            return final_state, qs
+
         (final_state, _), outs = jax.lax.scan(
             body, (state, key), None, length=n_iters
         )
@@ -132,8 +171,6 @@ class SGMCMC:
             qs, infos = outs
         else:
             qs, infos = outs, None
-        if collect and thinning > 1:
-            qs = {k: v[::thinning] for k, v in qs.items()}
         if collect_info:
             return final_state, qs, infos
         return final_state, qs
@@ -237,15 +274,6 @@ class SGHMC(SGMCMC):
         v = _tree_normal(key, q, jnp.sqrt(lr0))
         return SGMCMCState(q=q, t=t, v=v, alpha={}, rms={})
 
-    def _maybe_resample_v(self, state, key, lr):
-        if self.n_iter_resample_v == 0:
-            return state.v
-        fresh = _tree_normal(key, state.v, jnp.sqrt(lr))
-        resample = (state.t % self.n_iter_resample_v) == 0
-        return {
-            k: jnp.where(resample, fresh[k], state.v[k]) for k in state.v
-        }
-
     def _update(self, state, grad_fn, key):
         key_r, key_n = jax.random.split(key)
         lr = self._lr(state.t)
@@ -312,15 +340,6 @@ class SGNHT(SGMCMC):
 
     def _maybe_reduce_mean(self, x):
         return x if self.use_vector_alpha else jnp.mean(x)
-
-    def _maybe_resample_v(self, state, key, lr):
-        if self.n_iter_resample_v == 0:
-            return state.v
-        fresh = _tree_normal(key, state.v, jnp.sqrt(lr))
-        resample = (state.t % self.n_iter_resample_v) == 0
-        return {
-            k: jnp.where(resample, fresh[k], state.v[k]) for k in state.v
-        }
 
     def _update(self, state, grad_fn, key):
         key_r, key_n = jax.random.split(key)

@@ -493,14 +493,14 @@ class TestMultiChipStatistics:
         def lj(obs):
             return jnp.sum(-0.5 * ((obs["x"] - mean) / std) ** 2, -1)
 
-        hmc = zs.HMC(step_size=0.5, n_leapfrogs=5, adapt_step_size=True)
+        hmc = zs.HMC(step_size=0.5, n_leapfrogs=8, adapt_step_size=True)
         state = hmc.init(
             {"x": jnp.zeros((n_chains, dim), jnp.float64)}, log_joint=lj
         )
         mesh = chain_mesh(axis_name="chains")
         state = shard_chains(mesh, state)
         state, _ = jax.jit(
-            lambda s, k: hmc.run(lj, {}, s, k, 200, n_adapt=150,
+            lambda s, k: hmc.run(lj, {}, s, k, 400, n_adapt=300,
                                  collect=False)
         )(state, KEY)
         _, out = jax.jit(lambda s, k: hmc.run(lj, {}, s, k, 300))(

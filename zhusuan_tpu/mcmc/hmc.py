@@ -90,8 +90,15 @@ class HMC:
     :param adapt_mass: None disables mass adaptation; a bool enables the EW
         variance machinery and sets the default gate. Requires
         ``adapt_step_size`` (reference hmc.py:270-272).
-    :param mass_collect_iters: iterations before the adapted mass is used.
+    :param mass_collect_iters: iterations before the adapted mass is used
+        (forced to 0 when ``adapt_mass`` is None, matching the reference).
     :param mass_decay: EW variance decay.
+    :param step_size_jitter: optional per-iteration multiplicative jitter
+        ``eps * U(1-j, 1+j)`` (anti-resonance guard, Neal 2011 §3.2; not in
+        the reference). One draw per iteration, so detailed balance holds.
+    :param check_numerics: raise (host callback) when the pre-move log
+        probability is non-finite, restoring the reference's
+        "Try better initialization" error (hmc.py:51-53).
     :param experimental_fused_leapfrog: route the trajectory through the
         Pallas VMEM-resident kernel (:mod:`zhusuan_tpu.ops.leapfrog`) when
         the latent is a single ``[n_chains, dim]`` array. Numerically

@@ -19,6 +19,7 @@ from zhusuan_tpu.parallel.mesh import (
     shard_chains,
     shard_params_tp,
     sharded_run,
+    tp_last_axis_rule,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "data_parallel_grad",
     "shard_params_tp",
     "sharded_run",
+    "tp_last_axis_rule",
 ]

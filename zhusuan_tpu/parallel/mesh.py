@@ -23,6 +23,7 @@ __all__ = [
     "data_parallel_grad",
     "sharded_run",
     "shard_params_tp",
+    "tp_last_axis_rule",
 ]
 
 
@@ -108,25 +109,49 @@ def data_parallel_grad(
     return jax.jit(jax.value_and_grad(sharded_loss, argnums=argnums))
 
 
-def shard_params_tp(mesh: Mesh, params, axis_name: str = "tp"):
-    """Tensor-parallel placement for parameter pytrees: 2-D weight matrices
-    are sharded on their output (last) axis over ``axis_name``; 1-D biases
-    likewise; everything else replicated. XLA inserts the all-gathers /
-    reduce-scatters over ICI at use sites.
+def tp_last_axis_rule(mesh: Mesh, axis_name: str = "tp"):
+    """The default TP placement rule: shard the LAST (output) axis over
+    ``axis_name`` for any array whose last axis divides evenly; replicate
+    everything else. Returns a ``rule(path, leaf) -> PartitionSpec``.
 
-    SURVEY.md §2.10 row 3 ("optional TP: shard large BNN weight matrices /
-    GP Gram matrices") made first-class.
+    This is a *heuristic* — an array whose last axis is incidentally
+    divisible gets sharded too. Pass a custom ``rule`` to
+    :func:`shard_params_tp` (e.g. matching on the pytree key path) for
+    models where that matters.
     """
     n_dev = mesh.shape[axis_name]
 
-    def place(x):
-        x = jnp.asarray(x)
+    def rule(path, x):
+        del path
         if x.ndim >= 1 and x.shape[-1] % n_dev == 0 and x.shape[-1] >= n_dev:
-            spec = P(*([None] * (x.ndim - 1) + [axis_name]))
-            return jax.device_put(x, NamedSharding(mesh, spec))
-        return jax.device_put(x, NamedSharding(mesh, P()))
+            return P(*([None] * (x.ndim - 1) + [axis_name]))
+        return P()
 
-    return jax.tree.map(place, params)
+    return rule
+
+
+def shard_params_tp(mesh: Mesh, params, axis_name: str = "tp", rule=None):
+    """Tensor-parallel placement for parameter pytrees. XLA inserts the
+    all-gathers / reduce-scatters over ICI at use sites.
+
+    SURVEY.md §2.10 row 3 ("optional TP: shard large BNN weight matrices /
+    GP Gram matrices") made first-class.
+
+    :param rule: ``rule(path, leaf) -> PartitionSpec`` deciding each leaf's
+        placement; ``path`` is the ``jax.tree_util.keystr`` of the leaf.
+        Defaults to :func:`tp_last_axis_rule` (last-axis-divisible
+        heuristic: 2-D weights sharded on the output axis, biases likewise,
+        scalars replicated).
+    """
+    if rule is None:
+        rule = tp_last_axis_rule(mesh, axis_name)
+
+    def place(path, x):
+        x = jnp.asarray(x)
+        spec = rule(jax.tree_util.keystr(path), x)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
 
 
 def sharded_run(mesh: Mesh, fn: Callable, state, key, axis_name="chains"):

@@ -1,0 +1,223 @@
+"""Multi-device numerics equivalence tests (8 virtual CPU devices).
+
+The placement tests in test_mcmc.py prove *where* arrays live; these prove
+the sharded programs compute the *same numbers* as their single-device
+counterparts — the correctness contract for SURVEY.md §2.10 rows 2-3
+(reference analogue: ``examples/utils/multi_gpu.py`` gradient averaging,
+which had no such test).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import zhusuan_tpu as zs
+from zhusuan_tpu.parallel import (
+    chain_mesh,
+    data_parallel_grad,
+    replicated,
+    shard_chains,
+    shard_params_tp,
+    tp_last_axis_rule,
+)
+
+
+N_DEV = len(jax.devices())
+pytestmark = pytest.mark.skipif(
+    N_DEV < 8, reason="needs 8 virtual devices (tests/conftest.py)"
+)
+
+
+def _dp_mesh():
+    return Mesh(np.array(jax.devices()[:8]), ("dp",))
+
+
+class TestDataParallelGradEquivalence:
+    def test_deterministic_loss_matches_single_device(self):
+        """DP-sharded gradients == single-device gradients on the same
+        global batch (deterministic loss, so no key-folding asymmetry)."""
+        mesh = _dp_mesh()
+        params = {
+            "w": jnp.asarray(np.random.RandomState(0).randn(5, 3)),
+            "b": jnp.zeros(3),
+        }
+        batch = jnp.asarray(np.random.RandomState(1).randn(64, 5))
+
+        def loss_fn(p, b, key):
+            del key
+            pred = b @ p["w"] + p["b"]
+            return jnp.mean(pred ** 2)
+
+        dp_fn = data_parallel_grad(loss_fn, mesh)
+        loss_dp, grads_dp = dp_fn(params, batch, jax.random.PRNGKey(0))
+
+        loss_1, grads_1 = jax.value_and_grad(loss_fn)(
+            params, batch, jax.random.PRNGKey(0)
+        )
+        np.testing.assert_allclose(float(loss_dp), float(loss_1), rtol=1e-12)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(grads_dp[k]), np.asarray(grads_1[k]), rtol=1e-10
+            )
+
+    def test_stochastic_loss_matches_manual_shard_fold(self):
+        """With a key-consuming loss, the DP result equals manually
+        computing each shard's loss with the folded per-shard key and
+        averaging — i.e. the key-folding contract is exactly as
+        documented."""
+        mesh = _dp_mesh()
+        n_dev = 8
+        params = {"mu": jnp.asarray(1.5)}
+        batch = jnp.asarray(np.random.RandomState(2).randn(32, 4))
+        key = jax.random.PRNGKey(7)
+
+        def loss_fn(p, b, k):
+            noise = jax.random.normal(k, b.shape)
+            return jnp.mean((b + noise - p["mu"]) ** 2)
+
+        dp_fn = data_parallel_grad(loss_fn, mesh)
+        loss_dp, grads_dp = dp_fn(params, batch, key)
+
+        shards = batch.reshape(n_dev, -1, batch.shape[-1])
+        manual = [
+            loss_fn(params, shards[i], jax.random.fold_in(key, i))
+            for i in range(n_dev)
+        ]
+        manual_loss = float(np.mean([float(m) for m in manual]))
+        np.testing.assert_allclose(float(loss_dp), manual_loss, rtol=1e-10)
+        # Gradient of the mean-of-shards loss.
+        manual_grad = jax.grad(
+            lambda p: sum(
+                loss_fn(p, shards[i], jax.random.fold_in(key, i))
+                for i in range(n_dev)
+            )
+            / n_dev
+        )(params)
+        np.testing.assert_allclose(
+            float(grads_dp["mu"]), float(manual_grad["mu"]), rtol=1e-10
+        )
+
+
+class TestTensorParallelEquivalence:
+    def test_tp_vae_step_loss_matches_replicated(self):
+        """TP-sharded VAE forward/backward == replicated, same batch+key."""
+        from examples.variational_autoencoders.vae import (
+            elbo_loss, init_params,
+        )
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "tp"))
+        z_dim, x_dim, hidden, batch = 8, 64, 32, 16
+        key = jax.random.PRNGKey(0)
+        params = init_params(key, x_dim=x_dim, z_dim=z_dim, hidden=hidden)
+        x = (jax.random.uniform(key, (batch, x_dim)) < 0.5).astype(
+            jnp.float32
+        )
+
+        loss_fn = jax.jit(
+            lambda p, xx, k: jax.value_and_grad(elbo_loss)(p, xx, k, z_dim)
+        )
+        loss_repl, grads_repl = loss_fn(params, x, key)
+
+        params_tp = shard_params_tp(
+            mesh, params, rule=tp_last_axis_rule(mesh, "tp")
+        )
+        x_dp = jax.device_put(x, NamedSharding(mesh, P("dp")))
+        loss_tp, grads_tp = loss_fn(params_tp, x_dp, key)
+
+        np.testing.assert_allclose(
+            float(loss_tp), float(loss_repl), rtol=1e-5
+        )
+        flat_r = jax.tree.leaves(grads_repl)
+        flat_t = jax.tree.leaves(grads_tp)
+        for a, b in zip(flat_r, flat_t):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4
+            )
+
+    def test_explicit_rule_overrides_heuristic(self):
+        """A path-based rule replicates an 'incidentally divisible' array the
+        heuristic would shard."""
+        mesh = Mesh(np.array(jax.devices()[:8]), ("tp",))
+        params = {"w": jnp.ones((4, 16)), "stats": jnp.ones((3, 16))}
+
+        def rule(path, leaf):
+            if "stats" in path:
+                return P()
+            return tp_last_axis_rule(mesh, "tp")(path, leaf)
+
+        placed = shard_params_tp(mesh, params, rule=rule)
+        assert placed["w"].sharding.spec == P(None, "tp")
+        assert placed["stats"].sharding.spec == P()
+
+
+class TestShardedHMCEquivalence:
+    def test_sharded_chain_run_matches_unsharded(self):
+        """8-device chain-sharded HMC == unsharded HMC: with partitionable
+        threefry the two runs are the same program modulo layout, so the
+        draws match to float tolerance."""
+        dim, n_chains = 8, 64
+        std = jnp.linspace(0.5, 2.0, dim, dtype=jnp.float64)
+
+        def lj(obs):
+            return jnp.sum(-0.5 * (obs["x"] / std) ** 2, -1)
+
+        hmc = zs.HMC(step_size=0.4, n_leapfrogs=5, adapt_step_size=True)
+        state0 = hmc.init(
+            {"x": jnp.zeros((n_chains, dim), jnp.float64)}, log_joint=lj
+        )
+        run = jax.jit(
+            lambda s, k: hmc.run(lj, {}, s, k, 200, n_adapt=100)
+        )
+
+        key = jax.random.PRNGKey(3)
+        final_u, out_u = run(state0, key)
+
+        mesh = chain_mesh(8)
+        state_s = shard_chains(mesh, state0)
+        final_s, out_s = run(state_s, key)
+
+        xs_u = np.asarray(out_u["samples"]["x"])
+        xs_s = np.asarray(out_s["samples"]["x"])
+        np.testing.assert_allclose(xs_s, xs_u, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(out_s["acceptance_rate"]),
+            np.asarray(out_u["acceptance_rate"]),
+            rtol=1e-8,
+        )
+
+    def test_sharded_statistics_recover_target(self):
+        """Sharded sampling statistics hit the analytic moments (the weaker
+        but configuration-independent check)."""
+        dim, n_chains = 4, 512
+        std = jnp.linspace(0.5, 2.0, dim, dtype=jnp.float64)
+
+        def lj(obs):
+            return jnp.sum(-0.5 * (obs["x"] / std) ** 2, -1)
+
+        hmc = zs.HMC(step_size=0.4, n_leapfrogs=5, adapt_step_size=True)
+        mesh = chain_mesh(8)
+        state = shard_chains(
+            mesh,
+            hmc.init(
+                {"x": jnp.zeros((n_chains, dim), jnp.float64)}, log_joint=lj
+            ),
+        )
+        final, out = jax.jit(
+            lambda s, k: hmc.run(lj, {}, s, k, 400, n_adapt=200)
+        )(state, jax.random.PRNGKey(0))
+        xs = np.asarray(out["samples"]["x"][200:]).reshape(-1, dim)
+        np.testing.assert_allclose(xs.std(0), np.asarray(std), rtol=0.1)
+        np.testing.assert_allclose(
+            xs.mean(0), np.zeros(dim), atol=3 * xs.std(0).max() / np.sqrt(len(xs))
+        )
+
+
+class TestReplicated:
+    def test_replicated_placement(self):
+        mesh = _dp_mesh()
+        tree = {"a": jnp.ones((3, 3)), "b": jnp.zeros(())}
+        placed = replicated(mesh, tree)
+        assert placed["a"].sharding.spec == P()
+        assert placed["b"].sharding.spec == P()

@@ -562,7 +562,16 @@ class HMC:
             st, k = carry
             k, sub = jax.random.split(k)
             i = st.t
-            gate = i < n_adapt if adapt_enabled else None
+            if not adapt_enabled:
+                gate = None
+            elif n_adapt <= 0:
+                # t >= 0 always, so `i < 0` is identically False; making the
+                # gate a compile-time constant lets XLA's select simplifier
+                # dead-code-eliminate the whole EWMV/dual-averaging update
+                # from the post-burn-in scan body (see PERF.md).
+                gate = jnp.asarray(False)
+            else:
+                gate = i < n_adapt
             st2, info = self.sample(
                 meta_bn, observed, st, sub,
                 adapt_step_size=gate,

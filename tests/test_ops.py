@@ -119,3 +119,59 @@ class TestHMCFusedPath:
             np.asarray(ia.acceptance_rate), np.asarray(ib.acceptance_rate),
             rtol=1e-5, atol=1e-6,
         )
+
+
+class TestCheckNumerics:
+    """Numerics-guard tiers (ops/checks.py; reference tf.check_numerics
+    semantics, univariate.py:101-111)."""
+
+    def test_plain_jit_raises_at_sync(self):
+        from zhusuan_tpu.ops.checks import check_numerics
+
+        @jax.jit
+        def f(x):
+            return check_numerics(x, "probe") * 2
+
+        with pytest.raises(Exception, match="probe"):
+            jax.block_until_ready(f(jnp.asarray([1.0, jnp.nan])))
+
+    def test_clean_value_passes_through(self):
+        from zhusuan_tpu.ops.checks import check_numerics
+
+        out = jax.jit(lambda x: check_numerics(x, "p"))(jnp.asarray([1.0]))
+        np.testing.assert_allclose(np.asarray(out), [1.0])
+
+    def test_disabled_is_identity(self):
+        from zhusuan_tpu.ops.checks import check_numerics
+
+        x = jnp.asarray([jnp.nan])
+        out = jax.jit(lambda x: check_numerics(x, "p", enabled=False))(x)
+        assert np.isnan(np.asarray(out)).all()
+
+    def test_checked_raises_deterministically(self):
+        from zhusuan_tpu.ops.checks import check_numerics, checked
+
+        g = checked(lambda x: check_numerics(x, "probe") * 2)
+        with pytest.raises(Exception, match="probe"):
+            g(jnp.asarray([1.0, jnp.nan]))
+        np.testing.assert_allclose(
+            np.asarray(g(jnp.asarray([1.0, 2.0]))), [2.0, 4.0]
+        )
+
+    def test_checked_under_jit_and_scan(self):
+        from zhusuan_tpu.ops.checks import check_numerics, checked
+
+        def body(c, x):
+            return c + check_numerics(x, "scan-elt"), None
+
+        h = checked(jax.jit(lambda xs: jax.lax.scan(body, 0.0, xs)[0]))
+        with pytest.raises(Exception, match="scan-elt"):
+            h(jnp.asarray([1.0, jnp.nan, 2.0]))
+        assert float(h(jnp.asarray([1.0, 2.0]))) == 3.0
+
+    def test_checked_float_checks_catch_produced_nan(self):
+        from zhusuan_tpu.ops.checks import checked
+
+        g = checked(lambda x: jnp.log(x))  # log(-1) -> nan, no user check
+        with pytest.raises(Exception, match="nan"):
+            g(jnp.asarray(-1.0))

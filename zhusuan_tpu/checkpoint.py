@@ -6,19 +6,88 @@ tf.train.Saver themselves. Here every piece of state (sampler chains,
 adaptation state, model parameters, optimizer state) is an explicit pytree,
 so checkpointing is a first-class one-liner: orbax-backed when available,
 with a dependency-free ``npz`` fallback.
+
+Security: the npz format is data-only — leaves as arrays plus a JSON key
+path list (no pickled code objects), so restoring an untrusted checkpoint
+file cannot execute code. dict/list/tuple nesting is rebuilt exactly;
+states with attribute nodes (NamedTuples like HMCState) are rebuilt
+against a ``like`` template.
 """
 
 from __future__ import annotations
 
+import json
 import os
-import pickle
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.tree_util import DictKey, FlattenedIndexKey, GetAttrKey, SequenceKey
 
 __all__ = ["save_checkpoint", "restore_checkpoint"]
+
+
+def _encode_paths(tree):
+    """Data-only path encoding: one entry list per leaf, in jax leaf order.
+
+    Entry forms: ``["d", key]`` dict key, ``["s", idx]`` sequence index,
+    ``["a", name]`` attribute (NamedTuple field), ``["i", idx]`` flattened
+    index (opaque custom nodes).
+    """
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    out = []
+    for path, _leaf in flat:
+        entries = []
+        for p in path:
+            if isinstance(p, DictKey):
+                if not isinstance(p.key, str):
+                    entries.append(["i", repr(p.key)])
+                else:
+                    entries.append(["d", p.key])
+            elif isinstance(p, SequenceKey):
+                entries.append(["s", p.idx])
+            elif isinstance(p, GetAttrKey):
+                entries.append(["a", p.name])
+            elif isinstance(p, FlattenedIndexKey):
+                entries.append(["i", p.key])
+            else:
+                entries.append(["i", repr(p)])
+        out.append(entries)
+    return out
+
+
+def _rebuild_from_paths(paths, leaves):
+    """Rebuild dict/list nesting from encoded paths; None when the tree
+    contains attribute/opaque nodes (caller must pass ``like``)."""
+    if any(kind not in ("d", "s") for path in paths for kind, _ in path):
+        return None
+
+    def insert(container, path, leaf):
+        kind, key = path[0]
+        if len(path) == 1:
+            container[key] = leaf
+            return
+        child = container.get(key)
+        if child is None:
+            child = {}
+            container[key] = child
+        insert(child, path[1:], leaf)
+
+    def finalize(node, kinds_at):
+        if not isinstance(node, dict):
+            return node
+        keys = sorted(node.keys(), key=lambda k: (str(type(k)), k))
+        if all(isinstance(k, int) for k in keys):
+            return [finalize(node[i], kinds_at) for i in range(len(keys))]
+        return {k: finalize(node[k], kinds_at) for k in node}
+
+    root: dict = {}
+    for path, leaf in zip(paths, leaves):
+        if not path:  # single-leaf tree
+            return leaf
+        insert(root, path, leaf)
+    return finalize(root, None)
 
 
 def save_checkpoint(path: str, state: Any, step: int = 0, use_orbax=None):
@@ -40,12 +109,13 @@ def save_checkpoint(path: str, state: Any, step: int = 0, use_orbax=None):
         except Exception:
             if use_orbax:
                 raise
-    leaves, treedef = jax.tree.flatten(state)
+    leaves = jax.tree.leaves(state)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    paths_json = json.dumps(_encode_paths(state))
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     np.savez(
         path,
-        __treedef__=np.frombuffer(pickle.dumps(treedef), dtype=np.uint8),
+        __paths__=np.frombuffer(paths_json.encode("utf-8"), dtype=np.uint8),
         __step__=np.asarray(step),
         **arrays,
     )
@@ -55,32 +125,41 @@ def save_checkpoint(path: str, state: Any, step: int = 0, use_orbax=None):
 def restore_checkpoint(path: str, like: Any = None):
     """Restore a pytree saved by :func:`save_checkpoint`.
 
-    :param like: optional template pytree; when given, restored leaves are
-        cast to its structure/dtypes (needed for NamedTuple states).
+    :param like: optional template pytree; restored leaves are unflattened
+        into its structure (leaf count verified). Required for states with
+        NamedTuple/custom nodes; plain dict/list/tuple nesting restores
+        without it (tuples come back as lists).
     :return: ``(state, step)``.
     """
     npz_path = path if path.endswith(".npz") else path + ".npz"
     if os.path.isfile(npz_path):
         data = np.load(npz_path, allow_pickle=False)
-        treedef = pickle.loads(data["__treedef__"].tobytes())
+        paths = json.loads(data["__paths__"].tobytes().decode("utf-8"))
         step = int(data["__step__"])
-        n = sum(1 for k in data.files if k.startswith("leaf_"))
-        leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
-        state = jax.tree.unflatten(treedef, leaves)
-    else:
-        import orbax.checkpoint as ocp
-
-        ckpt = ocp.PyTreeCheckpointer()
-        restored = ckpt.restore(os.path.abspath(path))
-        state, step = restored["state"], int(restored["step"])
+        leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(paths))]
         if like is not None:
-            leaves = jax.tree.leaves(state)
-            state = jax.tree.unflatten(
-                jax.tree.structure(like), [jnp.asarray(x) for x in leaves]
+            structure = jax.tree.structure(like)
+            if structure.num_leaves != len(leaves):
+                raise ValueError(
+                    "Checkpoint has {} leaves but `like` template has "
+                    "{}.".format(len(leaves), structure.num_leaves)
+                )
+            return jax.tree.unflatten(structure, leaves), step
+        rebuilt = _rebuild_from_paths(paths, leaves)
+        if rebuilt is None:
+            raise ValueError(
+                "This checkpoint contains NamedTuple/custom pytree nodes; "
+                "pass `like=` (a template state) to restore its structure."
             )
-        return state, step
+        return rebuilt, step
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.PyTreeCheckpointer()
+    restored = ckpt.restore(os.path.abspath(path))
+    state, step = restored["state"], int(restored["step"])
     if like is not None:
         state = jax.tree.unflatten(
-            jax.tree.structure(like), jax.tree.leaves(state)
+            jax.tree.structure(like),
+            [jnp.asarray(x) for x in jax.tree.leaves(state)],
         )
     return state, step

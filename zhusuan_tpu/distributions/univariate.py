@@ -550,19 +550,22 @@ class Poisson(Distribution):
 class Binomial(Distribution):
     """Binomial: number of successes in ``n_experiments`` Bernoulli trials.
 
-    Parity: reference ``univariate.py:939-1067``. ``n_experiments`` must be a
-    positive Python int (static shape; reference allowed a scalar tensor,
-    univariate.py:975-992). Sampler: sum of ``n_experiments`` vectorized
-    Bernoulli draws (reference used n*n_samples two-class categorical draws,
-    univariate.py:1025-1045 — same distribution, one fused uniform-compare +
-    reduction here). Density: ``log C(n, x) + x*logits - n*softplus(logits)``
-    (univariate.py:1047-1064).
+    Parity: reference ``univariate.py:939-1067``. ``n_experiments`` is a
+    positive Python int, or — matching the reference's scalar-tensor mode
+    (univariate.py:975-992) — a 0-D integer array / traced scalar, in which
+    case ``log_prob`` works but ``sample`` raises ([TPU] divergence: XLA
+    shapes are static, so the sample count cannot be data-dependent; the
+    reference sampled with a dynamic ``n``). Sampler: sum of
+    ``n_experiments`` vectorized Bernoulli draws (reference used
+    n*n_samples two-class categorical draws, univariate.py:1025-1045 — same
+    distribution, one fused uniform-compare + reduction here). Density:
+    ``log C(n, x) + x*logits - n*softplus(logits)`` (univariate.py:1047-1064).
     """
 
     def __init__(
         self,
         logits,
-        n_experiments: int,
+        n_experiments,
         dtype=jnp.int32,
         group_ndims: int = 0,
         check_numerics=False,
@@ -570,13 +573,33 @@ class Binomial(Distribution):
     ):
         param_dtype = assert_same_float_dtype([(logits, "logits")])
         self._logits = jnp.asarray(logits, param_dtype)
-        if not isinstance(n_experiments, (int, np.integer)) or n_experiments < 1:
-            raise ValueError(
-                "n_experiments must be a positive Python int; got {!r}.".format(
-                    n_experiments
+        if isinstance(n_experiments, (int, np.integer)) and not isinstance(
+            n_experiments, bool
+        ):
+            if n_experiments < 1:
+                raise ValueError(
+                    "n_experiments must be positive; got {!r}.".format(
+                        n_experiments
+                    )
                 )
+            self._n_experiments = int(n_experiments)
+        elif isinstance(n_experiments, (jnp.ndarray, np.ndarray)) or (
+            hasattr(n_experiments, "ndim") and hasattr(n_experiments, "dtype")
+        ):
+            if n_experiments.ndim != 0:
+                raise ValueError(
+                    "n_experiments should be a scalar (0-D array)."
+                )
+            if not jnp.issubdtype(n_experiments.dtype, jnp.integer):
+                raise ValueError("n_experiments must be an int scalar.")
+            # Scoring-only tensor mode (positivity can't be checked at
+            # trace time; non-positive n gives NaN log-probs downstream).
+            self._n_experiments = n_experiments
+        else:
+            raise ValueError(
+                "n_experiments must be a positive int (or a 0-D int array "
+                "for scoring-only mode); got {!r}.".format(n_experiments)
             )
-        self._n_experiments = int(n_experiments)
         self._check_numerics = check_numerics
         super().__init__(
             dtype=np.dtype(dtype),
@@ -597,6 +620,12 @@ class Binomial(Distribution):
         return ()
 
     def _sample(self, key, n_samples):
+        if not isinstance(self._n_experiments, int):
+            raise ValueError(
+                "Cannot sample a Binomial with a tensor n_experiments "
+                "(scoring-only mode; XLA shapes are static). Pass a Python "
+                "int to sample."
+            )
         p = jax.nn.sigmoid(jax.lax.stop_gradient(self._logits))
         shape = (n_samples, self._n_experiments) + self.batch_shape
         u = jax.random.uniform(key, shape, dtype=self.param_dtype)

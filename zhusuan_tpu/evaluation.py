@@ -131,7 +131,10 @@ class AIS:
         key_init, key_adapt, key_reinit, key_run = jax.random.split(key, 4)
         # Temperatures adopt the chain dtype so the scan carry is uniform
         # (f32 models under an x64-enabled host would otherwise promote).
-        q_probe = self._init_latent(key_init)
+        # Shape-only probe via eval_shape: no samples are drawn, so no key
+        # is consumed (a reused key here would correlate the probe with the
+        # phase-1 init draw after any refactor that materializes it).
+        q_probe = jax.eval_shape(self._init_latent, key_init)
         chain_dtype = jnp.result_type(*[v.dtype for v in q_probe.values()])
         schedule = jnp.asarray(self._schedule(), chain_dtype)
 

@@ -2,9 +2,12 @@
 
 Parity: reference ``zhusuan/utils.py:18-150`` (``TensorArithmeticMixin``)
 registered StochasticTensor as convertible-to-tensor with full operator
-overloading. In JAX the ``__jax_array__`` protocol makes any ``jnp`` function
-accept the node directly; the explicit operators below cover Python-level
-expressions like ``z + 1``.
+overloading. Here the explicit operators below cover Python-level
+expressions like ``z + 1``, and ``jnp.asarray(node)`` converts explicitly
+via the ``__jax_array__`` protocol. [TPU divergence] JAX no longer triggers
+``__jax_array__`` implicitly during abstractification, so ``jnp.sum(node)``
+requires ``jnp.sum(node.tensor)`` or ``jnp.sum(jnp.asarray(node))`` —
+unlike the reference where any ``tf.*`` op accepted the node directly.
 """
 
 from __future__ import annotations

@@ -541,6 +541,9 @@ class HMC:
         n_iters: int,
         n_adapt: int = 0,
         collect: bool = True,
+        collect_fields=("samples", "acceptance_rate", "step_size",
+                        "log_prob"),
+        collect_dtype=None,
     ):
         """Run ``n_iters`` iterations fully on-device via ``lax.scan``.
 
@@ -549,12 +552,19 @@ class HMC:
         with a feed-dict placeholder, examples/toy_examples/gaussian.py:53-62
         — here it folds into the scan).
 
-        :param collect: if True, stack per-iteration samples, acceptance
-            rates and step sizes; if False only the final state is returned
-            (use for burn-in at zero memory cost).
+        :param collect: if True, stack per-iteration outputs; if False only
+            the final state is returned (use for burn-in at zero memory
+            cost).
+        :param collect_fields: which outputs to stack (subset of
+            ``samples``, ``acceptance_rate``, ``step_size``, ``log_prob``).
+            Fewer stacked outputs = less HBM traffic in the hot scan.
+        :param collect_dtype: optional dtype for the stacked ``samples``
+            copy (e.g. ``jnp.bfloat16`` to halve trajectory HBM at a
+            precision adequate for diagnostics); the chain itself always
+            advances in the state dtype.
         :return: ``(final_state, outputs)`` where outputs is a dict with
-            ``samples`` (stacked, iteration-major), ``acceptance_rate``,
-            ``step_size`` when ``collect`` else None.
+            the requested fields (iteration-major) when ``collect`` else
+            None.
         """
         adapt_enabled = self.adapt_step_size is not None
 
@@ -578,12 +588,20 @@ class HMC:
                 adapt_mass=gate if self.adapt_mass is not None else None,
             )
             if collect:
-                out = {
-                    "samples": info.samples,
+                all_fields = {
+                    "samples": (
+                        {
+                            n: v.astype(collect_dtype)
+                            for n, v in info.samples.items()
+                        }
+                        if collect_dtype is not None
+                        else info.samples
+                    ),
                     "acceptance_rate": info.acceptance_rate,
                     "step_size": info.updated_step_size,
                     "log_prob": info.log_prob,
                 }
+                out = {f: all_fields[f] for f in collect_fields}
             else:
                 out = None
             return (st2, k), out

@@ -31,7 +31,7 @@ parser.add_argument("-n_particles_test", default=100, type=int)
 parser.add_argument("-batch_size", default=5000, type=int)
 parser.add_argument("-n_epoch", default=2000, type=int)
 parser.add_argument("-dataset", default="boston_housing", type=str,
-                    choices=["boston_housing", "protein_data"])
+                    choices=["boston_housing", "protein_data", "diabetes"])
 parser.add_argument("-lr", default=1e-2, type=float)
 
 
@@ -90,12 +90,18 @@ def build_variational_samples(params, x, n_z, n_particles, key):
 def init_params(key, n_z, n_covariates, x_train):
     k1 = key
     rng = np.random.RandomState(1234)
-    # Initialize inducing positions from random training inputs.
-    idx = rng.choice(x_train.shape[0], size=n_z, replace=True)
+    # Initialize inducing positions from DISTINCT training inputs plus a
+    # small jitter: duplicated inducing points make Kzz singular, and the
+    # gradient through its Cholesky is NaN even when the jittered forward
+    # pass is finite (the reference avoided this with a Uniform(-1,1)
+    # initializer, svgp.py:113-115).
+    n_train = x_train.shape[0]
+    idx = rng.choice(n_train, size=n_z, replace=n_train < n_z)
     dtype = jnp.asarray(x_train).dtype
+    z_init = x_train[idx] + 0.01 * rng.randn(n_z, n_covariates)
     return {
         "k_raw_scale": RBFKernel.init_params(n_covariates, dtype),
-        "z_pos": jnp.asarray(x_train[idx], dtype),
+        "z_pos": jnp.asarray(z_init, dtype),
         "z_mean": jnp.zeros([n_z], dtype),
         "z_cov_raw": jnp.eye(n_z, dtype=dtype),
         "noise_raw": jnp.asarray(0.05, dtype),

@@ -28,6 +28,7 @@ __all__ = [
     "load_mnist_semi_supervised",
     "load_cifar10",
     "load_uci_boston_housing",
+    "load_uci_diabetes",
     "load_uci_protein_data",
     "load_uci_german_credits",
     "load_uci_bow",
@@ -187,6 +188,36 @@ def load_uci_boston_housing(path=None, seed=0):
     for s in splits:
         out.extend([s[:, :-1], s[:, -1]])
     return (*out, synthetic)
+
+
+def load_uci_diabetes(path=None, seed=0):
+    """Diabetes regression (Efron et al. 2004; 442 x 10). REAL data bundled
+    with scikit-learn — the one real regression dataset available in this
+    zero-egress image, used to validate SVGP accuracy on real data
+    (RESULTS.md) since the UCI Boston/protein files cannot be fetched.
+
+    Same return contract as :func:`load_uci_boston_housing`; ``synthetic``
+    is always False.
+    """
+    del path
+    from sklearn.datasets import load_diabetes as _load
+
+    raw = _load()
+    data = np.concatenate(
+        [raw.data, raw.target[:, None]], axis=1
+    ).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    data = data[rng.permutation(data.shape[0])]
+    n = data.shape[0]
+    n_train, n_valid = int(0.8 * n), int(0.1 * n)
+    splits = (
+        data[:n_train], data[n_train:n_train + n_valid],
+        data[n_train + n_valid:],
+    )
+    out = []
+    for split in splits:
+        out.extend([split[:, :-1], split[:, -1]])
+    return (*out, False)
 
 
 def load_uci_protein_data(path=None, seed=0):

@@ -129,3 +129,127 @@ class TestContract:
         s = dist.sample(KEY, n_samples=3)
         lp = dist.log_prob(s)
         assert bool(jnp.all(jnp.isfinite(lp))), name
+
+
+# --------------------------------------------------------------------- #
+# Parameter-broadcast matrix (reference tests/distributions/utils.py:
+# test_batch_shape_2parameter_univariate, :186-230)
+# --------------------------------------------------------------------- #
+
+TWO_PARAM = [
+    ("Normal_std", lambda a, b: zd.Normal(mean=a, std=jnp.abs(b) + 0.5)),
+    ("Normal_logstd", lambda a, b: zd.Normal(mean=a, logstd=b)),
+    ("FoldNormal", lambda a, b: zd.FoldNormal(mean=a, std=jnp.abs(b) + 0.5)),
+    ("Uniform", lambda a, b: zd.Uniform(minval=a, maxval=a + jnp.abs(b) + 1.0)),
+    ("Gamma", lambda a, b: zd.Gamma(alpha=jnp.abs(a) + 1.0,
+                                    beta=jnp.abs(b) + 1.0)),
+    ("Beta", lambda a, b: zd.Beta(alpha=jnp.abs(a) + 1.0,
+                                  beta=jnp.abs(b) + 1.0)),
+    ("InverseGamma", lambda a, b: zd.InverseGamma(alpha=jnp.abs(a) + 2.0,
+                                                  beta=jnp.abs(b) + 1.0)),
+    ("Laplace", lambda a, b: zd.Laplace(loc=a, scale=jnp.abs(b) + 0.5)),
+]
+
+BROADCAST_SHAPES = [
+    ((), ()),
+    ((3,), ()),
+    ((2, 3), (3,)),
+    ((2, 1), (1, 4)),
+    ((5, 1, 3), (4, 3)),
+]
+
+
+@pytest.mark.parametrize("name,make", TWO_PARAM, ids=[t[0] for t in TWO_PARAM])
+@pytest.mark.parametrize("s1,s2", BROADCAST_SHAPES,
+                         ids=[str(s) for s in BROADCAST_SHAPES])
+class TestTwoParamBroadcastMatrix:
+    def test_batch_shape_and_sampling(self, name, make, s1, s2):
+        a = jnp.zeros(s1, jnp.float32)
+        b = jnp.zeros(s2, jnp.float32)
+        dist = make(a, b)
+        expect = tuple(np.broadcast_shapes(s1, s2))
+        assert tuple(dist.batch_shape) == expect
+        s = dist.sample(KEY, n_samples=2)
+        assert s.shape == (2,) + expect
+        lp = dist.log_prob(s)
+        assert lp.shape == (2,) + expect
+
+
+# --------------------------------------------------------------------- #
+# Float dtype matrix (reference tests/distributions/utils.py:
+# test_dtype_2parameter, :13-110): the distribution adopts its parameters'
+# dtype for samples and log-probs.
+# --------------------------------------------------------------------- #
+
+FLOAT_DTYPES = [jnp.bfloat16, jnp.float32, jnp.float64]
+
+
+@pytest.mark.parametrize("name,make", TWO_PARAM, ids=[t[0] for t in TWO_PARAM])
+@pytest.mark.parametrize("dtype", FLOAT_DTYPES,
+                         ids=[np.dtype(d).name for d in FLOAT_DTYPES])
+class TestFloatDtypeMatrix:
+    def test_dtype_propagation(self, name, make, dtype):
+        a = jnp.zeros((3,), dtype)
+        b = jnp.zeros((3,), dtype)
+        dist = make(a, b)
+        assert np.dtype(dist.dtype) == np.dtype(dtype)
+        assert np.dtype(dist.param_dtype) == np.dtype(dtype)
+        s = dist.sample(KEY)
+        assert np.dtype(s.dtype) == np.dtype(dtype)
+        lp = dist.log_prob(s)
+        assert np.dtype(lp.dtype) == np.dtype(dtype)
+
+
+class TestDiscreteOutputDtypeMatrix:
+    """Discrete classes take an output ``dtype`` argument
+    (reference: int32 default, float allowed; utils.py:127-138)."""
+
+    @pytest.mark.parametrize(
+        "dtype", [jnp.int32, jnp.int64, jnp.float32],
+        ids=["int32", "int64", "float32"],
+    )
+    def test_output_dtype(self, dtype):
+        for make in (
+            lambda: zd.Bernoulli(jnp.zeros(3, jnp.float32), dtype=dtype),
+            lambda: zd.Categorical(jnp.zeros((3, 4), jnp.float32),
+                                   dtype=dtype),
+            lambda: zd.Poisson(jnp.ones(3, jnp.float32), dtype=dtype),
+            lambda: zd.Binomial(jnp.zeros(3, jnp.float32), 4, dtype=dtype),
+            lambda: zd.Multinomial(jnp.zeros((4,), jnp.float32), 3,
+                                   dtype=dtype),
+            lambda: zd.OnehotCategorical(jnp.zeros((4,), jnp.float32),
+                                         dtype=dtype),
+        ):
+            dist = make()
+            assert np.dtype(dist.dtype) == np.dtype(dtype)
+            s = dist.sample(KEY)
+            assert np.dtype(s.dtype) == np.dtype(dtype)
+
+
+# --------------------------------------------------------------------- #
+# group_ndims sweep over every zoo head (reference log-prob-shape
+# harnesses, utils.py:232-528)
+# --------------------------------------------------------------------- #
+
+@pytest.mark.parametrize(
+    "name,make,batch,value,given_fn", _cases(),
+    ids=[c[0] for c in _cases()],
+)
+class TestGroupNdimsSweep:
+    def test_all_valid_group_ndims(self, name, make, batch, value,
+                                   given_fn):
+        for g in range(len(batch) + 1):
+            dist = make()
+            dist._group_ndims = g  # same class, varied reduction
+            given = given_fn(dist, batch + value)
+            lp = dist.log_prob(given)
+            expect = batch[: len(batch) - g] if g else batch
+            assert lp.shape == expect, (name, g)
+
+    def test_group_ndims_beyond_rank_raises(self, name, make, batch, value,
+                                            given_fn):
+        dist = make()
+        dist._group_ndims = len(batch) + len(value) + 1
+        given = given_fn(dist, batch + value)
+        with pytest.raises(ValueError):
+            dist.log_prob(given)

@@ -72,3 +72,109 @@ def test_ais_matches_truth():
     est = jax.jit(ais.run)(jax.random.PRNGKey(7))
     # AIS gives a stochastic lower bound converging to the true value.
     np.testing.assert_allclose(float(est), TRUE_LOG_ML, atol=0.05)
+
+
+def _make_ais(n_chains, n_temperatures, n_adapt=20):
+    @zs.meta_bayesian_net()
+    def proposal():
+        bn = zs.BayesianNet()
+        bn.normal("z", jnp.zeros(n_chains), std=1.0)
+        return bn
+
+    model = build_model(n_chains)
+    hmc = zs.HMC(step_size=0.3, n_leapfrogs=5, adapt_step_size=True)
+    return AIS(
+        model,
+        proposal(),
+        hmc,
+        observed={"x": jnp.full((n_chains,), X_OBS)},
+        latent=["z"],
+        n_temperatures=n_temperatures,
+        n_adapt=n_adapt,
+    )
+
+
+def test_ais_schedule_endpoints():
+    """The sigmoid schedule is normalized to hit exactly [0, 1]
+    (reference evaluation.py:112-117)."""
+    ais = _make_ais(8, 100)
+    sched = ais._schedule()
+    assert sched.shape == (101,)
+    assert sched[0] == 0.0
+    assert sched[-1] == 1.0
+    assert np.all(np.diff(sched) > 0)  # strictly increasing
+
+
+def test_ais_single_temperature():
+    """n_temperatures=1 degenerates to one importance-sampling jump from
+    the proposal to the joint — a finite (if loose) lower bound."""
+    ais = _make_ais(2000, 1, n_adapt=5)
+    est = float(jax.jit(ais.run)(jax.random.PRNGKey(0)))
+    assert np.isfinite(est)
+    # Lower bound up to MC noise; with one IS step from the prior the
+    # variance is modest for this nearly-conjugate pair.
+    assert est <= TRUE_LOG_ML + 0.1
+    assert est >= TRUE_LOG_ML - 1.0
+
+
+def test_ais_bound_tightens_with_more_temperatures():
+    """More annealing steps -> tighter (higher) lower bound on average
+    (monotone-ish; reference behavior, evaluation.py:146-163)."""
+    ests = {}
+    for n_t in (1, 10, 100):
+        ais = _make_ais(500, n_t, n_adapt=10)
+        ests[n_t] = float(jax.jit(ais.run)(jax.random.PRNGKey(42)))
+    # Allow MC slack but require clear ordering from 1 -> 100.
+    assert ests[100] >= ests[1] - 0.02
+    assert abs(ests[100] - TRUE_LOG_ML) <= abs(ests[1] - TRUE_LOG_ML) + 0.02
+    np.testing.assert_allclose(ests[100], TRUE_LOG_ML, atol=0.05)
+
+
+def test_ais_multi_latent():
+    """AIS over TWO latent variables (the reference's latent dict had
+    arbitrarily many entries; evaluation.py:109-110)."""
+    n_chains = 300
+    s1, s2 = 0.8, 0.5
+    # x = z1 + z2 + noise; z1,z2 ~ N(0, s_i); closed-form marginal:
+    var = s1 ** 2 + s2 ** 2 + SIGMA ** 2
+    true_ml = -0.5 * math.log(2 * math.pi * var) - 0.5 * X_OBS ** 2 / var
+
+    @zs.meta_bayesian_net()
+    def model():
+        bn = zs.BayesianNet()
+        z1 = bn.normal("z1", jnp.zeros(n_chains), std=s1)
+        z2 = bn.normal("z2", jnp.zeros(n_chains), std=s2)
+        bn.normal("x", z1.tensor + z2.tensor, std=SIGMA)
+        return bn
+
+    @zs.meta_bayesian_net()
+    def proposal():
+        bn = zs.BayesianNet()
+        bn.normal("z1", jnp.zeros(n_chains), std=s1)
+        bn.normal("z2", jnp.zeros(n_chains), std=s2)
+        return bn
+
+    hmc = zs.HMC(step_size=0.3, n_leapfrogs=5, adapt_step_size=True)
+    ais = AIS(
+        model(),
+        proposal(),
+        hmc,
+        observed={"x": jnp.full((n_chains,), X_OBS)},
+        latent=["z1", "z2"],
+        n_temperatures=100,
+        n_adapt=20,
+    )
+    est = float(jax.jit(ais.run)(jax.random.PRNGKey(3)))
+    np.testing.assert_allclose(est, true_ml, atol=0.05)
+
+
+def test_ais_key_determinism():
+    """Same key -> same estimate; different keys -> different estimates
+    (PRNG key discipline through all three AIS phases)."""
+    ais = _make_ais(50, 20, n_adapt=5)
+    run = jax.jit(ais.run)
+    a = float(run(jax.random.PRNGKey(1)))
+    b = float(run(jax.random.PRNGKey(1)))
+    c = float(run(jax.random.PRNGKey(2)))
+    assert a == b
+    assert a != c

@@ -36,3 +36,65 @@ class TestMergeDicts:
     def test_precedence(self):
         assert merge_dicts({"a": 1, "b": 2}, {"b": 3}) == {"a": 1, "b": 3}
         assert merge_dicts() == {}
+
+
+class TestNameScopeAndHelpers:
+    """Port of the remaining reference test_utils.py coverage
+    (add_name_scope :289-295, if_raise :297-304, DocInherit)."""
+
+    def test_add_name_scope_preserves_result_and_name(self):
+        import jax
+        from zhusuan_tpu.utils import add_name_scope
+
+        class Thing:
+            @add_name_scope
+            def compute(self, x):
+                return x * 2
+
+        t = Thing()
+        out = t.compute(jnp.asarray(3.0))
+        assert float(out) == 6.0
+        assert Thing.compute.__name__ == "compute"
+        # Works under jit (named scopes are trace-time annotations).
+        assert float(jax.jit(lambda x: t.compute(x))(jnp.asarray(2.0))) == 4.0
+
+    def test_if_raise(self):
+        import pytest
+        from zhusuan_tpu.utils import if_raise
+
+        if_raise(False, ValueError("nope"))  # no-op
+        with pytest.raises(ValueError, match="yes"):
+            if_raise(True, ValueError("yes"))
+
+    def test_docinherit(self):
+        from zhusuan_tpu.utils import docinherit
+
+        def src():
+            """The docs."""
+
+        @docinherit(src)
+        def dst():
+            pass
+
+        assert dst.__doc__ == "The docs."
+
+    def test_split_by_names(self):
+        from zhusuan_tpu.utils import split_by_names
+
+        d = {"a": 1, "b": 2, "c": 3}
+        assert split_by_names(d, ["a", "c"]) == {"a": 1, "c": 3}
+
+    def test_cached_property(self):
+        from zhusuan_tpu.utils import cached_property
+
+        calls = []
+
+        class Foo:
+            @cached_property
+            def val(self):
+                calls.append(1)
+                return 42
+
+        f = Foo()
+        assert f.val == 42 and f.val == 42
+        assert len(calls) == 1

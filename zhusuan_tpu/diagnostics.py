@@ -130,11 +130,15 @@ def ess_batch_device(samples, chunk: int = 1 << 18):
     """
     import jax
 
-    samples = jnp.asarray(samples, jnp.float32)
+    samples = jnp.asarray(samples)
     n, d = samples.shape
 
     @jax.jit
     def one_chunk(x):
+        # Cast per chunk: a bf16 trajectory is upcast 2^18 columns at a
+        # time instead of materializing the full f32 copy (which would
+        # double the trajectory's HBM footprint).
+        x = x.astype(jnp.float32)
         xc = x - jnp.mean(x, axis=0, keepdims=True)
         m = 1 << (2 * n - 1).bit_length()
         f = jnp.fft.rfft(xc, n=m, axis=0)

@@ -151,5 +151,6 @@ def open_interval_standard_uniform(key, shape, dtype=jnp.float32):
     Logistic, Laplace inverse-CDF samplers) never see 0.
     """
     dtype = np.dtype(dtype)
-    tiny = np.finfo(dtype).tiny
+    # jnp.finfo handles ml_dtypes (bfloat16); np.finfo rejects it.
+    tiny = float(jnp.finfo(dtype).tiny)
     return jax.random.uniform(key, shape, dtype=dtype, minval=tiny, maxval=1.0)

@@ -3,10 +3,11 @@ Gaussian (BASELINE.md / BASELINE.json).
 
 TPU phase: fully on-device HMC (adaptive step size + diagonal mass, 5
 leapfrogs — ESS/sec-optimal for this target, PERF.md) with 32768
-vectorized chains, the Pallas VMEM-resident fused-leapfrog trajectory
-(1.3x at this scale, PERF.md), and a bfloat16 samples-only trajectory
-recording (the chain advances in f32; only the stacked diagnostic copy is
-bf16, which cuts the collect overhead to ~5% of the iteration).
+vectorized chains, the FULLY FUSED Pallas transition (momentum draw via
+the hardware PRNG + trajectory + MH select in one VMEM-resident kernel,
+1.87x over the scan path at this scale — ops/hmc_step.py), and a bfloat16
+samples-only trajectory recording (the chain advances in f32; only the
+stacked diagnostic copy is bf16).
 
 Baselines (both MEASURED, nothing extrapolated):
 - ``host_loop`` — one jitted HMC transition called from a Python loop with
@@ -54,7 +55,7 @@ def build(jax, jnp, zs, n_chains, dtype, fused, collect_kw):
         adapt_step_size=True,
         adapt_mass=True,
         mass_collect_iters=50,
-        experimental_fused_leapfrog=fused,
+        experimental_fused_step=fused,
     )
     state = hmc.init(
         {"x": jnp.zeros((n_chains, DIM), dtype)}, log_joint=log_joint
@@ -106,12 +107,14 @@ def measure_tpu(jax, jnp, zs, device, n_chains):
         # upcasts per chunk; a full f32 copy would not fit at 32768 chains).
         eps = total_ess(jax, out["samples"]["x"], dt)
         acc_state = final
-    # Bytes model of one fused-path iteration (S = chain-state bytes):
-    # momentum write 1S; fused trajectory read q,p + write q,p = 4S;
-    # MH log-posterior evals read 2S + kinetic reads 2S; accept-select
-    # read 2S write 1S; bf16 collect write 0.5S.
+    # Bytes model of one fused-step iteration (S = chain-state bytes):
+    # the kernel reads q, writes accepted q + init momentum, and emits
+    # five per-chain vectors (~0); the bf16 collect writes 0.5S. The
+    # iteration is VPU-bound (Box-Muller + 6 in-VMEM gradient evals), not
+    # HBM-bound — the GB/s figure documents that HBM is no longer the
+    # constraint (see PERF.md round-2 notes).
     S = n_chains * DIM * 4
-    bytes_per_iter = 12.5 * S
+    bytes_per_iter = 3.5 * S
     gbps = bytes_per_iter * N_ITERS / dt / 1e9
     return eps, dt, gbps
 
@@ -243,6 +246,7 @@ def main():
         "sample_phase_sec": round(dt, 3),
         "achieved_hbm_gbps_modeled": round(gbps, 1),
         "hbm_utilization_vs_819gbps": round(gbps / V5E_HBM_PEAK_GBPS, 3),
+        "bound_by": "VPU (fused kernel: PRNG transcendentals + 6 in-VMEM grad evals); HBM is not the constraint",
         "baseline_host_loop": {
             "what": "jitted HMC transition per Python iteration + host "
                     "fetch (reference sess.run pattern, SURVEY.md 3.3)",

@@ -327,3 +327,17 @@ class TestStepSizeJitter:
 
         with pytest.raises(ValueError, match="jitter"):
             zs.HMC(step_size_jitter=1.5)
+
+
+class TestFusedStepFallback:
+    def test_fused_step_flag_falls_back_on_cpu(self):
+        """experimental_fused_step on a CPU backend silently uses the scan
+        path (hardware-PRNG kernels have no CPU lowering)."""
+        hmc = zs.HMC(step_size=0.3, n_leapfrogs=3,
+                     experimental_fused_step=True)
+        state = hmc.init({"x": jnp.zeros((16, 4), jnp.float64)},
+                         log_joint=log_joint_gauss)
+        new_state, info = jax.jit(
+            lambda s, k: hmc.sample(log_joint_gauss, {}, s, k)
+        )(state, jax.random.PRNGKey(0))
+        assert np.all(np.isfinite(np.asarray(info.acceptance_rate)))

@@ -41,3 +41,48 @@ def test_distinct_keys_distinct_streams():
     a = np.asarray(tpu_normal(jax.random.PRNGKey(0), (64, 128)))
     b = np.asarray(tpu_normal(jax.random.PRNGKey(1), (64, 128)))
     assert not np.allclose(a, b)
+
+
+class TestFusedHMCStep:
+    """Fully fused HMC transition (ops/hmc_step.py): statistical
+    equivalence with the scan path. TPU-only (hardware PRNG)."""
+
+    def _run(self, fused):
+        import zhusuan_tpu as zs
+
+        dim, n_chains = 8, 1024
+        std = jnp.linspace(0.5, 2.0, dim)
+
+        def lj(obs):
+            return jnp.sum(-0.5 * (obs["x"] / std) ** 2, -1)
+
+        hmc = zs.HMC(step_size=0.4, n_leapfrogs=5, adapt_step_size=True,
+                     experimental_fused_step=fused)
+        state = hmc.init({"x": jnp.zeros((n_chains, dim), jnp.float32)},
+                         log_joint=lj)
+        final, out = jax.jit(
+            lambda s, k: hmc.run(lj, {}, s, k, 300, n_adapt=100)
+        )(state, jax.random.PRNGKey(0))
+        return out
+
+    def test_fused_matches_scan_statistically(self):
+        out_s = self._run(False)
+        out_f = self._run(True)
+        xs_s = np.asarray(out_s["samples"]["x"][150:]).reshape(-1, 8)
+        xs_f = np.asarray(out_f["samples"]["x"][150:]).reshape(-1, 8)
+        # Same target moments from both streams.
+        np.testing.assert_allclose(xs_f.std(0), xs_s.std(0), rtol=0.05)
+        np.testing.assert_allclose(
+            xs_f.mean(0), xs_s.mean(0), atol=0.1
+        )
+        acc_s = float(np.mean(np.asarray(out_s["acceptance_rate"][150:])))
+        acc_f = float(np.mean(np.asarray(out_f["acceptance_rate"][150:])))
+        assert abs(acc_s - acc_f) < 0.05
+
+    def test_fused_deterministic_per_key(self):
+        out_a = self._run(True)
+        out_b = self._run(True)
+        np.testing.assert_array_equal(
+            np.asarray(out_a["samples"]["x"]),
+            np.asarray(out_b["samples"]["x"]),
+        )

@@ -103,6 +103,13 @@ class HMC:
         Pallas VMEM-resident kernel (:mod:`zhusuan_tpu.ops.leapfrog`) when
         the latent is a single ``[n_chains, dim]`` array. Numerically
         identical; see PERF.md for when this pays.
+    :param experimental_fused_step: fuse the ENTIRE transition (momentum
+        draw + trajectory + MH select) into one Pallas kernel
+        (:mod:`zhusuan_tpu.ops.hmc_step`) when the latent is a single
+        ``[n_chains, dim]`` array with broadcast diagonal mass. Same
+        distribution, different random stream (TPU hardware PRNG) — runs
+        are deterministic per key but not bitwise equal to the default
+        path. Falls back to the scan path when not applicable.
     """
 
     def __init__(
@@ -120,6 +127,7 @@ class HMC:
         step_size_jitter: float = 0.0,
         check_numerics: bool = False,
         experimental_fused_leapfrog: bool = False,
+        experimental_fused_step: bool = False,
     ):
         self.init_step_size = float(step_size)
         self.n_leapfrogs = int(n_leapfrogs)
@@ -153,6 +161,7 @@ class HMC:
         self.step_size_jitter = float(step_size_jitter)
         self.check_numerics = bool(check_numerics)
         self.experimental_fused_leapfrog = bool(experimental_fused_leapfrog)
+        self.experimental_fused_step = bool(experimental_fused_step)
 
     # ------------------------------------------------------------------ #
     def init(self, latent: Latent, n_chain_dims: Optional[int] = None,
@@ -416,25 +425,67 @@ class HMC:
             )
             mass = state.mass
 
+        # Fused-step applicability: single 2-D latent, one chain axis,
+        # broadcast diagonal mass, VMEM-sized blocks (ops/hmc_step.py).
+        use_fused_step = (
+            self.experimental_fused_step
+            and len(q) == 1
+            and n_chain_dims == 1
+            and not self.check_numerics
+            # Hardware-PRNG primitives have no CPU lowering; silently use
+            # the scan path elsewhere (same distribution either way).
+            and jax.default_backend() != "cpu"
+        )
+        if use_fused_step:
+            from zhusuan_tpu.ops.hmc_step import (
+                consts_fit_vmem, hmc_step_supported,
+            )
+
+            (fname,) = q.keys()
+            use_fused_step = (
+                q[fname].ndim == 2
+                and hmc_step_supported(
+                    q[fname].shape, itemsize=q[fname].dtype.itemsize
+                )
+                and mass[fname].shape == (1,) + q[fname].shape[1:]
+                and consts_fit_vmem(
+                    lambda x: log_post({fname: x}),
+                    lambda x: grad_fn({fname: x})[fname],
+                    jax.ShapeDtypeStruct(
+                        (min(512, q[fname].shape[0]), q[fname].shape[1]),
+                        q[fname].dtype,
+                    ),
+                )
+            )
+
         key_p, key_u, key_j = jax.random.split(key, 3)
-        p = tree_random_momentum(key_p, q, mass)
+        # In fused-step mode the momentum is drawn inside the kernel (the
+        # init-step-size search below draws its own when it fires).
+        p = None if use_fused_step else tree_random_momentum(key_p, q, mass)
 
         # --- step size (+ heuristic init search; hmc.py:458-472) ------- #
         if self.adapt_step_size is not None:
             if_init_ss = (new_t == 1) | (new_t == self.mass_collect_iters)
             if reinit_step_size is not None:
                 if_init_ss = if_init_ss | jnp.asarray(reinit_step_size)
+
             # The search starts from the current step size (reference
             # hmc.py:340-344 seeds the while_loop with self.step_size).
-            searched = jax.lax.cond(
-                if_init_ss,
-                lambda: jax.lax.stop_gradient(
+            def _search():
+                p_s = (
+                    tree_random_momentum(key_p, q, mass)
+                    if use_fused_step
+                    else p
+                )
+                return jax.lax.stop_gradient(
                     self._init_step_size_search(
-                        q, p, mass, grad_fn, log_post, n_chain_dims,
+                        q, p_s, mass, grad_fn, log_post, n_chain_dims,
                         state.step_size,
                     )
-                ),
-                lambda: state.step_size,
+                )
+
+            searched = jax.lax.cond(
+                if_init_ss, _search, lambda: state.step_size
             )
             step_size = searched
         else:
@@ -454,37 +505,58 @@ class HMC:
             trajectory_step = step_size * u_j
         else:
             trajectory_step = step_size
-        new_q, new_p = self._run_leapfrog(
-            q, p, trajectory_step, grad_fn, mass, n_chain_dims
-        )
 
-        # --- MH test (hmc.py:479-498) ---------------------------------- #
-        old_h, new_h, old_log_prob, new_log_prob, acceptance_rate = (
-            get_acceptance_rate(
-                q, p, new_q, new_p, log_post, mass, n_chain_dims
-            )
-        )
-        if self.check_numerics:
-            # Parity: reference hmc.py:51-53 raised on a non-finite
-            # pre-move log prob ("Try better initialization"); opt-in host
-            # callback here (a silent chain would otherwise reject forever).
-            from zhusuan_tpu.ops.checks import check_numerics as _check
+        if use_fused_step:
+            # Whole transition in one VMEM-resident kernel
+            # (momentum + trajectory + MH select; ops/hmc_step.py).
+            from zhusuan_tpu.ops.hmc_step import fused_hmc_step
 
-            old_log_prob = _check(
-                old_log_prob,
-                "HMC: old_log_prob has numeric errors! "
-                "Try better initialization.",
+            def single_grad(x):
+                return grad_fn({fname: x})[fname]
+
+            def single_logp(x):
+                return log_post({fname: x})
+
+            (out_q, p0, acceptance_rate, old_log_prob, new_log_prob,
+             old_h, new_h) = fused_hmc_step(
+                single_logp, single_grad, q[fname], mass[fname],
+                trajectory_step, self.n_leapfrogs, key_u,
             )
-        u01 = jax.random.uniform(key_u, acceptance_rate.shape,
-                                 acceptance_rate.dtype)
-        if_accept = u01 < acceptance_rate
-        accepted_q = {}
-        for k in q:
-            cond = if_accept.reshape(
-                if_accept.shape + (1,) * (q[k].ndim - if_accept.ndim)
+            accepted_q = {fname: out_q}
+            p = {fname: p0}
+        else:
+            new_q, new_p = self._run_leapfrog(
+                q, p, trajectory_step, grad_fn, mass, n_chain_dims
             )
-            accepted_q[k] = jnp.where(cond, new_q[k], q[k])
-        new_log_prob = jnp.where(if_accept, new_log_prob, old_log_prob)
+
+            # --- MH test (hmc.py:479-498) ------------------------------ #
+            old_h, new_h, old_log_prob, new_log_prob, acceptance_rate = (
+                get_acceptance_rate(
+                    q, p, new_q, new_p, log_post, mass, n_chain_dims
+                )
+            )
+            if self.check_numerics:
+                # Parity: reference hmc.py:51-53 raised on a non-finite
+                # pre-move log prob ("Try better initialization"); opt-in
+                # host callback here (a silent chain would otherwise
+                # reject forever).
+                from zhusuan_tpu.ops.checks import check_numerics as _check
+
+                old_log_prob = _check(
+                    old_log_prob,
+                    "HMC: old_log_prob has numeric errors! "
+                    "Try better initialization.",
+                )
+            u01 = jax.random.uniform(key_u, acceptance_rate.shape,
+                                     acceptance_rate.dtype)
+            if_accept = u01 < acceptance_rate
+            accepted_q = {}
+            for k in q:
+                cond = if_accept.reshape(
+                    if_accept.shape + (1,) * (q[k].ndim - if_accept.ndim)
+                )
+                accepted_q[k] = jnp.where(cond, new_q[k], q[k])
+            new_log_prob = jnp.where(if_accept, new_log_prob, old_log_prob)
 
         # --- step-size adaptation (hmc.py:500-505) --------------------- #
         if self.adapt_step_size is not None:

@@ -1,0 +1,247 @@
+"""Pallas fully fused HMC iteration.
+
+One kernel per chain-block does the ENTIRE HMC transition in VMEM:
+momentum draw (TPU hardware PRNG + Box-Muller), the boundary-aware
+leapfrog trajectory, both Hamiltonian evaluations, and the per-chain MH
+accept/reject select. HBM traffic per iteration drops from ~12.5 state
+passes (momentum write + trajectory + MH reads + select; see PERF.md
+bytes model) to: read q + mass, write accepted q + momentum + four
+per-chain vectors.
+
+Semantics: identical *distribution* to the ``lax.scan`` path — the same
+trajectory schedule (``mcmc/base.py:leapfrog_step`` with the reference
+hmc.py:347-372 boundary rules), the same Hamiltonian and non-finite ->
+reject guard (``mcmc/base.py:get_acceptance_rate``, reference
+hmc.py:46-61) — but a DIFFERENT random stream (hardware PRNG instead of
+Threefry), so runs are deterministic per key yet not bitwise equal to the
+default path. Opt-in via ``HMC(experimental_fused_step=True)``; tests
+assert statistical equivalence (tests/test_ops.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["fused_hmc_step", "hmc_step_supported"]
+
+# The kernel keeps ~10 block-sized buffers live (q0, p, qq, pp, gradient,
+# two bit draws, mass, temporaries); cap one buffer at 1MB to stay inside
+# the ~16MB/core VMEM with headroom for Mosaic's own temporaries.
+_BLOCK_BYTES_LIMIT = 1 << 20
+
+
+def hmc_step_supported(q_shape, block_chains: int = 512,
+                       itemsize: int = 4) -> bool:
+    """Whether the fused-step kernel handles this state shape in VMEM."""
+    if len(q_shape) != 2:
+        return False
+    c, d = q_shape
+    bc = min(block_chains, c)
+    if c % bc != 0 or d < 1:
+        return False
+    return bc * d * itemsize <= _BLOCK_BYTES_LIMIT
+
+
+# Closure constants (observed data, density parameters) are replicated
+# into every block's VMEM; cap their total size so a large-dataset
+# log-posterior falls back to the scan path instead of blowing VMEM.
+_CONST_BYTES_LIMIT = 4 << 20
+
+
+def consts_fit_vmem(log_post: Callable, potential_grad: Callable,
+                    example) -> bool:
+    """Whether both closures' hoisted constants fit the VMEM budget."""
+    total = 0
+    for fn in (log_post, potential_grad):
+        closed = jax.make_jaxpr(fn)(example)
+        for cst in closed.consts:
+            total += int(np.prod(cst.shape)) * cst.dtype.itemsize
+    return total <= _CONST_BYTES_LIMIT
+
+
+def _hoist_consts(fn: Callable, example):
+    """Jaxpr-trace ``fn`` and lift its closure constants (Pallas kernels
+    cannot capture device arrays; same pattern as ops/leapfrog.py)."""
+    import jax.core as jax_core
+
+    closed = jax.make_jaxpr(fn)(example)
+    consts = list(closed.consts)
+
+    def converted(x, *csts):
+        out = jax_core.eval_jaxpr(closed.jaxpr, csts, x)
+        return out[0]
+
+    lifted, shapes = [], []
+    for cst in consts:
+        shapes.append(cst.shape)
+        lifted.append(jnp.atleast_2d(jnp.asarray(cst)))
+    return converted, lifted, shapes
+
+
+def fused_hmc_step(
+    log_post: Callable,
+    potential_grad: Callable,
+    q,
+    mass,
+    step_size,
+    n_leapfrogs: int,
+    key,
+    block_chains: int = 512,
+    interpret: bool = False,
+):
+    """Run one full HMC transition fused in VMEM.
+
+    :param log_post: ``q_block [bc, d] -> log-posterior [bc]`` (chains
+        independent — the density must factorize over the leading axis).
+    :param potential_grad: ``q_block -> dlogpost/dq [bc, d]``.
+    :param q: ``[n_chains, dim]`` positions.
+    :param mass: ``[1, dim]`` or ``[n_chains, dim]`` diagonal mass.
+    :param step_size: scalar (traced ok).
+    :param key: JAX PRNG key; seeds the hardware PRNG per block
+        (deterministic per key; stream differs from ``jax.random``).
+    :return: ``(accepted_q [c,d], init_momentum [c,d], acceptance_rate
+        [c], old_log_prob [c], new_log_prob_selected [c], old_h [c],
+        new_h [c])`` matching the scan path's HMCInfo fields.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from zhusuan_tpu.ops.random import _key_to_seed
+
+    c, d = q.shape
+    bc = min(block_chains, c)
+    assert c % bc == 0, "n_chains must divide by block_chains"
+    grid = (c // bc,)
+    dtype = q.dtype
+    mass_rows = mass.shape[0]
+
+    step_size_arr = jnp.reshape(jnp.asarray(step_size, dtype), (1, 1))
+    seed = _key_to_seed(key)
+
+    grad_c, grad_consts, grad_shapes = _hoist_consts(
+        potential_grad, jax.ShapeDtypeStruct((bc, d), dtype)
+    )
+    logp_c, logp_consts, logp_shapes = _hoist_consts(
+        log_post, jax.ShapeDtypeStruct((bc, d), dtype)
+    )
+    n_g, n_l = len(grad_consts), len(logp_consts)
+
+    def kernel(seed_ref, ss_ref, q_ref, mass_ref, *refs):
+        g_refs = refs[:n_g]
+        l_refs = refs[n_g:n_g + n_l]
+        (oq_ref, op_ref, acc_ref, olp_ref, nlp_ref, oh_ref,
+         nh_ref) = refs[n_g + n_l:]
+        i = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + i, seed_ref[1])
+        ss = ss_ref[0, 0]
+        m = mass_ref[:]
+        g_csts = [jnp.reshape(r[:], s) for r, s in zip(g_refs, grad_shapes)]
+        l_csts = [jnp.reshape(r[:], s) for r, s in zip(l_refs, logp_shapes)]
+
+        q0 = q_ref[:]
+
+        # --- momentum ~ N(0, m): hardware bits -> Box-Muller * sqrt(m) --- #
+        bits1 = pltpu.bitcast(pltpu.prng_random_bits((bc, d)), jnp.uint32)
+        bits2 = pltpu.bitcast(pltpu.prng_random_bits((bc, d)), jnp.uint32)
+        u1 = pltpu.bitcast(
+            (bits1 >> 9) | jnp.uint32(0x3F800000), jnp.float32
+        ) - 1.0
+        u2 = pltpu.bitcast(
+            (bits2 >> 9) | jnp.uint32(0x3F800000), jnp.float32
+        ) - 1.0
+        u1 = jnp.maximum(u1, 1e-7)
+        eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * np.pi) * u2)
+        p0 = eps.astype(dtype) * jnp.sqrt(m)
+
+        # --- MH uniform: one per chain (first lane of a fresh draw) ------ #
+        bits3 = pltpu.bitcast(pltpu.prng_random_bits((bc, d)), jnp.uint32)
+        u_mh_full = pltpu.bitcast(
+            (bits3 >> 9) | jnp.uint32(0x3F800000), jnp.float32
+        ) - 1.0
+        u_mh = u_mh_full[:, 0:1].astype(dtype)  # [bc, 1]
+
+        # --- old Hamiltonian --------------------------------------------- #
+        old_lp = logp_c(q0, *l_csts)  # [bc]
+        old_k = 0.5 * jnp.sum(p0 * p0 / m, axis=1)
+        old_h = -old_lp + old_k
+
+        # --- trajectory (reference boundary schedule, hmc.py:347-372) ---- #
+        def body(it, qp):
+            qq, pp = qp
+            ss1 = jnp.where(it > 0, ss, jnp.zeros_like(ss))
+            ss2 = jnp.where((it > 0) & (it < n_leapfrogs), ss, ss * 0.5)
+            qq = qq + ss1 * pp / m
+            g = grad_c(qq, *g_csts)
+            pp = pp + ss2 * g
+            return (qq, pp)
+
+        qq, pp = jax.lax.fori_loop(0, n_leapfrogs + 1, body, (q0, p0))
+
+        # --- new Hamiltonian + MH select (hmc.py:46-61,479-498) ---------- #
+        new_lp = logp_c(qq, *l_csts)
+        new_k = 0.5 * jnp.sum(pp * pp / m, axis=1)
+        new_h = -new_lp + new_k
+        acc = jnp.exp(jnp.minimum(old_h - new_h, 0.0))
+        finite = jnp.isfinite(acc) & jnp.isfinite(new_lp)
+        acc = jnp.where(finite, acc, jnp.zeros_like(acc))
+        take = u_mh[:, 0] < acc  # [bc]
+        out_q = jnp.where(take[:, None], qq, q0)
+        out_lp = jnp.where(take, new_lp, old_lp)
+
+        oq_ref[:] = out_q
+        op_ref[:] = p0
+        acc_ref[:] = acc[:, None]
+        olp_ref[:] = old_lp[:, None]
+        nlp_ref[:] = out_lp[:, None]
+        oh_ref[:] = old_h[:, None]
+        nh_ref[:] = new_h[:, None]
+
+    def _replicated_spec(arr):
+        return pl.BlockSpec(
+            arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+
+    vec_spec = pl.BlockSpec((bc, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    vec_shape = jax.ShapeDtypeStruct((c, 1), dtype)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),  # step size
+            pl.BlockSpec((bc, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # q
+            pl.BlockSpec(
+                (mass_rows if mass_rows == 1 else bc, d),
+                (lambda i: (0, 0)) if mass_rows == 1 else (lambda i: (i, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [_replicated_spec(x) for x in grad_consts]
+        + [_replicated_spec(x) for x in logp_consts],
+        out_specs=[
+            pl.BlockSpec((bc, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            vec_spec, vec_spec, vec_spec, vec_spec, vec_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, d), dtype),
+            jax.ShapeDtypeStruct((c, d), dtype),
+            vec_shape, vec_shape, vec_shape, vec_shape, vec_shape,
+        ],
+        interpret=interpret,
+    )(seed, step_size_arr, q, mass, *grad_consts, *logp_consts)
+
+    out_q, p0, acc, old_lp, new_lp, old_h, new_h = outs
+    squeeze = lambda v: v[:, 0]
+    return (out_q, p0, squeeze(acc), squeeze(old_lp), squeeze(new_lp),
+            squeeze(old_h), squeeze(new_h))

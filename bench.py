@@ -210,7 +210,32 @@ def measure_vae_steps(jax, jnp, n_steps=100, batch=128, z_dim=40):
         key, sub = jax.random.split(key)
         params, opt_state, lb = step(params, opt_state, x, sub)
     jax.block_until_ready(lb)
-    return n_steps / (time.perf_counter() - t0)
+    per_step = n_steps / (time.perf_counter() - t0)
+
+    # Scanned variant: the whole loop is ONE on-device program (the
+    # library's intended usage — per-step dispatch over the axon tunnel
+    # dominates the loop above on this runtime).
+    from examples.variational_autoencoders.vae import elbo_loss
+
+    @jax.jit
+    def epoch(params, opt_state, x, key):
+        def body(carry, k):
+            p, o = carry
+            loss, grads = jax.value_and_grad(elbo_loss)(p, x, k, z_dim)
+            updates, o = optimizer.update(grads, o)
+            return (optax.apply_updates(p, updates), o), -loss
+
+        keys = jax.random.split(key, n_steps)
+        (p, o), lbs = jax.lax.scan(body, (params, opt_state), keys)
+        return p, o, lbs[-1]
+
+    p, o, lb = epoch(params, opt_state, x, key)  # compile
+    jax.block_until_ready(lb)
+    t0 = time.perf_counter()
+    p, o, lb = epoch(params, opt_state, x, jax.random.PRNGKey(5))
+    jax.block_until_ready(lb)
+    scanned = n_steps / (time.perf_counter() - t0)
+    return per_step, scanned
 
 
 def main():
@@ -269,9 +294,9 @@ def main():
         detail["baseline_fused_scan_cpu"] = "error: " + str(e)[:80]
 
     try:
-        detail["vae_sgvb_steps_per_sec"] = round(
-            measure_vae_steps(jax, jnp), 2
-        )
+        per_step, scanned = measure_vae_steps(jax, jnp)
+        detail["vae_sgvb_steps_per_sec"] = round(per_step, 2)
+        detail["vae_sgvb_steps_per_sec_scanned"] = round(scanned, 2)
     except Exception as e:  # secondary metric must not sink the primary
         detail["vae_sgvb_steps_per_sec"] = "error: " + str(e)[:80]
 

@@ -1,0 +1,46 @@
+"""Docs coverage guard: the generated API reference must include every
+public symbol (VERDICT round-1 item 6 — "every public symbol appears in
+docs")."""
+
+import importlib
+import os
+
+import pytest
+
+DOCS = os.path.join(os.path.dirname(__file__), "..", "docs", "api")
+
+MODULES = [
+    "zhusuan_tpu.distributions",
+    "zhusuan_tpu.framework",
+    "zhusuan_tpu.variational",
+    "zhusuan_tpu.mcmc",
+    "zhusuan_tpu.evaluation",
+    "zhusuan_tpu.diagnostics",
+    "zhusuan_tpu.transform",
+    "zhusuan_tpu.utils",
+    "zhusuan_tpu.parallel",
+    "zhusuan_tpu.checkpoint",
+    "zhusuan_tpu.profiling",
+    "zhusuan_tpu.ops",
+]
+
+
+@pytest.mark.parametrize("module", MODULES)
+def test_every_public_symbol_documented(module):
+    path = os.path.join(DOCS, module + ".md")
+    assert os.path.isfile(path), (
+        "missing API page for {} — run python docs/gen_api.py".format(module)
+    )
+    text = open(path).read()
+    mod = importlib.import_module(module)
+    public = getattr(mod, "__all__", None) or [
+        n for n in dir(mod) if not n.startswith("_")
+    ]
+    missing = [
+        sym for sym in public
+        if "`{}.{}".format(module, sym) not in text
+    ]
+    assert not missing, (
+        "symbols missing from {}: {} — regenerate with "
+        "python docs/gen_api.py".format(path, missing)
+    )

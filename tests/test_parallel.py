@@ -221,3 +221,50 @@ class TestReplicated:
         placed = replicated(mesh, tree)
         assert placed["a"].sharding.spec == P()
         assert placed["b"].sharding.spec == P()
+
+
+class TestSGMCMCDataParallel:
+    def test_sgld_with_dp_sharded_minibatch_matches_replicated(self):
+        """SGMCMC with the minibatch sharded over the mesh computes the
+        same chain as unsharded: the latent is replicated, the observed
+        batch is dp-sharded, and XLA inserts the gradient all-reduce
+        (BASELINE.json north-star phrase 'SGMCMC samplers shard minibatch
+        gradients over ICI')."""
+        mesh = _dp_mesh()
+        n_data, dim = 64, 4
+        rng = np.random.RandomState(0)
+        x_data = jnp.asarray(rng.randn(n_data, dim))
+
+        def log_joint(obs):
+            w = obs["w"]  # [dim]
+            prior = jnp.sum(-0.5 * w ** 2)
+            resid = obs["x"] @ w  # [n_data]
+            lik = jnp.sum(-0.5 * resid ** 2)
+            return prior + lik
+
+        sampler = zs.SGLD(learning_rate=1e-3)
+        state0 = sampler.init({"w": jnp.zeros(dim)},
+                              key=jax.random.PRNGKey(0))
+
+        run = jax.jit(
+            lambda s, x, k: sampler.run(
+                log_joint, {"x": x}, s, k, n_iters=50
+            )
+        )
+        key = jax.random.PRNGKey(1)
+        final_u, qs_u = run(state0, x_data, key)
+
+        x_sharded = jax.device_put(
+            x_data, NamedSharding(mesh, P("dp"))
+        )
+        state_r = jax.device_put(
+            state0, jax.tree.map(
+                lambda _: NamedSharding(mesh, P()), state0
+            )
+        )
+        final_s, qs_s = run(state_r, x_sharded, key)
+
+        np.testing.assert_allclose(
+            np.asarray(qs_s["w"]), np.asarray(qs_u["w"]),
+            rtol=1e-8, atol=1e-10,
+        )

@@ -452,7 +452,7 @@ class HMC:
                     lambda x: log_post({fname: x}),
                     lambda x: grad_fn({fname: x})[fname],
                     jax.ShapeDtypeStruct(
-                        (min(512, q[fname].shape[0]), q[fname].shape[1]),
+                        (min(256, q[fname].shape[0]), q[fname].shape[1]),
                         q[fname].dtype,
                     ),
                 )

@@ -34,7 +34,7 @@ __all__ = ["fused_hmc_step", "hmc_step_supported"]
 _BLOCK_BYTES_LIMIT = 1 << 20
 
 
-def hmc_step_supported(q_shape, block_chains: int = 512,
+def hmc_step_supported(q_shape, block_chains: int = 256,
                        itemsize: int = 4) -> bool:
     """Whether the fused-step kernel handles this state shape in VMEM."""
     if len(q_shape) != 2:
@@ -90,7 +90,7 @@ def fused_hmc_step(
     step_size,
     n_leapfrogs: int,
     key,
-    block_chains: int = 512,
+    block_chains: int = 256,
     interpret: bool = False,
 ):
     """Run one full HMC transition fused in VMEM.
@@ -103,6 +103,9 @@ def fused_hmc_step(
     :param step_size: scalar (traced ok).
     :param key: JAX PRNG key; seeds the hardware PRNG per block
         (deterministic per key; stream differs from ``jax.random``).
+    :param block_chains: VMEM chain-block size (256 measured fastest at
+        the bench config: 372/388/410 us per iter at 256/512/1024;
+        >=2048 fails VMEM, PERF.md).
     :return: ``(accepted_q [c,d], init_momentum [c,d], acceptance_rate
         [c], old_log_prob [c], new_log_prob_selected [c], old_h [c],
         new_h [c])`` matching the scan path's HMCInfo fields.

@@ -250,14 +250,20 @@ def main():
     n_chains = 32768 if on_tpu else 2048
 
     value = dt = gbps = None
+    last_err = None
     while n_chains >= 2048:
         try:
             value, dt, gbps = measure_tpu(jax, jnp, zs, default, n_chains)
             break
-        except Exception:
+        except Exception as e:
+            last_err = e
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise  # only retry on HBM pressure, not real bugs
             n_chains //= 2  # HBM headroom varies by runtime
     if value is None:
-        raise RuntimeError("TPU phase failed at all chain counts")
+        raise RuntimeError(
+            "TPU phase failed at all chain counts"
+        ) from last_err
 
     cpu = jax.devices("cpu")[0]
     base_value, base_dt = measure_host_loop(

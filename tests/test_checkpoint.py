@@ -57,3 +57,59 @@ def test_ess_per_sec():
     samples = rng.randn(200, 3, 4)
     v = ess_per_sec(samples, wall_seconds=2.0)
     assert v > 0
+
+
+def test_checkpoint_empty_dict_roundtrip():
+    with tempfile.TemporaryDirectory() as d:
+        p = save_checkpoint(os.path.join(d, "e"), {}, use_orbax=False)
+        restored, _ = restore_checkpoint(p)
+    assert restored == {}
+
+
+def test_checkpoint_none_entries_need_like():
+    """None entries are structure, not leaves: no-like restore omits them
+    (documented); like= restores them faithfully."""
+    state = {"a": jnp.ones(2), "b": None}
+    with tempfile.TemporaryDirectory() as d:
+        p = save_checkpoint(os.path.join(d, "n"), state, use_orbax=False)
+        bare, _ = restore_checkpoint(p)
+        assert "b" not in bare  # documented npz limitation
+        withlike, _ = restore_checkpoint(p, like=state)
+    assert withlike["b"] is None
+    np.testing.assert_allclose(np.asarray(withlike["a"]), 1.0)
+
+
+def test_checkpoint_legacy_format_clear_error():
+    import pickle
+    import pytest
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "old.npz")
+        np.savez(
+            p,
+            __treedef__=np.frombuffer(pickle.dumps((1, 2)), dtype=np.uint8),
+            __step__=np.asarray(0),
+            leaf_0=np.ones(3),
+        )
+        with pytest.raises(ValueError, match="old pickled-treedef"):
+            restore_checkpoint(p)
+
+
+def test_checkpoint_untrusted_file_cannot_execute_code():
+    """A malicious npz with pickled payloads is rejected by
+    allow_pickle=False before anything is deserialized."""
+    import pytest
+
+    class Evil:
+        def __reduce__(self):
+            return (os.system, ("echo pwned",))
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "evil.npz")
+        np.savez(
+            p,
+            __paths__=np.asarray([Evil()], dtype=object),
+            __step__=np.asarray(0),
+        )
+        with pytest.raises(ValueError):
+            restore_checkpoint(p)

@@ -77,6 +77,8 @@ def _rebuild_from_paths(paths, leaves):
     def finalize(node, kinds_at):
         if not isinstance(node, dict):
             return node
+        if not node:  # empty container: dict is the only faithful guess
+            return {}
         keys = sorted(node.keys(), key=lambda k: (str(type(k)), k))
         if all(isinstance(k, int) for k in keys):
             return [finalize(node[i], kinds_at) for i in range(len(keys))]
@@ -128,12 +130,22 @@ def restore_checkpoint(path: str, like: Any = None):
     :param like: optional template pytree; restored leaves are unflattened
         into its structure (leaf count verified). Required for states with
         NamedTuple/custom nodes; plain dict/list/tuple nesting restores
-        without it (tuples come back as lists).
+        without it (tuples come back as lists). ``None``-valued entries
+        are pytree *structure*, not leaves — the npz format does not
+        record them, so a no-``like`` restore omits them; pass ``like=``
+        to restore trees containing ``None`` faithfully.
     :return: ``(state, step)``.
     """
     npz_path = path if path.endswith(".npz") else path + ".npz"
     if os.path.isfile(npz_path):
         data = np.load(npz_path, allow_pickle=False)
+        if "__treedef__" in data.files:
+            raise ValueError(
+                "This checkpoint uses the old pickled-treedef npz format "
+                "(insecure; removed). Re-save it with the current "
+                "save_checkpoint, or restore it with the release that "
+                "wrote it."
+            )
         paths = json.loads(data["__paths__"].tobytes().decode("utf-8"))
         step = int(data["__step__"])
         leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(paths))]

@@ -427,14 +427,22 @@ class HMC:
 
         # Fused-step applicability: single 2-D latent, one chain axis,
         # broadcast diagonal mass, VMEM-sized blocks (ops/hmc_step.py).
+        # Hardware-PRNG primitives have no CPU lowering; silently use the
+        # scan path when compiling for CPU (same distribution either way).
+        # Checks both the default backend AND a `jax.default_device(cpu)`
+        # override (best-effort: explicit device_put to CPU on a TPU host
+        # is not detectable at trace time).
+        default_dev = getattr(jax.config, "jax_default_device", None)
+        on_cpu = jax.default_backend() == "cpu" or (
+            default_dev is not None
+            and getattr(default_dev, "platform", None) == "cpu"
+        )
         use_fused_step = (
             self.experimental_fused_step
             and len(q) == 1
             and n_chain_dims == 1
             and not self.check_numerics
-            # Hardware-PRNG primitives have no CPU lowering; silently use
-            # the scan path elsewhere (same distribution either way).
-            and jax.default_backend() != "cpu"
+            and not on_cpu
         )
         if use_fused_step:
             from zhusuan_tpu.ops.hmc_step import (
@@ -638,6 +646,15 @@ class HMC:
             the requested fields (iteration-major) when ``collect`` else
             None.
         """
+        valid_fields = ("samples", "acceptance_rate", "step_size",
+                        "log_prob")
+        bad = [f for f in collect_fields if f not in valid_fields]
+        if bad:
+            raise ValueError(
+                "Unknown collect_fields {}; valid names are {}.".format(
+                    bad, valid_fields
+                )
+            )
         adapt_enabled = self.adapt_step_size is not None
 
         def body(carry, inp):

@@ -79,6 +79,12 @@ def checked(fn, errors=None):
     :func:`check_numerics` site inside ``fn`` and, by default, checkify's
     automatic float checks (NaN from any primitive).
 
+    Caveat: wrap the *underlying* function, not a ``jit`` that has already
+    been traced — a pre-existing jit cache entry was traced with the
+    best-effort host-callback guards baked in, and checkify reuses it, so
+    only the automatic float checks would remain guaranteed. Wrapping a
+    fresh function (jitted or not) gets the full guarantee.
+
     :param errors: checkify error set (default: user checks + float
         checks).
     """

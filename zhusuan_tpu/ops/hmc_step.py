@@ -63,23 +63,8 @@ def consts_fit_vmem(log_post: Callable, potential_grad: Callable,
     return total <= _CONST_BYTES_LIMIT
 
 
-def _hoist_consts(fn: Callable, example):
-    """Jaxpr-trace ``fn`` and lift its closure constants (Pallas kernels
-    cannot capture device arrays; same pattern as ops/leapfrog.py)."""
-    import jax.core as jax_core
-
-    closed = jax.make_jaxpr(fn)(example)
-    consts = list(closed.consts)
-
-    def converted(x, *csts):
-        out = jax_core.eval_jaxpr(closed.jaxpr, csts, x)
-        return out[0]
-
-    lifted, shapes = [], []
-    for cst in consts:
-        shapes.append(cst.shape)
-        lifted.append(jnp.atleast_2d(jnp.asarray(cst)))
-    return converted, lifted, shapes
+from zhusuan_tpu.ops._pallas_utils import hoist_closure_consts as \
+    _hoist_consts
 
 
 def fused_hmc_step(
@@ -148,23 +133,19 @@ def fused_hmc_step(
         q0 = q_ref[:]
 
         # --- momentum ~ N(0, m): hardware bits -> Box-Muller * sqrt(m) --- #
+        from zhusuan_tpu.ops._pallas_utils import uniform_from_bits
+
         bits1 = pltpu.bitcast(pltpu.prng_random_bits((bc, d)), jnp.uint32)
         bits2 = pltpu.bitcast(pltpu.prng_random_bits((bc, d)), jnp.uint32)
-        u1 = pltpu.bitcast(
-            (bits1 >> 9) | jnp.uint32(0x3F800000), jnp.float32
-        ) - 1.0
-        u2 = pltpu.bitcast(
-            (bits2 >> 9) | jnp.uint32(0x3F800000), jnp.float32
-        ) - 1.0
+        u1 = uniform_from_bits(bits1)
+        u2 = uniform_from_bits(bits2)
         u1 = jnp.maximum(u1, 1e-7)
         eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * np.pi) * u2)
         p0 = eps.astype(dtype) * jnp.sqrt(m)
 
         # --- MH uniform: one per chain (first lane of a fresh draw) ------ #
         bits3 = pltpu.bitcast(pltpu.prng_random_bits((bc, d)), jnp.uint32)
-        u_mh_full = pltpu.bitcast(
-            (bits3 >> 9) | jnp.uint32(0x3F800000), jnp.float32
-        ) - 1.0
+        u_mh_full = uniform_from_bits(bits3)
         u_mh = u_mh_full[:, 0:1].astype(dtype)  # [bc, 1]
 
         # --- old Hamiltonian --------------------------------------------- #

@@ -85,25 +85,14 @@ def fused_leapfrog(
 
     step_size_arr = jnp.reshape(jnp.asarray(step_size, dtype), (1, 1))
 
-    # Hoist closure constants (observed data, density parameters) out of the
-    # user's gradient function — Pallas kernels cannot capture arrays.
-    # (jax.closure_convert only hoists tracers; concrete device arrays stay
-    # embedded as jaxpr consts, so we lift those ourselves.)
-    import jax.core as jax_core
+    # Hoist closure constants (observed data, density parameters) out of
+    # the user's gradient function — Pallas kernels cannot capture arrays.
+    from zhusuan_tpu.ops._pallas_utils import hoist_closure_consts
 
     block_example = jax.ShapeDtypeStruct((bc, d), dtype)
-    closed = jax.make_jaxpr(potential_grad)(block_example)
-    consts = list(closed.consts)
-
-    def converted_grad(x, *csts):
-        out = jax_core.eval_jaxpr(closed.jaxpr, csts, x)
-        return out[0]
-    # Mosaic wants >=2-D VMEM blocks; lift scalars/vectors.
-    lifted_consts = []
-    const_orig_shapes = []
-    for cst in consts:
-        const_orig_shapes.append(cst.shape)
-        lifted_consts.append(jnp.atleast_2d(jnp.asarray(cst)))
+    converted_grad, lifted_consts, const_orig_shapes = hoist_closure_consts(
+        potential_grad, block_example
+    )
 
     def kernel(ss_ref, q_ref, p_ref, mass_ref, *refs):
         const_refs = refs[: len(lifted_consts)]

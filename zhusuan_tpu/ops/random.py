@@ -55,6 +55,8 @@ def tpu_normal(key, shape, interpret: bool = False):
     grid = (rows // br,)
 
     def kernel(seed_ref, out_ref):
+        from zhusuan_tpu.ops._pallas_utils import uniform_from_bits
+
         i = pl.program_id(0)
         # Independent stream per block: fold the block index into the seed.
         pltpu.prng_seed(seed_ref[0] + i, seed_ref[1])
@@ -64,13 +66,8 @@ def tpu_normal(key, shape, interpret: bool = False):
         bits2 = pltpu.bitcast(
             pltpu.prng_random_bits((br, cols)), jnp.uint32
         )
-        # uint32 -> uniform in (0, 1): set mantissa, exponent 0 -> [1, 2).
-        u1 = pltpu.bitcast(
-            (bits1 >> 9) | jnp.uint32(0x3F800000), jnp.float32
-        ) - 1.0
-        u2 = pltpu.bitcast(
-            (bits2 >> 9) | jnp.uint32(0x3F800000), jnp.float32
-        ) - 1.0
+        u1 = uniform_from_bits(bits1)
+        u2 = uniform_from_bits(bits2)
         # Open interval for the log.
         u1 = jnp.maximum(u1, 1e-7)
         r = jnp.sqrt(-2.0 * jnp.log(u1))
@@ -102,14 +99,14 @@ def tpu_uniform(key, shape, interpret: bool = False):
     grid = (rows // br,)
 
     def kernel(seed_ref, out_ref):
+        from zhusuan_tpu.ops._pallas_utils import uniform_from_bits
+
         i = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + i, seed_ref[1])
         bits = pltpu.bitcast(
             pltpu.prng_random_bits((br, cols)), jnp.uint32
         )
-        out_ref[:] = pltpu.bitcast(
-            (bits >> 9) | jnp.uint32(0x3F800000), jnp.float32
-        ) - 1.0
+        out_ref[:] = uniform_from_bits(bits)
 
     return pl.pallas_call(
         kernel,

@@ -4,12 +4,16 @@ See PERF.md for the measurements behind what is (and deliberately is not)
 hand-written here.
 """
 
-from zhusuan_tpu.ops.checks import check_numerics
+from zhusuan_tpu.ops.checks import check_numerics, checked
+from zhusuan_tpu.ops.hmc_step import fused_hmc_step, hmc_step_supported
 from zhusuan_tpu.ops.leapfrog import fused_leapfrog, leapfrog_supported
 from zhusuan_tpu.ops.random import tpu_normal, tpu_uniform
 
 __all__ = [
     "check_numerics",
+    "checked",
+    "fused_hmc_step",
+    "hmc_step_supported",
     "fused_leapfrog",
     "leapfrog_supported",
     "tpu_normal",

@@ -41,7 +41,7 @@ def hmc_step_supported(q_shape, block_chains: int = 256,
         return False
     c, d = q_shape
     bc = min(block_chains, c)
-    if c % bc != 0 or d < 1:
+    if c % bc != 0 or d < 1 or bc % 2 != 0:
         return False
     return bc * d * itemsize <= _BLOCK_BYTES_LIMIT
 
@@ -103,6 +103,7 @@ def fused_hmc_step(
     c, d = q.shape
     bc = min(block_chains, c)
     assert c % bc == 0, "n_chains must divide by block_chains"
+    assert bc % 2 == 0, "block_chains must be even (split Box-Muller)"
     grid = (c // bc,)
     dtype = q.dtype
     mass_rows = mass.shape[0]
@@ -133,14 +134,20 @@ def fused_hmc_step(
         q0 = q_ref[:]
 
         # --- momentum ~ N(0, m): hardware bits -> Box-Muller * sqrt(m) --- #
+        # Both Box-Muller outputs are used (r*cos for the first half of the
+        # chain block, r*sin for the second): half the bit draws and half
+        # the log/sqrt per normal vs the cos-only transform.
         from zhusuan_tpu.ops._pallas_utils import uniform_from_bits
 
-        bits1 = pltpu.bitcast(pltpu.prng_random_bits((bc, d)), jnp.uint32)
-        bits2 = pltpu.bitcast(pltpu.prng_random_bits((bc, d)), jnp.uint32)
-        u1 = uniform_from_bits(bits1)
+        half = bc // 2  # bc is even (kernel guard in fused_hmc_step)
+        bits1 = pltpu.bitcast(pltpu.prng_random_bits((half, d)), jnp.uint32)
+        bits2 = pltpu.bitcast(pltpu.prng_random_bits((half, d)), jnp.uint32)
+        u1 = jnp.maximum(uniform_from_bits(bits1), 1e-7)
         u2 = uniform_from_bits(bits2)
-        u1 = jnp.maximum(u1, 1e-7)
-        eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * np.pi) * u2)
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = (2.0 * np.pi) * u2
+        eps = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)],
+                              axis=0)
         p0 = eps.astype(dtype) * jnp.sqrt(m)
 
         # --- MH uniform: one per chain (first lane of a fresh draw) ------ #

@@ -341,3 +341,20 @@ class TestFusedStepFallback:
             lambda s, k: hmc.sample(log_joint_gauss, {}, s, k)
         )(state, jax.random.PRNGKey(0))
         assert np.all(np.isfinite(np.asarray(info.acceptance_rate)))
+
+
+class TestSGLDFusedFallback:
+    def test_sgld_fused_flag_falls_back_on_cpu(self):
+        """SGLD(experimental_fused_step=True) on CPU silently uses the
+        scan path and matches the default sampler exactly (the fused
+        kernel only engages on TPU backends)."""
+        s_plain = zs.SGLD(learning_rate=0.01)
+        s_fused = zs.SGLD(learning_rate=0.01, experimental_fused_step=True)
+        st = s_plain.init({"x": jnp.zeros((16, 4), jnp.float64)})
+        run = lambda s: jax.jit(
+            lambda st, k: s.run(log_joint_gauss, {}, st, k, 20)
+        )(st, jax.random.PRNGKey(0))
+        _, qs_a = run(s_plain)
+        _, qs_b = run(s_fused)
+        np.testing.assert_array_equal(np.asarray(qs_a["x"]),
+                                      np.asarray(qs_b["x"]))

@@ -184,13 +184,26 @@ class SGLD(SGMCMC):
 
     :param learning_rate: float, traced scalar, or callable ``t -> lr`` for
         decaying schedules (replaces the reference's feed-dict placeholder).
+    :param experimental_fused_step: run the whole update (noise + gradient
+        + position) in one Pallas VMEM kernel
+        (:mod:`zhusuan_tpu.ops.sgld_step`) when the latent is a single
+        ``[n_chains, dim]`` array on a non-CPU backend. Same distribution,
+        different random stream (hardware PRNG; deterministic per key);
+        silently falls back to the scan path otherwise.
     """
 
-    def __init__(self, learning_rate: Union[float, Callable]):
+    def __init__(self, learning_rate: Union[float, Callable],
+                 experimental_fused_step: bool = False):
         self.learning_rate = learning_rate
+        self.experimental_fused_step = bool(experimental_fused_step)
 
     def _update(self, state, grad_fn, key):
         lr = self._lr(state.t)
+        if getattr(self, "experimental_fused_step", False) and                 type(self) is SGLD:
+            fused_q = self._try_fused(state, grad_fn, key, lr)
+            if fused_q is not None:
+                new_state = state._replace(q=fused_q, t=state.t + 1)
+                return new_state, SGMCMCInfo(q=fused_q)
         grads = grad_fn(state.q)
         noise = _tree_normal(key, state.q, jnp.sqrt(lr))
         new_q = {
@@ -198,6 +211,36 @@ class SGLD(SGMCMC):
         }
         new_state = state._replace(q=new_q, t=state.t + 1)
         return new_state, SGMCMCInfo(q=new_q)
+
+    def _try_fused(self, state, grad_fn, key, lr):
+        """Fused-path applicability check mirroring HMC's (hmc.py)."""
+        q = state.q
+        if len(q) != 1:
+            return None
+        (name,) = q.keys()
+        arr = q[name]
+        default_dev = getattr(jax.config, "jax_default_device", None)
+        on_cpu = jax.default_backend() == "cpu" or (
+            default_dev is not None
+            and getattr(default_dev, "platform", None) == "cpu"
+        )
+        if on_cpu or arr.ndim != 2:
+            return None
+        from zhusuan_tpu.ops.sgld_step import (
+            consts_fit_vmem, fused_sgld_step, sgld_step_supported,
+        )
+
+        def single_grad(x):
+            return grad_fn({name: x})[name]
+
+        if not sgld_step_supported(arr.shape, itemsize=arr.dtype.itemsize):
+            return None
+        probe = jax.ShapeDtypeStruct(
+            (min(256, arr.shape[0]), arr.shape[1]), arr.dtype
+        )
+        if not consts_fit_vmem(single_grad, single_grad, probe):
+            return None
+        return {name: fused_sgld_step(single_grad, arr, lr, key)}
 
 
 class PSGLD(SGLD):

@@ -509,3 +509,76 @@ class TestMultiChipStatistics:
         x = np.asarray(out["samples"]["x"]).reshape(-1, dim)
         np.testing.assert_allclose(x.mean(0), np.asarray(mean), atol=0.2)
         np.testing.assert_allclose(x.std(0), np.asarray(std), rtol=0.15)
+
+
+class TestSVGPDiabetes:
+    def test_svgp_improves_on_real_data(self):
+        """SVGP on the bundled REAL diabetes data (RESULTS.md): a short
+        training run must beat the predict-the-mean baseline on held-out
+        RMSE and improve its bound."""
+        import optax
+
+        from examples.gaussian_process import svgp
+        from examples.utils import dataset
+
+        (x_train, y_train, xv, yv, x_test, y_test,
+         synthetic) = dataset.load_uci_diabetes()
+        assert not synthetic
+        x_train = np.vstack([x_train, xv])
+        y_train = np.hstack([y_train, yv])
+        n_train, n_cov = x_train.shape
+        x_train, x_test, _, _ = dataset.standardize(x_train, x_test)
+        y_train, y_test, mean_y, std_y = dataset.standardize(
+            y_train, y_test
+        )
+        n_z, n_particles = 20, 5
+        params = svgp.init_params(KEY, n_z, n_cov, x_train)
+        opt = optax.adam(1e-2)
+        opt_state = opt.init(params)
+        x = jnp.asarray(x_train, jnp.float64)
+        y = jnp.asarray(y_train, jnp.float64)
+
+        def loss_fn(p, key):
+            model = svgp.build_model(p, x, n_z, n_particles)
+
+            def log_joint(bn):
+                prior, lik = bn.cond_log_prob(["fz", "y"])
+                return prior + lik
+
+            model.log_joint = log_joint
+            latent = svgp.build_variational_samples(
+                p, x, n_z, n_particles, key
+            )
+            import zhusuan_tpu as zs
+
+            lb = zs.variational.elbo(model, observed={"y": y},
+                                     latent=latent, axis=0)
+            return jnp.mean(lb.sgvb()), jnp.mean(lb.tensor)
+
+        @jax.jit
+        def step(p, o, key):
+            (l, lb), g = jax.value_and_grad(loss_fn, has_aux=True)(p, key)
+            updates, o = opt.update(g, o)
+            return optax.apply_updates(p, updates), o, lb
+
+        key = KEY
+        first_lb = None
+        for i in range(500):
+            key, sub = jax.random.split(key)
+            params, opt_state, lb = step(params, opt_state, sub)
+            if first_lb is None:
+                first_lb = float(lb)
+        assert float(lb) > first_lb  # bound improves on real data
+
+        # Posterior-predictive mean (variational q(fz) -> fx, the
+        # example's predict path) beats predict-the-mean on RMSE.
+        xt = jnp.asarray(x_test, jnp.float64)
+        latent = svgp.build_variational_samples(
+            params, xt, n_z, 50, jax.random.PRNGKey(0)
+        )
+        fx = jnp.mean(jnp.asarray(latent["fx"][0]), axis=0)
+        pred = np.asarray(fx) * std_y + mean_y
+        y_orig = np.asarray(y_test) * std_y + mean_y
+        rmse = float(np.sqrt(np.mean((pred - y_orig) ** 2)))
+        base = float(np.sqrt(np.mean((mean_y - y_orig) ** 2)))
+        assert rmse < base, (rmse, base)

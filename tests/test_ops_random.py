@@ -86,3 +86,69 @@ class TestFusedHMCStep:
             np.asarray(out_a["samples"]["x"]),
             np.asarray(out_b["samples"]["x"]),
         )
+
+
+class TestFusedSGLDStep:
+    """fused_sgld_step formula check (TPU only): with grad g(q) and
+    learning rate lr, (new_q - q - 0.5*lr*g) must be N(0, lr) noise."""
+
+    def test_update_formula_and_noise_scale(self):
+        from zhusuan_tpu.ops.sgld_step import fused_sgld_step
+
+        C, D, lr = 4096, 128, 0.04
+        q = jnp.asarray(np.random.RandomState(0).randn(C, D), jnp.float32)
+        grad = lambda x: -0.5 * x  # known gradient
+        new_q = fused_sgld_step(grad, q, lr, jax.random.PRNGKey(0))
+        resid = np.asarray(new_q - q - 0.5 * lr * (-0.5 * q))
+        # Residual is exactly the injected noise: N(0, sqrt(lr)).
+        assert abs(resid.mean()) < 3e-3
+        np.testing.assert_allclose(resid.std(), np.sqrt(lr), rtol=0.02)
+
+    def test_deterministic_per_key(self):
+        from zhusuan_tpu.ops.sgld_step import fused_sgld_step
+
+        q = jnp.zeros((512, 64), jnp.float32)
+        grad = lambda x: -x
+        a = np.asarray(fused_sgld_step(grad, q, 0.01, jax.random.PRNGKey(1)))
+        b = np.asarray(fused_sgld_step(grad, q, 0.01, jax.random.PRNGKey(1)))
+        c = np.asarray(fused_sgld_step(grad, q, 0.01, jax.random.PRNGKey(2)))
+        np.testing.assert_array_equal(a, b)
+        assert np.abs(a - c).max() > 0
+
+
+class TestFusedHMCStepKernel:
+    """Direct fused_hmc_step checks (TPU only; the HMC-level statistical
+    equivalence lives in TestFusedHMCStep above)."""
+
+    def test_momentum_and_energy_bookkeeping(self):
+        from zhusuan_tpu.ops.hmc_step import fused_hmc_step
+
+        C, D = 2048, 64
+        std = jnp.linspace(0.5, 2.0, D, dtype=jnp.float32)
+        logp = lambda x: jnp.sum(-0.5 * (x / std) ** 2, -1)
+        grad = lambda x: -x / (std * std)
+        mass = jnp.ones((1, D), jnp.float32)
+        q = jnp.asarray(np.random.RandomState(1).randn(C, D) * 0.5,
+                        jnp.float32)
+        (out_q, p0, acc, old_lp, new_lp, old_h, new_h) = fused_hmc_step(
+            logp, grad, q, mass, 0.05, 5, jax.random.PRNGKey(0)
+        )
+        p0 = np.asarray(p0)
+        # Momentum ~ N(0, mass=1): both Box-Muller halves standard normal.
+        assert abs(p0.mean()) < 5e-3
+        np.testing.assert_allclose(p0.std(), 1.0, rtol=0.01)
+        np.testing.assert_allclose(p0[: C // 2].std(), 1.0, rtol=0.02)
+        np.testing.assert_allclose(p0[C // 2:].std(), 1.0, rtol=0.02)
+        # Energy bookkeeping: old_h == -logp(q) + 0.5 sum p^2.
+        expect_h = -np.asarray(logp(q)) + 0.5 * (p0 ** 2).sum(-1)
+        np.testing.assert_allclose(np.asarray(old_h), expect_h, rtol=1e-4)
+        # old_lp is exactly logp(q); acceptance in [0, 1].
+        np.testing.assert_allclose(np.asarray(old_lp), np.asarray(logp(q)),
+                                   rtol=1e-5)
+        a = np.asarray(acc)
+        assert (0 <= a).all() and (a <= 1).all()
+        # Per-chain select: every row equals the proposal or the start.
+        oq = np.asarray(out_q)
+        qn = np.asarray(q)
+        moved = np.abs(oq - qn).max(axis=1) > 0
+        assert moved.mean() > 0.5  # small step -> mostly accepted

@@ -452,13 +452,18 @@ class HMC:
             (fname,) = q.keys()
             use_fused_step = (
                 q[fname].ndim == 2
+                # Mosaic kernels are f32-only here; other dtypes take the
+                # scan path (documented silent fallback).
+                and q[fname].dtype == jnp.float32
                 and hmc_step_supported(
                     q[fname].shape, itemsize=q[fname].dtype.itemsize
                 )
                 and mass[fname].shape == (1,) + q[fname].shape[1:]
                 and consts_fit_vmem(
-                    lambda x: log_post({fname: x}),
-                    lambda x: grad_fn({fname: x})[fname],
+                    (
+                        lambda x: log_post({fname: x}),
+                        lambda x: grad_fn({fname: x})[fname],
+                    ),
                     jax.ShapeDtypeStruct(
                         (min(256, q[fname].shape[0]), q[fname].shape[1]),
                         q[fname].dtype,

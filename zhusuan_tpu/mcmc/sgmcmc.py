@@ -224,7 +224,7 @@ class SGLD(SGMCMC):
             default_dev is not None
             and getattr(default_dev, "platform", None) == "cpu"
         )
-        if on_cpu or arr.ndim != 2:
+        if on_cpu or arr.ndim != 2 or arr.dtype != jnp.float32:
             return None
         from zhusuan_tpu.ops.sgld_step import (
             consts_fit_vmem, fused_sgld_step, sgld_step_supported,
@@ -238,7 +238,7 @@ class SGLD(SGMCMC):
         probe = jax.ShapeDtypeStruct(
             (min(256, arr.shape[0]), arr.shape[1]), arr.dtype
         )
-        if not consts_fit_vmem(single_grad, single_grad, probe):
+        if not consts_fit_vmem((single_grad,), probe):
             return None
         return {name: fused_sgld_step(single_grad, arr, lr, key)}
 

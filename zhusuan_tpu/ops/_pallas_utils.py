@@ -18,7 +18,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["hoist_closure_consts", "uniform_from_bits"]
+__all__ = ["hoist_closure_consts", "uniform_from_bits",
+           "split_boxmuller_normal", "replicated_block_spec"]
 
 
 def hoist_closure_consts(fn: Callable, example):
@@ -59,3 +60,41 @@ def uniform_from_bits(bits):
     return pltpu.bitcast(
         (bits >> 9) | jnp.uint32(0x3F800000), jnp.float32
     ) - 1.0
+
+
+_TWO_PI = float(2.0 * 3.141592653589793)
+
+
+def split_boxmuller_normal(n_rows: int, n_cols: int):
+    """Draw ``(n_rows, n_cols)`` float32 standard normals in-kernel from
+    the hardware PRNG, using BOTH Box-Muller outputs (r*cos fills the
+    first half of the rows, r*sin the second) — half the bit draws and
+    half the log/sqrt per normal. ``n_rows`` must be even. Call after
+    ``pltpu.prng_seed``.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    half = n_rows // 2
+    bits1 = pltpu.bitcast(
+        pltpu.prng_random_bits((half, n_cols)), jnp.uint32
+    )
+    bits2 = pltpu.bitcast(
+        pltpu.prng_random_bits((half, n_cols)), jnp.uint32
+    )
+    u1 = jnp.maximum(uniform_from_bits(bits1), float(1e-7))
+    u2 = uniform_from_bits(bits2)
+    r = jnp.sqrt(float(-2.0) * jnp.log(u1))
+    theta = _TWO_PI * u2
+    return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)],
+                           axis=0)
+
+
+def replicated_block_spec(arr):
+    """BlockSpec replicating a (small) array into every grid block's VMEM
+    (used for hoisted closure constants)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec(
+        arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )

@@ -52,11 +52,14 @@ def hmc_step_supported(q_shape, block_chains: int = 256,
 _CONST_BYTES_LIMIT = 4 << 20
 
 
-def consts_fit_vmem(log_post: Callable, potential_grad: Callable,
-                    example) -> bool:
-    """Whether both closures' hoisted constants fit the VMEM budget."""
+def consts_fit_vmem(fns, example) -> bool:
+    """Whether the closures' hoisted constants fit the VMEM budget.
+
+    :param fns: iterable of closures whose constants will all be
+        replicated into each block's VMEM (pass each closure ONCE).
+    """
     total = 0
-    for fn in (log_post, potential_grad):
+    for fn in fns:
         closed = jax.make_jaxpr(fn)(example)
         for cst in closed.consts:
             total += int(np.prod(cst.shape)) * cst.dtype.itemsize
@@ -133,21 +136,13 @@ def fused_hmc_step(
 
         q0 = q_ref[:]
 
-        # --- momentum ~ N(0, m): hardware bits -> Box-Muller * sqrt(m) --- #
-        # Both Box-Muller outputs are used (r*cos for the first half of the
-        # chain block, r*sin for the second): half the bit draws and half
-        # the log/sqrt per normal vs the cos-only transform.
-        from zhusuan_tpu.ops._pallas_utils import uniform_from_bits
+        # --- momentum ~ N(0, m): split Box-Muller (both outputs used;
+        # half the bit draws + log/sqrt per normal) ----------------------- #
+        from zhusuan_tpu.ops._pallas_utils import (
+            split_boxmuller_normal, uniform_from_bits,
+        )
 
-        half = bc // 2  # bc is even (kernel guard in fused_hmc_step)
-        bits1 = pltpu.bitcast(pltpu.prng_random_bits((half, d)), jnp.uint32)
-        bits2 = pltpu.bitcast(pltpu.prng_random_bits((half, d)), jnp.uint32)
-        u1 = jnp.maximum(uniform_from_bits(bits1), 1e-7)
-        u2 = uniform_from_bits(bits2)
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        theta = (2.0 * np.pi) * u2
-        eps = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)],
-                              axis=0)
+        eps = split_boxmuller_normal(bc, d)
         p0 = eps.astype(dtype) * jnp.sqrt(m)
 
         # --- MH uniform: one per chain (first lane of a fresh draw) ------ #
@@ -191,10 +186,9 @@ def fused_hmc_step(
         oh_ref[:] = old_h[:, None]
         nh_ref[:] = new_h[:, None]
 
-    def _replicated_spec(arr):
-        return pl.BlockSpec(
-            arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
-        )
+    from zhusuan_tpu.ops._pallas_utils import (
+        replicated_block_spec as _replicated_spec,
+    )
 
     vec_spec = pl.BlockSpec((bc, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)

@@ -65,7 +65,7 @@ def fused_sgld_step(
     )
 
     def kernel(seed_ref, lr_ref, q_ref, *refs):
-        from zhusuan_tpu.ops._pallas_utils import uniform_from_bits
+        from zhusuan_tpu.ops._pallas_utils import split_boxmuller_normal
 
         g_refs = refs[: len(grad_consts)]
         (out_ref,) = refs[len(grad_consts):]
@@ -74,25 +74,14 @@ def fused_sgld_step(
         lr_k = lr_ref[0, 0]
         csts = [jnp.reshape(r[:], s) for r, s in zip(g_refs, grad_shapes)]
 
-        half = bc // 2
-        bits1 = pltpu.bitcast(pltpu.prng_random_bits((half, d)), jnp.uint32)
-        bits2 = pltpu.bitcast(pltpu.prng_random_bits((half, d)), jnp.uint32)
-        u1 = jnp.maximum(uniform_from_bits(bits1), 1e-7)
-        u2 = uniform_from_bits(bits2)
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        theta = (2.0 * np.pi) * u2
-        eps = jnp.concatenate(
-            [r * jnp.cos(theta), r * jnp.sin(theta)], axis=0
-        ).astype(dtype)
-
+        eps = split_boxmuller_normal(bc, d).astype(dtype)
         q0 = q_ref[:]
         g = grad_c(q0, *csts)
         out_ref[:] = q0 + 0.5 * lr_k * g + jnp.sqrt(lr_k) * eps
 
-    def _replicated_spec(arr):
-        return pl.BlockSpec(
-            arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
-        )
+    from zhusuan_tpu.ops._pallas_utils import (
+        replicated_block_spec as _replicated_spec,
+    )
 
     return pl.pallas_call(
         kernel,

@@ -9,14 +9,23 @@ TPU-native: the adaptation gating folds into ``HMC.run(n_adapt=...)``
 Run: ``python -m examples.toy_examples.gaussian``.
 """
 
+import argparse
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 import zhusuan_tpu as zs
 
+parser = argparse.ArgumentParser()
+parser.add_argument(
+    "--fused", action="store_true",
+    help="fully fused Pallas HMC transition (TPU; PERF.md)",
+)
+
 
 def main():
+    hps, _ = parser.parse_known_args()
     n_x = 10
     stdev = (1.0 / (np.arange(n_x) + 1)).astype(np.float32)
     n_chains, n_iters, burnin, n_leapfrogs = 1000, 200, 100, 5
@@ -36,6 +45,7 @@ def main():
         step_size=1e-3, n_leapfrogs=n_leapfrogs,
         adapt_step_size=True, adapt_mass=True,
         target_acceptance_rate=0.9,
+        experimental_fused_step=hps.fused,
     )
     state = hmc.init(
         {"x": jnp.zeros([n_chains, n_x], jnp.float32)}, n_chain_dims=1

@@ -358,3 +358,19 @@ class TestSGLDFusedFallback:
         _, qs_b = run(s_fused)
         np.testing.assert_array_equal(np.asarray(qs_a["x"]),
                                       np.asarray(qs_b["x"]))
+
+
+class TestSGHMCFusedFallback:
+    def test_sghmc_fused_flag_falls_back_on_cpu(self):
+        s_plain = zs.SGHMC(learning_rate=0.003, n_iter_resample_v=5)
+        s_fused = zs.SGHMC(learning_rate=0.003, n_iter_resample_v=5,
+                           experimental_fused_step=True)
+        st0 = lambda s: s.init({"x": jnp.zeros((16, 4), jnp.float64)},
+                               key=jax.random.PRNGKey(0))
+        run = lambda s: jax.jit(
+            lambda st, k: s.run(log_joint_gauss, {}, st, k, 20)
+        )(st0(s), jax.random.PRNGKey(1))
+        _, qs_a = run(s_plain)
+        _, qs_b = run(s_fused)
+        np.testing.assert_array_equal(np.asarray(qs_a["x"]),
+                                      np.asarray(qs_b["x"]))

@@ -82,14 +82,19 @@ class SGMCMC:
 
     def _maybe_resample_v(self, state, key, lr):
         """Resample momentum every ``n_iter_resample_v`` iterations (0
-        disables). Shared by SGHMC/SGNHT (reference sgmcmc.py:326-337)."""
+        disables). Shared by SGHMC/SGNHT (reference sgmcmc.py:326-337).
+
+        Uses ``lax.cond`` so the fresh draw only executes on resample
+        iterations — a where-select would pay a full normal draw every
+        iteration (~35% of an SGHMC step at 32768x100, PERF.md)."""
         if self.n_iter_resample_v == 0:
             return state.v
-        fresh = _tree_normal(key, state.v, jnp.sqrt(lr))
         resample = (state.t % self.n_iter_resample_v) == 0
-        return {
-            k: jnp.where(resample, fresh[k], state.v[k]) for k in state.v
-        }
+        return jax.lax.cond(
+            resample,
+            lambda: _tree_normal(key, state.v, jnp.sqrt(lr)),
+            lambda: state.v,
+        )
 
     def sample(self, meta_bn, observed, state: SGMCMCState, key):
         """One SGMCMC iteration: pure ``(state, key) -> (state, info)``.
@@ -303,12 +308,17 @@ class SGHMC(SGMCMC):
     def __init__(self, learning_rate, friction: float = 0.25,
                  variance_estimate: float = 0.0,
                  n_iter_resample_v: Optional[int] = 20,
-                 second_order: bool = True):
+                 second_order: bool = True,
+                 experimental_fused_step: bool = False):
         self.learning_rate = learning_rate
         self.alpha = float(friction)
         self.beta = float(variance_estimate)
         self.n_iter_resample_v = int(n_iter_resample_v or 0)
         self.second_order = bool(second_order)
+        # Fused Pallas transition (ops/sghmc_step.py): same contract as
+        # SGLD/HMC's experimental_fused_step (silent scan fallback when
+        # not applicable; hardware-PRNG stream, deterministic per key).
+        self.experimental_fused_step = bool(experimental_fused_step)
 
     def _init_state(self, q, t, key):
         if key is None:
@@ -321,6 +331,12 @@ class SGHMC(SGMCMC):
         key_r, key_n = jax.random.split(key)
         lr = self._lr(state.t)
         old_v = self._maybe_resample_v(state, key_r, lr)
+        if self.experimental_fused_step:
+            fused = self._try_fused(state, old_v, grad_fn, key_n, lr)
+            if fused is not None:
+                new_q, new_v, mean_k = fused
+                new_state = state._replace(q=new_q, v=new_v, t=state.t + 1)
+                return new_state, SGMCMCInfo(q=new_q, mean_k=mean_k)
         noise = _tree_normal(
             key_n, old_v, jnp.sqrt(2 * (self.alpha - self.beta) * lr)
         )
@@ -344,6 +360,42 @@ class SGHMC(SGMCMC):
         mean_k = {k: jnp.mean(new_v[k] ** 2) for k in state.q}
         new_state = state._replace(q=new_q, v=new_v, t=state.t + 1)
         return new_state, SGMCMCInfo(q=new_q, mean_k=mean_k)
+
+    def _try_fused(self, state, old_v, grad_fn, key, lr):
+        """Applicability gate mirroring SGLD._try_fused."""
+        q = state.q
+        if len(q) != 1:
+            return None
+        (name,) = q.keys()
+        arr = q[name]
+        default_dev = getattr(jax.config, "jax_default_device", None)
+        on_cpu = jax.default_backend() == "cpu" or (
+            default_dev is not None
+            and getattr(default_dev, "platform", None) == "cpu"
+        )
+        if on_cpu or arr.ndim != 2 or arr.dtype != jnp.float32:
+            return None
+        from zhusuan_tpu.ops.sghmc_step import (
+            consts_fit_vmem, fused_sghmc_step, sghmc_step_supported,
+        )
+
+        def single_grad(x):
+            return grad_fn({name: x})[name]
+
+        if not sghmc_step_supported(arr.shape, itemsize=arr.dtype.itemsize):
+            return None
+        probe = jax.ShapeDtypeStruct(
+            (min(256, arr.shape[0]), arr.shape[1]), arr.dtype
+        )
+        if not consts_fit_vmem((single_grad,), probe):
+            return None
+        new_q, new_v, vsq = fused_sghmc_step(
+            single_grad, arr, old_v[name], lr, self.alpha, self.beta,
+            self.second_order, key,
+        )
+        n_elems = arr.shape[0] * arr.shape[1]
+        mean_k = {name: jnp.sum(vsq) / float(n_elems)}
+        return {name: new_q}, {name: new_v}, mean_k
 
 
 class SGNHT(SGMCMC):

@@ -152,3 +152,63 @@ class TestFusedHMCStepKernel:
         qn = np.asarray(q)
         moved = np.abs(oq - qn).max(axis=1) > 0
         assert moved.mean() > 0.5  # small step -> mostly accepted
+
+
+class TestFusedSGHMCStep:
+    """fused_sghmc_step formula checks (TPU only), mirroring the scanned
+    integrators in mcmc/sgmcmc.py."""
+
+    def test_first_order_formula_and_noise(self):
+        from zhusuan_tpu.ops.sghmc_step import fused_sghmc_step
+
+        C, D, lr, alpha = 4096, 128, 0.01, 0.25
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(C, D), jnp.float32)
+        v = jnp.asarray(rng.randn(C, D) * 0.1, jnp.float32)
+        grad = lambda x: -0.7 * x
+        new_q, new_v, vsq = fused_sghmc_step(
+            grad, q, v, lr, alpha, 0.0, False, jax.random.PRNGKey(0)
+        )
+        # q' - q == v' exactly (1st-order: q' = q + v').
+        np.testing.assert_allclose(
+            np.asarray(new_q - q), np.asarray(new_v), rtol=1e-5, atol=1e-6
+        )
+        # Residual of the v update is the injected noise
+        # N(0, sqrt(2*alpha*lr)).
+        resid = np.asarray(new_v) - (
+            (1 - alpha) * np.asarray(v) + lr * np.asarray(-0.7 * q)
+        )
+        assert abs(resid.mean()) < 3e-3
+        np.testing.assert_allclose(
+            resid.std(), np.sqrt(2 * alpha * lr), rtol=0.02
+        )
+        # Kinetic partial sums match.
+        np.testing.assert_allclose(
+            np.asarray(vsq), (np.asarray(new_v) ** 2).sum(-1), rtol=1e-4
+        )
+
+    def test_second_order_matches_scan_formula(self):
+        from zhusuan_tpu.ops.sghmc_step import fused_sghmc_step
+
+        C, D, lr, alpha = 2048, 64, 0.01, 0.3
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(C, D), jnp.float32)
+        v = jnp.asarray(rng.randn(C, D) * 0.1, jnp.float32)
+        grad = lambda x: -x
+        new_q, new_v, _ = fused_sghmc_step(
+            grad, q, v, lr, alpha, 0.0, True, jax.random.PRNGKey(2)
+        )
+        # Reconstruct: q1 = q + v/2; noise = v'/d - (d*v + lr*g(q1));
+        # then q' must equal q1 + v'/2 and noise ~ N(0, sqrt(2*alpha*lr)).
+        d_half = np.exp(-0.5 * alpha)
+        q1 = np.asarray(q) + 0.5 * np.asarray(v)
+        np.testing.assert_allclose(
+            np.asarray(new_q), q1 + 0.5 * np.asarray(new_v),
+            rtol=1e-5, atol=1e-6,
+        )
+        noise = np.asarray(new_v) / d_half - (
+            d_half * np.asarray(v) + lr * (-q1)
+        )
+        np.testing.assert_allclose(
+            noise.std(), np.sqrt(2 * alpha * lr), rtol=0.02
+        )

@@ -57,6 +57,25 @@ def _tree_normal(key, like: Latent, stddev):
     }
 
 
+def _fused_gate(q):
+    """Shared applicability gate for the fused Pallas transitions: returns
+    the single latent name when the fused path can engage (single 2-D f32
+    latent on a non-CPU backend), else None. The per-kernel shape/consts
+    checks happen at the call site."""
+    if len(q) != 1:
+        return None
+    (name,) = q.keys()
+    arr = q[name]
+    default_dev = getattr(jax.config, "jax_default_device", None)
+    on_cpu = jax.default_backend() == "cpu" or (
+        default_dev is not None
+        and getattr(default_dev, "platform", None) == "cpu"
+    )
+    if on_cpu or arr.ndim != 2 or arr.dtype != jnp.float32:
+        return None
+    return name
+
+
 class SGMCMC:
     """Base class: the shared ``sample``/``run`` driver.
 
@@ -220,17 +239,10 @@ class SGLD(SGMCMC):
     def _try_fused(self, state, grad_fn, key, lr):
         """Fused-path applicability check mirroring HMC's (hmc.py)."""
         q = state.q
-        if len(q) != 1:
+        name = _fused_gate(q)
+        if name is None:
             return None
-        (name,) = q.keys()
         arr = q[name]
-        default_dev = getattr(jax.config, "jax_default_device", None)
-        on_cpu = jax.default_backend() == "cpu" or (
-            default_dev is not None
-            and getattr(default_dev, "platform", None) == "cpu"
-        )
-        if on_cpu or arr.ndim != 2 or arr.dtype != jnp.float32:
-            return None
         from zhusuan_tpu.ops.sgld_step import (
             consts_fit_vmem, fused_sgld_step, sgld_step_supported,
         )
@@ -303,6 +315,13 @@ class SGHMC(SGMCMC):
     :param variance_estimate: beta (must be < alpha).
     :param n_iter_resample_v: momentum resample period (0/None disables).
     :param second_order: enable the 2nd-order integrator.
+    :param experimental_fused_step: run the whole update (noise + gradient
+        + integrator + kinetic sums) in one Pallas VMEM kernel
+        (:mod:`zhusuan_tpu.ops.sghmc_step`) when the latent is a single
+        ``[n_chains, dim]`` float32 array on a non-CPU backend. Same
+        distribution, different random stream (hardware PRNG,
+        deterministic per key); silently falls back to the scan path
+        otherwise.
     """
 
     def __init__(self, learning_rate, friction: float = 0.25,
@@ -313,6 +332,12 @@ class SGHMC(SGMCMC):
         self.learning_rate = learning_rate
         self.alpha = float(friction)
         self.beta = float(variance_estimate)
+        if not self.beta < self.alpha:
+            raise ValueError(
+                "variance_estimate (beta={}) must be < friction (alpha={}) "
+                "— the injected noise variance 2*(alpha-beta)*lr must be "
+                "positive.".format(self.beta, self.alpha)
+            )
         self.n_iter_resample_v = int(n_iter_resample_v or 0)
         self.second_order = bool(second_order)
         # Fused Pallas transition (ops/sghmc_step.py): same contract as
@@ -364,17 +389,10 @@ class SGHMC(SGMCMC):
     def _try_fused(self, state, old_v, grad_fn, key, lr):
         """Applicability gate mirroring SGLD._try_fused."""
         q = state.q
-        if len(q) != 1:
+        name = _fused_gate(q)
+        if name is None:
             return None
-        (name,) = q.keys()
         arr = q[name]
-        default_dev = getattr(jax.config, "jax_default_device", None)
-        on_cpu = jax.default_backend() == "cpu" or (
-            default_dev is not None
-            and getattr(default_dev, "platform", None) == "cpu"
-        )
-        if on_cpu or arr.ndim != 2 or arr.dtype != jnp.float32:
-            return None
         from zhusuan_tpu.ops.sghmc_step import (
             consts_fit_vmem, fused_sghmc_step, sghmc_step_supported,
         )

@@ -33,6 +33,9 @@ from zhusuan_tpu import diagnostics
 from zhusuan_tpu.diagnostics import *  # noqa: F401,F403
 from zhusuan_tpu import utils
 from zhusuan_tpu.utils import *  # noqa: F401,F403
+from zhusuan_tpu import legacy
+from zhusuan_tpu.legacy import *  # noqa: F401,F403  (flat re-export, parity
+#                                   with reference zhusuan/__init__.py:10-13)
 from zhusuan_tpu import parallel
 from zhusuan_tpu import ops
 from zhusuan_tpu import checkpoint

@@ -36,8 +36,10 @@ class Empirical(Distribution):
         group_ndims: int = 0,
         **kwargs,
     ):
-        self._explicit_batch_shape = tuple(int(s) for s in batch_shape)
-        self._explicit_value_shape = tuple(int(s) for s in value_shape)
+        # The legacy wrappers pass value_shape=None (reference
+        # legacy/framework/stochastic.py:1167-1171); treat as scalar.
+        self._explicit_batch_shape = tuple(int(s) for s in batch_shape or ())
+        self._explicit_value_shape = tuple(int(s) for s in value_shape or ())
         dtype = np.dtype(dtype)
         if is_continuous is None:
             is_continuous = np.issubdtype(dtype, np.floating)
@@ -82,7 +84,7 @@ class Implicit(Distribution):
 
     def __init__(self, samples, value_shape=(), group_ndims: int = 0, **kwargs):
         self._samples = jnp.asarray(samples)
-        self._explicit_value_shape = tuple(int(s) for s in value_shape)
+        self._explicit_value_shape = tuple(int(s) for s in value_shape or ())
         dtype = self._samples.dtype
         super().__init__(
             dtype=dtype,

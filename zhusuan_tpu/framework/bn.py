@@ -17,6 +17,7 @@ sound because node objects live only within one builder execution.
 
 from __future__ import annotations
 
+import warnings
 import zlib
 from typing import Dict, Optional
 
@@ -26,7 +27,7 @@ import numpy as np
 
 from zhusuan_tpu import distributions
 from zhusuan_tpu.framework.arith import TensorArithmeticMixin
-from zhusuan_tpu.framework.utils import Local
+from zhusuan_tpu.framework.utils import Context, Local
 
 __all__ = ["StochasticTensor", "BayesianNet"]
 
@@ -139,7 +140,7 @@ class StochasticTensor(TensorArithmeticMixin):
         )
 
 
-class BayesianNet:
+class BayesianNet(Context):
     """A Bayesian network under construction: a dict of named stochastic and
     deterministic nodes with conditional log-probability queries.
 
@@ -201,24 +202,31 @@ class BayesianNet:
         """The observation dict bound to this net."""
         return self._observed
 
-    def stochastic(self, name, dist, n_samples=None) -> StochasticTensor:
-        """Add a stochastic node following ``dist``; returns the node.
-
-        Parity: reference ``bn.py:348-371``.
-        """
+    def _register_node(self, name, node):
+        """Register a node under ``name`` (duplicate-checked) and invalidate
+        the cached log-joint. Shared by :meth:`stochastic`,
+        :meth:`deterministic`, and the legacy self-registering wrappers
+        (reference bn.py:75-80 registered via ``bn.nodes[name] = self``)."""
         if name in self._nodes:
             raise ValueError(
                 "There exists a node with name '{}' in the BayesianNet. "
                 "Names should be unique.".format(name)
             )
         self._log_joint_cache = None
+        self._nodes[name] = node
+        return node
+
+    def stochastic(self, name, dist, n_samples=None) -> StochasticTensor:
+        """Add a stochastic node following ``dist``; returns the node.
+
+        Parity: reference ``bn.py:348-371``.
+        """
         node = StochasticTensor(
             self, name, dist,
             observation=self._get_observation(name),
             n_samples=n_samples,
         )
-        self._nodes[name] = node
-        return node
+        return self._register_node(name, node)
 
     def deterministic(self, name, input_tensor):
         """Add a named deterministic node; returns the tensor itself.
@@ -226,13 +234,17 @@ class BayesianNet:
         Parity: reference ``bn.py:373-385``.
         """
         input_tensor = jnp.asarray(input_tensor)
-        if name in self._nodes:
-            raise ValueError(
-                "There exists a node with name '{}' in the BayesianNet. "
-                "Names should be unique.".format(name)
-            )
-        self._nodes[name] = input_tensor
-        return input_tensor
+        return self._register_node(name, input_tensor)
+
+    # -- deprecated use-as-context (reference bn.py:1193-1198) ---------- #
+    def __enter__(self):
+        warnings.warn(
+            "Using `BayesianNet` as contexts has been deprecated. "
+            "Please see the concepts tutorial for the suggested way of "
+            "model construction.",
+            FutureWarning,
+        )
+        return super().__enter__()
 
     # -- queries ------------------------------------------------------- #
     def _check_name_exist(self, name, only_stochastic=False):

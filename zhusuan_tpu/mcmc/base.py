@@ -20,9 +20,11 @@ __all__ = [
     "make_log_joint_fn",
     "tree_random_momentum",
     "tree_velocity",
+    "kinetic_energy",
     "hamiltonian",
     "leapfrog_step",
     "get_acceptance_rate",
+    "get_acceptance_rate_cached",
 ]
 
 Latent = Dict[str, jnp.ndarray]
@@ -71,6 +73,19 @@ def tree_velocity(p: Latent, mass: Latent) -> Latent:
     return {k: p[k] / mass[k] for k in p}
 
 
+def kinetic_energy(
+    q: Latent, p: Latent, mass: Latent, n_chain_dims: int
+) -> jnp.ndarray:
+    """0.5 * sum p^2/m over data axes (reference hmc.py:30-35),
+    chain-shaped. ``q`` only supplies the data-axis layout."""
+    axes = _data_axes(q, n_chain_dims)
+    kinetic = None
+    for k in q:
+        term = 0.5 * jnp.sum(jnp.square(p[k]) / mass[k], axis=axes[k])
+        kinetic = term if kinetic is None else kinetic + term
+    return kinetic
+
+
 def hamiltonian(
     q: Latent,
     p: Latent,
@@ -83,12 +98,7 @@ def hamiltonian(
     """
     log_p = log_posterior(q)
     potential = -log_p
-    axes = _data_axes(q, n_chain_dims)
-    kinetic = None
-    for k in q:
-        term = 0.5 * jnp.sum(jnp.square(p[k]) / mass[k], axis=axes[k])
-        kinetic = term if kinetic is None else kinetic + term
-    return potential + kinetic, log_p
+    return potential + kinetic_energy(q, p, mass, n_chain_dims), log_p
 
 
 def leapfrog_step(q, p, step_size1, step_size2, grad_fn, mass):

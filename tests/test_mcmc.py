@@ -143,6 +143,94 @@ class TestHMC:
             zs.HMC(adapt_mass=True)
 
 
+class TestEvalCache:
+    """The carried (log_prob, grad) cache: n_leapfrogs gradient + 1 density
+    evaluations per iteration instead of n_leapfrogs+1 and 2, same math
+    (values agree to ~1 ulp/step; run() threads it automatically)."""
+
+    def _lj(self, obs):
+        z = obs["z"]
+        scale = jnp.asarray([0.3, 1.0, 3.0, 0.5])
+        return -0.5 * jnp.sum((z - 1.0) ** 2 / scale, axis=-1)
+
+    def test_single_step_matches_uncached(self):
+        hmc = zs.HMC(step_size=0.2, n_leapfrogs=7)
+        q0 = {"z": jax.random.normal(jax.random.PRNGKey(9), (16, 4))}
+        st = hmc.init(q0, n_chain_dims=1)
+        key = jax.random.PRNGKey(0)
+        cache = hmc.make_cache(self._lj, {}, st)
+        s1, i1 = hmc.sample(self._lj, {}, st, key)
+        s2, i2, cache2 = hmc.sample(self._lj, {}, st, key, cache=cache)
+        np.testing.assert_allclose(
+            np.asarray(s1.q["z"]), np.asarray(s2.q["z"]), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(i1.hamiltonian), np.asarray(i2.hamiltonian),
+            atol=1e-12,
+        )
+        # The returned cache IS (log_prob, grad) at the accepted position.
+        lp2, g2 = cache2
+        np.testing.assert_allclose(
+            np.asarray(lp2), np.asarray(self._lj(s2.q)), atol=1e-12
+        )
+        grad_fn = jax.grad(lambda v: jnp.sum(self._lj(v)))
+        np.testing.assert_allclose(
+            np.asarray(g2["z"]), np.asarray(grad_fn(s2.q)["z"]), atol=1e-12
+        )
+
+    def test_zero_leapfrogs_edge(self):
+        hmc = zs.HMC(step_size=0.1, n_leapfrogs=0)
+        st = hmc.init({"z": jnp.zeros((8, 4))}, n_chain_dims=1)
+        key = jax.random.PRNGKey(1)
+        cache = hmc.make_cache(self._lj, {}, st)
+        s1, _ = hmc.sample(self._lj, {}, st, key)
+        s2, _, _ = hmc.sample(self._lj, {}, st, key, cache=cache)
+        np.testing.assert_array_equal(
+            np.asarray(s1.q["z"]), np.asarray(s2.q["z"])
+        )
+
+    def test_run_with_cache_recovers_target(self):
+        # run() threads the cache internally; the full adaptive pipeline
+        # must still recover the target moments.
+        hmc = zs.HMC(step_size=0.1, n_leapfrogs=5, adapt_step_size=True,
+                     adapt_mass=True)
+        st = hmc.init({"z": jnp.zeros((200, 4))}, n_chain_dims=1)
+        _, out = jax.jit(
+            lambda s, k: hmc.run(self._lj, {}, s, k, 700, n_adapt=300)
+        )(st, jax.random.PRNGKey(2))
+        xs = np.asarray(out["samples"]["z"][350:]).reshape(-1, 4)
+        np.testing.assert_allclose(xs.mean(0), np.ones(4), atol=0.1)
+        np.testing.assert_allclose(
+            xs.std(0), np.sqrt([0.3, 1.0, 3.0, 0.5]), rtol=0.1
+        )
+
+    def test_cached_rejection_keeps_old_gradient(self):
+        # A huge step size forces rejections; the carried cache must then
+        # equal the ORIGINAL position's (log_prob, grad).
+        hmc = zs.HMC(step_size=50.0, n_leapfrogs=5)
+        q0 = {"z": jax.random.normal(jax.random.PRNGKey(3), (32, 4))}
+        st = hmc.init(q0, n_chain_dims=1)
+        cache = hmc.make_cache(self._lj, {}, st)
+        s2, info, cache2 = hmc.sample(
+            self._lj, {}, st, jax.random.PRNGKey(4), cache=cache
+        )
+        rejected = ~(
+            np.asarray(info.acceptance_rate)
+            > np.asarray(jax.random.uniform(jax.random.PRNGKey(4), (32,)))
+        )
+        assert rejected.mean() > 0.5  # mostly rejected at this step size
+        keep = np.asarray(s2.q["z"]) == np.asarray(st.q["z"])
+        kept_rows = keep.all(axis=1)
+        np.testing.assert_allclose(
+            np.asarray(cache2[0])[kept_rows],
+            np.asarray(cache[0])[kept_rows],
+        )
+        np.testing.assert_allclose(
+            np.asarray(cache2[1]["z"])[kept_rows],
+            np.asarray(cache[1]["z"])[kept_rows],
+        )
+
+
 class TestSGMCMC:
     def test_sgld(self):
         e = double_well_error(

@@ -122,6 +122,27 @@ def get_acceptance_rate(
     acceptance_rate), all chain-shaped.
     """
     old_h, old_log_prob = hamiltonian(q, p, log_posterior, mass, n_chain_dims)
+    return _finish_acceptance(
+        old_h, old_log_prob, new_q, new_p, log_posterior, mass, n_chain_dims
+    )
+
+
+def get_acceptance_rate_cached(
+    q, p, new_q, new_p, log_posterior, mass, n_chain_dims, old_log_prob
+):
+    """Same as :func:`get_acceptance_rate` but with ``log_posterior(q)``
+    supplied by the caller (carried across iterations: the previous
+    iteration already evaluated the density at the retained-or-accepted
+    position, so recomputing it is pure waste — see PERF.md)."""
+    old_h = -old_log_prob + kinetic_energy(q, p, mass, n_chain_dims)
+    return _finish_acceptance(
+        old_h, old_log_prob, new_q, new_p, log_posterior, mass, n_chain_dims
+    )
+
+
+def _finish_acceptance(
+    old_h, old_log_prob, new_q, new_p, log_posterior, mass, n_chain_dims
+):
     new_h, new_log_prob = hamiltonian(
         new_q, new_p, log_posterior, mass, n_chain_dims
     )

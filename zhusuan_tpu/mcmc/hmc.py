@@ -30,9 +30,11 @@ import numpy as np
 
 from zhusuan_tpu.mcmc.base import (
     get_acceptance_rate,
+    get_acceptance_rate_cached,
     leapfrog_step,
     make_log_joint_fn,
     tree_random_momentum,
+    tree_velocity,
 )
 
 __all__ = ["HMC", "HMCState", "HMCInfo"]
@@ -286,6 +288,32 @@ class HMC:
         (q, p), _ = jax.lax.scan(body, (q, p), jnp.arange(n + 1))
         return q, p
 
+    def _leapfrog_cached(self, q, p, step_size, grad_fn, mass, g0):
+        """Boundary-aware trajectory with the gradient at ``q`` supplied
+        (``g0``) and the final-point gradient returned: ``n_leapfrogs``
+        gradient evaluations instead of ``n_leapfrogs + 1``. Identical
+        schedule to :meth:`_leapfrog` (reference hmc.py:347-372): the
+        i=0 sub-step there is drift-free with a half kick — exactly the
+        first kick below — and the last kick is halved."""
+        n = self.n_leapfrogs
+        half = {k: p[k] + (step_size / 2) * g0[k] for k in p}
+        if n == 0:
+            return q, half, g0
+
+        def body(carry, i):
+            q, p, _ = carry
+            v = tree_velocity(p, mass)
+            q = {k: q[k] + step_size * v[k] for k in q}
+            g = grad_fn(q)
+            ss2 = jnp.where(i < n, step_size, step_size / 2)
+            p = {k: p[k] + ss2 * g[k] for k in p}
+            return (q, p, g), None
+
+        (q, p, g), _ = jax.lax.scan(
+            body, (q, half, g0), jnp.arange(1, n + 1)
+        )
+        return q, p, g
+
     def _run_leapfrog(self, q, p, step_size, grad_fn, mass, n_chain_dims):
         """Dispatch the trajectory: Pallas fused kernel when opted in and
         applicable, otherwise the XLA scan.
@@ -365,6 +393,7 @@ class HMC:
         adapt_step_size=None,
         adapt_mass=None,
         reinit_step_size=None,
+        cache=None,
     ):
         """Run ONE HMC iteration: pure ``(state, key) -> (state, info)``.
 
@@ -382,7 +411,19 @@ class HMC:
         :param reinit_step_size: optional traced bool forcing the heuristic
             step-size re-search and a dual-averaging fresh start this
             iteration (used by :meth:`warmup_run` at window boundaries).
-        :return: ``(new_state, HMCInfo)``.
+        :param cache: optional ``(log_prob, grad_dict)`` evaluated at
+            ``state.q`` (build the first one with :meth:`make_cache`).
+            When given, the iteration skips re-evaluating the density and
+            its gradient at the current position — the previous iteration
+            already produced both — saving one density + one gradient
+            evaluation per step, and the return gains a third element:
+            the cache for the accepted position. The trajectory math is
+            identical; values agree with the uncached path to within
+            ~1 ulp per step (XLA fusion differences only). Only valid
+            while ``meta_bn`` / ``observed`` are unchanged between
+            iterations (:meth:`run` threads this automatically).
+        :return: ``(new_state, HMCInfo)``, plus ``new_cache`` when
+            ``cache`` was given.
         """
         log_post = make_log_joint_fn(meta_bn, observed)
         q = state.q
@@ -519,6 +560,7 @@ class HMC:
         else:
             trajectory_step = step_size
 
+        new_cache = None
         if use_fused_step:
             # Whole transition in one VMEM-resident kernel
             # (momentum + trajectory + MH select; ops/hmc_step.py).
@@ -530,6 +572,13 @@ class HMC:
             def single_logp(x):
                 return log_post({fname: x})
 
+            # The kernel is deliberately self-contained: it ignores any
+            # carried cache and re-evaluates the density/gradient in VMEM,
+            # where both carried variants measured SLOWER than the
+            # recompute (grad: 2 extra [c, d] HBM passes; logp: per-block
+            # DMA overhead on a [c, 1] input — PERF.md). The selected
+            # density still comes back for free, so a cache can be
+            # returned at zero cost.
             (out_q, p0, acceptance_rate, old_log_prob, new_log_prob,
              old_h, new_h) = fused_hmc_step(
                 single_logp, single_grad, q[fname], mass[fname],
@@ -537,17 +586,40 @@ class HMC:
             )
             accepted_q = {fname: out_q}
             p = {fname: p0}
+            new_cache = (new_log_prob, None)
         else:
-            new_q, new_p = self._run_leapfrog(
-                q, p, trajectory_step, grad_fn, mass, n_chain_dims
-            )
+            if cache is not None and cache[1] is not None:
+                old_lp_in, g0 = cache
+                new_q, new_p, g_new = self._leapfrog_cached(
+                    q, p, trajectory_step, grad_fn, mass, g0
+                )
+                (old_h, new_h, old_log_prob, new_log_prob,
+                 acceptance_rate) = get_acceptance_rate_cached(
+                    q, p, new_q, new_p, log_post, mass, n_chain_dims,
+                    old_lp_in,
+                )
+            elif cache is not None:
+                # Density-value-only cache (grad slot None — e.g. a
+                # fused-step sampler that fell back to the scan path):
+                # full trajectory, but the old density is still carried.
+                new_q, new_p = self._run_leapfrog(
+                    q, p, trajectory_step, grad_fn, mass, n_chain_dims
+                )
+                (old_h, new_h, old_log_prob, new_log_prob,
+                 acceptance_rate) = get_acceptance_rate_cached(
+                    q, p, new_q, new_p, log_post, mass, n_chain_dims,
+                    cache[0],
+                )
+            else:
+                new_q, new_p = self._run_leapfrog(
+                    q, p, trajectory_step, grad_fn, mass, n_chain_dims
+                )
 
-            # --- MH test (hmc.py:479-498) ------------------------------ #
-            old_h, new_h, old_log_prob, new_log_prob, acceptance_rate = (
-                get_acceptance_rate(
+                # --- MH test (hmc.py:479-498) -------------------------- #
+                (old_h, new_h, old_log_prob, new_log_prob,
+                 acceptance_rate) = get_acceptance_rate(
                     q, p, new_q, new_p, log_post, mass, n_chain_dims
                 )
-            )
             if self.check_numerics:
                 # Parity: reference hmc.py:51-53 raised on a non-finite
                 # pre-move log prob ("Try better initialization"); opt-in
@@ -563,13 +635,19 @@ class HMC:
             u01 = jax.random.uniform(key_u, acceptance_rate.shape,
                                      acceptance_rate.dtype)
             if_accept = u01 < acceptance_rate
+            has_grad_cache = cache is not None and cache[1] is not None
             accepted_q = {}
+            accepted_g = {} if has_grad_cache else None
             for k in q:
                 cond = if_accept.reshape(
                     if_accept.shape + (1,) * (q[k].ndim - if_accept.ndim)
                 )
                 accepted_q[k] = jnp.where(cond, new_q[k], q[k])
+                if has_grad_cache:
+                    accepted_g[k] = jnp.where(cond, g_new[k], g0[k])
             new_log_prob = jnp.where(if_accept, new_log_prob, old_log_prob)
+            if cache is not None:
+                new_cache = (new_log_prob, accepted_g)
 
         # --- step-size adaptation (hmc.py:500-505) --------------------- #
         if self.adapt_step_size is not None:
@@ -614,7 +692,32 @@ class HMC:
             orig_log_prob=old_log_prob,
             log_prob=new_log_prob,
         )
+        if cache is not None:
+            return new_state, info, new_cache
         return new_state, info
+
+    # ------------------------------------------------------------------ #
+    def make_cache(self, meta_bn, observed, state: HMCState,
+                   with_grad: bool = True):
+        """Evaluate ``(log_prob, grad_dict)`` at ``state.q`` — the carried
+        cache that lets :meth:`sample` skip re-evaluating the density at
+        the current position (see the ``cache`` parameter). :meth:`run`
+        and :meth:`warmup_run` call this internally.
+
+        :param with_grad: also carry the gradient (the scan path then
+            saves one gradient evaluation per iteration). With
+            ``with_grad=False`` the scan path still skips the old-density
+            evaluation (a ``(logp, None)`` cache). The fused kernels never
+            consume a cache — in-VMEM recompute measured faster than any
+            carried input (PERF.md) — so :meth:`run` disables caching
+            entirely when a fused flag is set.
+        """
+        log_post = make_log_joint_fn(meta_bn, observed)
+        logp = log_post(state.q)
+        if not with_grad:
+            return logp, None
+        grad_fn = jax.grad(lambda v: jnp.sum(log_post(v)))
+        return logp, grad_fn(state.q)
 
     # ------------------------------------------------------------------ #
     def run(
@@ -661,9 +764,17 @@ class HMC:
                 )
             )
         adapt_enabled = self.adapt_step_size is not None
+        # Carry (log_prob, grad) at the current position across iterations:
+        # each step then costs n_leapfrogs gradient + 1 density evaluations
+        # instead of n_leapfrogs+1 and 2 (same math, <=1 ulp difference; see
+        # PERF.md). Skipped for both fused kernels: they re-evaluate in
+        # VMEM, where the recompute measured faster than any carried input.
+        use_cache = not (
+            self.experimental_fused_leapfrog or self.experimental_fused_step
+        )
 
         def body(carry, inp):
-            st, k = carry
+            st, k, cache = carry
             k, sub = jax.random.split(k)
             i = st.t
             if not adapt_enabled:
@@ -676,11 +787,13 @@ class HMC:
                 gate = jnp.asarray(False)
             else:
                 gate = i < n_adapt
-            st2, info = self.sample(
+            st2, info, *rest = self.sample(
                 meta_bn, observed, st, sub,
                 adapt_step_size=gate,
                 adapt_mass=gate if self.adapt_mass is not None else None,
+                cache=cache,
             )
+            cache2 = rest[0] if rest else None
             if collect:
                 all_fields = {
                     "samples": (
@@ -698,10 +811,13 @@ class HMC:
                 out = {f: all_fields[f] for f in collect_fields}
             else:
                 out = None
-            return (st2, k), out
+            return (st2, k, cache2), out
 
-        (final_state, _), outputs = jax.lax.scan(
-            body, (state, key), None, length=n_iters
+        cache0 = (
+            self.make_cache(meta_bn, observed, state) if use_cache else None
+        )
+        (final_state, _, _), outputs = jax.lax.scan(
+            body, (state, key, cache0), None, length=n_iters
         )
         return final_state, outputs
 
@@ -789,14 +905,20 @@ class HMC:
         dtype = state.step_size.dtype
         zeros = {k: jnp.zeros_like(v) for k, v in state.mass.items()}
 
+        use_cache = not (
+            self.experimental_fused_leapfrog or self.experimental_fused_step
+        )
+
         def body(carry, i):
-            st, k, count, mean, m2 = carry
+            st, k, cache, count, mean, m2 = carry
             k, sub = jax.random.split(k)
-            st, _ = self.sample(
+            st, _, *rest = self.sample(
                 meta_bn, observed, st, sub,
                 adapt_step_size=jnp.asarray(True),
                 reinit_step_size=reinit_j[i],
+                cache=cache,
             )
+            cache = rest[0] if rest else None
             # Welford update over (iteration x chains) in the slow phase.
             acc = accumulate_j[i]
             n_chains = next(iter(st.q.values())).shape[0]
@@ -846,9 +968,13 @@ class HMC:
                 n: jnp.where(do_install, jnp.zeros_like(v), v)
                 for n, v in new_m2.items()
             }
-            return (st, k, new_count, new_mean, new_m2), None
+            return (st, k, cache, new_count, new_mean, new_m2), None
 
-        carry0 = (state, key, jnp.zeros((), dtype), dict(zeros), dict(zeros))
+        cache0 = (
+            self.make_cache(meta_bn, observed, state) if use_cache else None
+        )
+        carry0 = (state, key, cache0, jnp.zeros((), dtype), dict(zeros),
+                  dict(zeros))
         (final_state, *_), _ = jax.lax.scan(
             body, carry0, jnp.arange(n_warmup)
         )

@@ -448,6 +448,42 @@ class TestSGLDFusedFallback:
                                       np.asarray(qs_b["x"]))
 
 
+class TestSGNHTFusedFallback:
+    def test_sgnht_fused_flag_falls_back_on_cpu(self):
+        """SGNHT(experimental_fused_step=True) on CPU silently uses the
+        scan path (hardware PRNG has no CPU lowering)."""
+        mk = lambda fused: zs.SGNHT(
+            learning_rate=0.003, tune_rate=0.5,
+            experimental_fused_step=fused,
+        )
+        st0 = lambda s: s.init({"x": jnp.zeros((16, 4), jnp.float64)},
+                               key=jax.random.PRNGKey(0))
+        run = lambda s: jax.jit(
+            lambda st, k: s.run(log_joint_gauss, {}, st, k, 20)
+        )(st0(s), jax.random.PRNGKey(1))
+        _, qs_a = run(mk(False))
+        _, qs_b = run(mk(True))
+        np.testing.assert_array_equal(np.asarray(qs_a["x"]),
+                                      np.asarray(qs_b["x"]))
+
+    def test_scalar_alpha_never_fuses(self):
+        # The scalar thermostat needs a global mean(v^2); the fused gate
+        # must refuse it even when the flag is set (scan-path results).
+        mk = lambda fused: zs.SGNHT(
+            learning_rate=0.003, use_vector_alpha=False,
+            experimental_fused_step=fused,
+        )
+        st0 = lambda s: s.init({"x": jnp.zeros((16, 4), jnp.float64)},
+                               key=jax.random.PRNGKey(0))
+        run = lambda s: jax.jit(
+            lambda st, k: s.run(log_joint_gauss, {}, st, k, 10)
+        )(st0(s), jax.random.PRNGKey(1))
+        _, qs_a = run(mk(False))
+        _, qs_b = run(mk(True))
+        np.testing.assert_array_equal(np.asarray(qs_a["x"]),
+                                      np.asarray(qs_b["x"]))
+
+
 class TestSGHMCFusedFallback:
     def test_sghmc_fused_flag_falls_back_on_cpu(self):
         s_plain = zs.SGHMC(learning_rate=0.003, n_iter_resample_v=5)

@@ -187,6 +187,66 @@ class TestFusedSGHMCStep:
             np.asarray(vsq), (np.asarray(new_v) ** 2).sum(-1), rtol=1e-4
         )
 
+    def test_sgnht_first_order_formula(self):
+        from zhusuan_tpu.ops.sgnht_step import fused_sgnht_step
+
+        C, D, lr, a, tr = 4096, 128, 0.01, 0.1, 0.5
+        rng = np.random.RandomState(2)
+        q = jnp.asarray(rng.randn(C, D), jnp.float32)
+        v = jnp.asarray(rng.randn(C, D) * 0.1, jnp.float32)
+        al = jnp.asarray(np.abs(rng.randn(C, D)) * 0.2, jnp.float32)
+        grad = lambda x: -0.6 * x
+        new_q, new_v, new_al = fused_sgnht_step(
+            grad, q, v, al, lr, a, tr, False, jax.random.PRNGKey(0)
+        )
+        # q' - q == v' exactly; thermostat update is deterministic in v'.
+        np.testing.assert_allclose(
+            np.asarray(new_q - q), np.asarray(new_v), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_al),
+            np.asarray(al + tr * (new_v ** 2 - lr)),
+            rtol=1e-4, atol=1e-6,
+        )
+        # Residual of the v update is the injected noise N(0, sqrt(2*a*lr)).
+        resid = np.asarray(new_v) - (
+            (1 - np.asarray(al)) * np.asarray(v) + lr * np.asarray(-0.6 * q)
+        )
+        assert abs(resid.mean()) < 3e-3
+        np.testing.assert_allclose(resid.std(), np.sqrt(2 * a * lr),
+                                   rtol=0.02)
+
+    def test_sgnht_second_order_formula(self):
+        from zhusuan_tpu.ops.sgnht_step import fused_sgnht_step
+
+        C, D, lr, a, tr = 2048, 64, 0.01, 0.1, 0.5
+        rng = np.random.RandomState(3)
+        q = jnp.asarray(rng.randn(C, D), jnp.float32)
+        v = jnp.asarray(rng.randn(C, D) * 0.1, jnp.float32)
+        al = jnp.asarray(np.abs(rng.randn(C, D)) * 0.2, jnp.float32)
+        grad = lambda x: -x
+        new_q, new_v, new_al = fused_sgnht_step(
+            grad, q, v, al, lr, a, tr, True, jax.random.PRNGKey(4)
+        )
+        # Reconstruct per the scan formulas (sgmcmc.py:476-499).
+        al1 = np.asarray(al) + 0.5 * tr * (np.asarray(v) ** 2 - lr)
+        d_half = np.exp(-0.5 * al1)
+        q1 = np.asarray(q) + 0.5 * np.asarray(v)
+        np.testing.assert_allclose(
+            np.asarray(new_q), q1 + 0.5 * np.asarray(new_v),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_al),
+            al1 + 0.5 * tr * (np.asarray(new_v) ** 2 - lr),
+            rtol=1e-4, atol=1e-6,
+        )
+        noise = np.asarray(new_v) / d_half - (
+            d_half * np.asarray(v) + lr * (-q1)
+        )
+        np.testing.assert_allclose(noise.std(), np.sqrt(2 * a * lr),
+                                   rtol=0.02)
+
     def test_second_order_matches_scan_formula(self):
         from zhusuan_tpu.ops.sghmc_step import fused_sghmc_step
 

@@ -427,18 +427,28 @@ class SGNHT(SGMCMC):
 
     :param use_vector_alpha: per-coordinate friction when True (alpha has the
         latent's shape), scalar otherwise.
+    :param experimental_fused_step: run the whole update (noise + gradient
+        + integrator + thermostat) in one Pallas VMEM kernel
+        (:mod:`zhusuan_tpu.ops.sgnht_step`) when the latent is a single
+        ``[n_chains, dim]`` float32 array on a non-CPU backend AND
+        ``use_vector_alpha`` is set (the scalar thermostat needs a global
+        ``mean(v^2)`` — a cross-block reduction — and always takes the
+        scan path). Same distribution, different random stream (hardware
+        PRNG, deterministic per key); silently falls back otherwise.
     """
 
     def __init__(self, learning_rate, variance_extra: float = 0.0,
                  tune_rate: float = 1.0,
                  n_iter_resample_v: Optional[int] = None,
-                 second_order: bool = True, use_vector_alpha: bool = True):
+                 second_order: bool = True, use_vector_alpha: bool = True,
+                 experimental_fused_step: bool = False):
         self.learning_rate = learning_rate
         self.a = float(variance_extra)
         self.tune_rate = float(tune_rate)
         self.n_iter_resample_v = int(n_iter_resample_v or 0)
         self.second_order = bool(second_order)
         self.use_vector_alpha = bool(use_vector_alpha)
+        self.experimental_fused_step = bool(experimental_fused_step)
 
     def _init_state(self, q, t, key):
         if key is None:
@@ -458,6 +468,18 @@ class SGNHT(SGMCMC):
         key_r, key_n = jax.random.split(key)
         lr = self._lr(state.t)
         old_v = self._maybe_resample_v(state, key_r, lr)
+        if self.experimental_fused_step and self.use_vector_alpha:
+            fused = self._try_fused(state, old_v, grad_fn, key_n, lr)
+            if fused is not None:
+                new_q, new_v, new_alpha = fused
+                name = next(iter(new_q))
+                mean_k = {name: new_v[name] ** 2}
+                new_state = state._replace(
+                    q=new_q, v=new_v, alpha=new_alpha, t=state.t + 1
+                )
+                return new_state, SGMCMCInfo(
+                    q=new_q, mean_k=mean_k, alpha=new_alpha
+                )
         noise = _tree_normal(key_n, old_v, jnp.sqrt(2 * self.a * lr))
         if not self.second_order:
             grads = grad_fn(state.q)
@@ -501,3 +523,31 @@ class SGNHT(SGMCMC):
             q=new_q, v=new_v, alpha=new_alpha, t=state.t + 1
         )
         return new_state, SGMCMCInfo(q=new_q, mean_k=mean_k, alpha=new_alpha)
+
+    def _try_fused(self, state, old_v, grad_fn, key, lr):
+        """Applicability gate mirroring SGHMC._try_fused (vector alpha
+        only — the scalar thermostat needs a cross-block reduction)."""
+        q = state.q
+        name = _fused_gate(q)
+        if name is None:
+            return None
+        arr = q[name]
+        from zhusuan_tpu.ops.sgnht_step import (
+            consts_fit_vmem, fused_sgnht_step, sgnht_step_supported,
+        )
+
+        def single_grad(x):
+            return grad_fn({name: x})[name]
+
+        if not sgnht_step_supported(arr.shape, itemsize=arr.dtype.itemsize):
+            return None
+        probe = jax.ShapeDtypeStruct(
+            (min(256, arr.shape[0]), arr.shape[1]), arr.dtype
+        )
+        if not consts_fit_vmem((single_grad,), probe):
+            return None
+        new_q, new_v, new_alpha = fused_sgnht_step(
+            single_grad, arr, old_v[name], state.alpha[name], lr, self.a,
+            self.tune_rate, self.second_order, key,
+        )
+        return {name: new_q}, {name: new_v}, {name: new_alpha}

@@ -448,6 +448,21 @@ class TestSGLDFusedFallback:
                                       np.asarray(qs_b["x"]))
 
 
+class TestPSGLDFusedFallback:
+    def test_psgld_fused_flag_falls_back_on_cpu(self):
+        mk = lambda fused: zs.PSGLD(
+            learning_rate=0.01, experimental_fused_step=fused
+        )
+        st0 = lambda s: s.init({"x": jnp.zeros((16, 4), jnp.float64)})
+        run = lambda s: jax.jit(
+            lambda st, k: s.run(log_joint_gauss, {}, st, k, 20)
+        )(st0(s), jax.random.PRNGKey(0))
+        _, qs_a = run(mk(False))
+        _, qs_b = run(mk(True))
+        np.testing.assert_array_equal(np.asarray(qs_a["x"]),
+                                      np.asarray(qs_b["x"]))
+
+
 class TestSGNHTFusedFallback:
     def test_sgnht_fused_flag_falls_back_on_cpu(self):
         """SGNHT(experimental_fused_step=True) on CPU silently uses the

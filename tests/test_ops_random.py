@@ -187,6 +187,28 @@ class TestFusedSGHMCStep:
             np.asarray(vsq), (np.asarray(new_v) ** 2).sum(-1), rtol=1e-4
         )
 
+    def test_psgld_formula_and_noise(self):
+        from zhusuan_tpu.ops.psgld_step import fused_psgld_step
+
+        C, D, lr, decay, eps_c = 4096, 128, 0.01, 0.9, 1e-3
+        rng = np.random.RandomState(4)
+        q = jnp.asarray(rng.randn(C, D), jnp.float32)
+        rms = jnp.asarray(np.abs(rng.randn(C, D)) * 0.5, jnp.float32)
+        grad = lambda x: -0.4 * x
+        new_q, new_rms = fused_psgld_step(
+            grad, q, rms, lr, decay, eps_c, jax.random.PRNGKey(0)
+        )
+        g = np.asarray(-0.4 * q)
+        expect_rms = decay * np.asarray(rms) + (1 - decay) * g ** 2
+        np.testing.assert_allclose(np.asarray(new_rms), expect_rms,
+                                   rtol=1e-5)
+        precond = 1.0 / (eps_c + np.sqrt(expect_rms))
+        # Residual is the preconditioned noise: std sqrt(lr*G) per element.
+        resid = np.asarray(new_q - q) - 0.5 * lr * precond * g
+        z = resid / np.sqrt(lr * precond)  # whitened -> N(0, 1)
+        assert abs(z.mean()) < 3e-3
+        np.testing.assert_allclose(z.std(), 1.0, rtol=0.02)
+
     def test_sgnht_first_order_formula(self):
         from zhusuan_tpu.ops.sgnht_step import fused_sgnht_step
 

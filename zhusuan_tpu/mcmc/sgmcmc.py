@@ -267,11 +267,20 @@ class PSGLD(SGLD):
     Aux: ``rms = decay*rms + (1-decay)*grad**2``;
     ``G = 1/(epsilon + sqrt(rms))``;
     update ``q += 0.5*lr*G*grad + Normal(0, sqrt(lr*G))``.
+
+    :param experimental_fused_step: run the whole update (noise + gradient
+        + preconditioner + position) in one Pallas VMEM kernel
+        (:mod:`zhusuan_tpu.ops.psgld_step`) when the latent is a single
+        ``[n_chains, dim]`` float32 array on a non-CPU backend. Same
+        distribution, different random stream (hardware PRNG,
+        deterministic per key); silently falls back otherwise.
     """
 
     def __init__(self, learning_rate, decay: float = 0.9,
-                 epsilon: float = 1e-3):
-        super().__init__(learning_rate)
+                 epsilon: float = 1e-3,
+                 experimental_fused_step: bool = False):
+        super().__init__(learning_rate,
+                         experimental_fused_step=experimental_fused_step)
         self.decay = float(decay)
         self.epsilon = float(epsilon)
 
@@ -279,8 +288,42 @@ class PSGLD(SGLD):
         rms = {k: jnp.zeros_like(v) for k, v in q.items()}
         return SGMCMCState(q=q, t=t, v={}, alpha={}, rms=rms)
 
+    def _try_fused_psgld(self, state, grad_fn, key, lr):
+        """Applicability gate mirroring SGLD._try_fused."""
+        name = _fused_gate(state.q)
+        if name is None:
+            return None
+        arr = state.q[name]
+        from zhusuan_tpu.ops.psgld_step import (
+            consts_fit_vmem, fused_psgld_step, psgld_step_supported,
+        )
+
+        def single_grad(x):
+            return grad_fn({name: x})[name]
+
+        if not psgld_step_supported(arr.shape, itemsize=arr.dtype.itemsize):
+            return None
+        probe = jax.ShapeDtypeStruct(
+            (min(256, arr.shape[0]), arr.shape[1]), arr.dtype
+        )
+        if not consts_fit_vmem((single_grad,), probe):
+            return None
+        new_q, new_rms = fused_psgld_step(
+            single_grad, arr, state.rms[name], lr, self.decay,
+            self.epsilon, key,
+        )
+        return {name: new_q}, {name: new_rms}
+
     def _update(self, state, grad_fn, key):
         lr = self._lr(state.t)
+        if self.experimental_fused_step:
+            fused = self._try_fused_psgld(state, grad_fn, key, lr)
+            if fused is not None:
+                new_q, new_rms = fused
+                new_state = state._replace(
+                    q=new_q, rms=new_rms, t=state.t + 1
+                )
+                return new_state, SGMCMCInfo(q=new_q)
         grads = grad_fn(state.q)
         new_rms = {
             k: self.decay * state.rms[k] + (1 - self.decay) * grads[k] ** 2

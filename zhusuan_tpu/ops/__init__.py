@@ -8,6 +8,7 @@ from zhusuan_tpu.ops.checks import check_numerics, checked
 from zhusuan_tpu.ops.hmc_step import fused_hmc_step, hmc_step_supported
 from zhusuan_tpu.ops.leapfrog import fused_leapfrog, leapfrog_supported
 from zhusuan_tpu.ops.random import tpu_normal, tpu_uniform
+from zhusuan_tpu.ops.psgld_step import fused_psgld_step
 from zhusuan_tpu.ops.sghmc_step import fused_sghmc_step
 from zhusuan_tpu.ops.sgld_step import fused_sgld_step
 from zhusuan_tpu.ops.sgnht_step import fused_sgnht_step
@@ -19,6 +20,7 @@ __all__ = [
     "hmc_step_supported",
     "fused_leapfrog",
     "leapfrog_supported",
+    "fused_psgld_step",
     "fused_sghmc_step",
     "fused_sgld_step",
     "fused_sgnht_step",

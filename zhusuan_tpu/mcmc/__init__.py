@@ -1,8 +1,11 @@
-"""MCMC samplers: HMC and the SGMCMC family.
+"""MCMC samplers: HMC, the SGMCMC family, and adaptive-trajectory ChEES.
 
-Parity: reference ``zhusuan/hmc.py`` and ``zhusuan/sgmcmc.py``.
+Parity: reference ``zhusuan/hmc.py`` and ``zhusuan/sgmcmc.py``;
+:class:`ChEESHMC` is a beyond-reference feature (cross-chain adaptive
+trajectory lengths — the vectorized/TPU-idiomatic alternative to NUTS).
 """
 
+from zhusuan_tpu.mcmc.chees import ChEESHMC, ChEESInfo, ChEESState
 from zhusuan_tpu.mcmc.hmc import HMC, HMCInfo, HMCState
 from zhusuan_tpu.mcmc.sgmcmc import (
     SGMCMC,
@@ -18,6 +21,9 @@ __all__ = [
     "HMC",
     "HMCInfo",
     "HMCState",
+    "ChEESHMC",
+    "ChEESInfo",
+    "ChEESState",
     "SGMCMC",
     "SGMCMCInfo",
     "SGMCMCState",

@@ -24,6 +24,20 @@ class TestToyExamples:
         rel_err = gaussian.main()
         assert np.all(rel_err < 0.2)
 
+    def test_gaussian_chees(self):
+        import sys
+
+        from examples.toy_examples import gaussian_chees
+
+        old = sys.argv
+        sys.argv = ["gaussian_chees", "--n_chains", "128",
+                    "--n_iters", "800", "--n_adapt", "400"]
+        try:
+            rel_err = gaussian_chees.main()
+        finally:
+            sys.argv = old
+        assert rel_err < 0.15
+
     def test_toy2d_intractable(self):
         from examples.toy_examples import toy2d_intractable
 

@@ -7,6 +7,10 @@ trajectory lengths — the vectorized/TPU-idiomatic alternative to NUTS).
 
 from zhusuan_tpu.mcmc.chees import ChEESHMC, ChEESInfo, ChEESState
 from zhusuan_tpu.mcmc.hmc import HMC, HMCInfo, HMCState
+from zhusuan_tpu.mcmc.precondition import (
+    fit_dense_preconditioner,
+    whiten_log_joint,
+)
 from zhusuan_tpu.mcmc.sgmcmc import (
     SGMCMC,
     SGMCMCInfo,
@@ -31,4 +35,6 @@ __all__ = [
     "PSGLD",
     "SGHMC",
     "SGNHT",
+    "fit_dense_preconditioner",
+    "whiten_log_joint",
 ]

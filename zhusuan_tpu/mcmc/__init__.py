@@ -11,6 +11,7 @@ from zhusuan_tpu.mcmc.precondition import (
     fit_dense_preconditioner,
     whiten_log_joint,
 )
+from zhusuan_tpu.mcmc.remc import REMCInfo, REMCState, ReplicaExchangeHMC
 from zhusuan_tpu.mcmc.sgmcmc import (
     SGMCMC,
     SGMCMCInfo,
@@ -37,4 +38,7 @@ __all__ = [
     "SGNHT",
     "fit_dense_preconditioner",
     "whiten_log_joint",
+    "ReplicaExchangeHMC",
+    "REMCState",
+    "REMCInfo",
 ]

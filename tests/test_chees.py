@@ -75,6 +75,27 @@ class TestChEES:
         ls = np.asarray(out["n_leapfrogs"][300:])
         assert ls.min() >= 1 and len(np.unique(ls)) > 1
 
+    def test_divergence_does_not_poison_adaptation(self):
+        # A divergent trajectory (inf/NaN positions, rejected by MH) must
+        # contribute ZERO ChEES gradient, not NaN — one early overshoot
+        # would otherwise permanently destroy trajectory adaptation.
+        def lj(obs):
+            return -0.5 * jnp.sum(obs["z"] ** 4, -1)
+
+        s = zs.ChEESHMC(step_size=0.9, trajectory_length=20.0)
+        st = s.init({"z": jnp.full((32, 4), 3.0)})
+        final, out = jax.jit(
+            lambda st, k: s.run(lj, {}, st, k, 200, n_adapt=200)
+        )(st, jax.random.PRNGKey(5))
+        traj = np.asarray(out["trajectory_length"])
+        assert np.all(np.isfinite(traj)), traj[:10]
+        assert np.isfinite(float(final.log_traj))
+        assert np.all(np.isfinite(np.asarray(final.q["z"])))
+        # And dual averaging recovered a workable step size: late
+        # acceptance is no longer ~0.
+        late_acc = float(np.mean(np.asarray(out["acceptance_rate"][-50:])))
+        assert late_acc > 0.3, late_acc
+
     def test_beats_naive_fixed_length_hmc(self):
         # On the ill-conditioned target, adaptive trajectories must yield
         # more effective samples PER GRADIENT EVALUATION than an untuned

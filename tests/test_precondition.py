@@ -51,6 +51,26 @@ class TestWhiten:
             atol=1e-8,
         )
 
+    def test_accepts_meta_bayesian_net(self):
+        import zhusuan_tpu as zst
+
+        @zst.meta_bayesian_net()
+        def model():
+            bn = zst.BayesianNet()
+            bn.normal("z", jnp.zeros(2), std=jnp.asarray([1.0, 2.0]),
+                      group_ndims=1)
+            return bn
+
+        chol = jnp.asarray(np.diag([1.0, 2.0]))
+        wlj, to_w, _ = whiten_log_joint(model(), "z", chol)
+        y = jnp.asarray(np.random.RandomState(5).randn(6, 2))
+        # Whitened meta-BN density == standard-normal quadratic (+const).
+        got = np.asarray(wlj({"z": y}))
+        want = np.asarray(-0.5 * jnp.sum(y * y, -1)) - np.log(
+            2 * np.pi
+        ) - np.log(2.0)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
     def test_whitened_density_is_standard_normal(self):
         lj, cov = _corr_gaussian(d=4, rho=0.9)
         chol = jnp.asarray(np.linalg.cholesky(cov))

@@ -25,6 +25,7 @@ __all__ = [
     "leapfrog_step",
     "get_acceptance_rate",
     "get_acceptance_rate_cached",
+    "dual_averaging_update",
 ]
 
 Latent = Dict[str, jnp.ndarray]
@@ -71,6 +72,46 @@ def tree_random_momentum(key, q: Latent, mass: Latent) -> Latent:
 def tree_velocity(p: Latent, mass: Latent) -> Latent:
     """v = p / m (reference hmc.py:26-27)."""
     return {k: p[k] / mass[k] for k in p}
+
+
+def dual_averaging_update(
+    da_step, h_bar, log_eps_bar, step_size, mean_acceptance, gate,
+    fresh_start, *, mu, target, gamma, t0, kappa,
+):
+    """One Nesterov dual-averaging step-size update (Hoffman & Gelman
+    2014; reference hmc.py:89-112), shared by HMC, ChEES and the
+    replica-exchange sampler. Fully ELEMENTWISE: scalars for one tuner,
+    ``[n_temps]`` vectors for a per-rung ladder — same code.
+
+    :param gate: traced bool — update when True, freeze (return the
+        dual-averaged ``exp(log_eps_bar)``, or the current step size if
+        adaptation never ran) when False.
+    :param fresh_start: traced bool/mask restarting the accumulators this
+        step (HMC's init-search re-trigger; first-iteration elsewhere).
+    :return: ``(step_size, da_step, h_bar, log_eps_bar)`` updated-or-held
+        per ``gate``.
+    """
+    fs = jnp.where(fresh_start, 1.0, 0.0)
+    new_step = (1.0 - fs) * da_step + 1.0
+    rate1 = 1.0 / (new_step + t0)
+    new_h_bar = (1.0 - fs) * (1.0 - rate1) * h_bar + rate1 * (
+        target - mean_acceptance
+    )
+    log_eps = mu - jnp.sqrt(new_step) / gamma * new_h_bar
+    pow_ = jnp.power(new_step, -kappa)
+    new_log_eps_bar = (
+        pow_ * log_eps + (1.0 - fs) * (1.0 - pow_) * log_eps_bar
+    )
+    # If dual averaging never ran (da_step == 0), exp(log_eps_bar) would
+    # be exp(0) = 1 regardless of configuration; fall back to the current
+    # step size instead.
+    frozen = jnp.where(da_step > 0, jnp.exp(log_eps_bar), step_size)
+    return (
+        jnp.where(gate, jnp.exp(log_eps), frozen),
+        jnp.where(gate, new_step, da_step),
+        jnp.where(gate, new_h_bar, h_bar),
+        jnp.where(gate, new_log_eps_bar, log_eps_bar),
+    )
 
 
 def kinetic_energy(

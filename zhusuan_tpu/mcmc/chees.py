@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from zhusuan_tpu.mcmc.base import (
+    dual_averaging_update,
     get_acceptance_rate_cached,
     make_log_joint_fn,
     tree_random_momentum,
@@ -197,7 +198,11 @@ class ChEESHMC:
         # d/d(logT): dt/dlogT = t = jitter*T; fold T into the Adam scale
         # by using the per-iteration time directly (paper tunes log T).
         grad = jnp.sum(w * jump * djump_dt) * jitter
-        return grad
+        # A divergent trajectory puts inf in flat_nq/flat_nv; the rejected
+        # chain's weight is 0 but 0 * inf = NaN, which would permanently
+        # poison the Adam state. Divergences carry no usable gradient
+        # signal — contribute zero instead.
+        return jnp.where(jnp.isfinite(grad), grad, jnp.zeros_like(grad))
 
     # ------------------------------------------------------------------ #
     def sample(self, meta_bn, observed, state: ChEESState, key, adapt=True,
@@ -258,24 +263,16 @@ class ChEESHMC:
 
         gate = jnp.asarray(adapt)
 
-        # --- step-size dual averaging (reference hmc.py:89-112) -------- #
-        fs = jnp.where(state.da_step == 0, 1.0, 0.0).astype(dtype)
-        new_step = (1.0 - fs) * state.da_step + 1.0
-        rate1 = 1.0 / (new_step + self.t0)
-        mean_acc = jnp.mean(accept_prob)
-        new_h_bar = (1.0 - fs) * (1.0 - rate1) * state.h_bar + rate1 * (
-            self.target_acceptance_rate - mean_acc
+        # --- step-size dual averaging (shared helper; hmc.py:89-112) --- #
+        step_size, new_da_step, new_h_bar, new_log_eps_bar = (
+            dual_averaging_update(
+                state.da_step, state.h_bar, state.log_epsilon_bar,
+                state.step_size, jnp.mean(accept_prob), gate,
+                fresh_start=state.da_step == 0,
+                mu=self.mu, target=self.target_acceptance_rate,
+                gamma=self.gamma, t0=self.t0, kappa=self.kappa,
+            )
         )
-        log_eps = self.mu - jnp.sqrt(new_step) / self.gamma * new_h_bar
-        pow_ = jnp.power(new_step, -self.kappa)
-        new_log_eps_bar = (
-            pow_ * log_eps + (1.0 - fs) * (1.0 - pow_) * state.log_epsilon_bar
-        )
-        frozen = jnp.where(
-            state.da_step > 0, jnp.exp(state.log_epsilon_bar),
-            state.step_size,
-        )
-        step_size = jnp.where(gate, jnp.exp(log_eps), frozen)
 
         # --- trajectory-length Adam on the ChEES gradient --------------- #
         g_traj = self._chees_grad(q, new_q, new_p, mass, accept_prob, jitter)
@@ -305,10 +302,9 @@ class ChEESHMC:
             q=accepted_q,
             t=state.t + 1,
             step_size=step_size.astype(dtype),
-            da_step=jnp.where(gate, new_step, state.da_step),
-            h_bar=jnp.where(gate, new_h_bar, state.h_bar),
-            log_epsilon_bar=jnp.where(gate, new_log_eps_bar,
-                                      state.log_epsilon_bar),
+            da_step=new_da_step,
+            h_bar=new_h_bar,
+            log_epsilon_bar=new_log_eps_bar,
             log_traj=log_traj.astype(dtype),
             adam_m=m,
             adam_v=v,

@@ -354,34 +354,16 @@ class HMC:
 
     def _tune_step_size(self, state: HMCState, acceptance_rate, gate,
                         fresh_start):
-        """Nesterov dual averaging (reference hmc.py:89-112), gated."""
-        fs = jnp.where(fresh_start, 1.0, 0.0)
-        new_step = (1.0 - fs) * state.da_step + 1.0
-        rate1 = 1.0 / (new_step + self.t0)
-        new_h_bar = (1.0 - fs) * (1.0 - rate1) * state.h_bar + rate1 * (
-            self.target_acceptance_rate - acceptance_rate
+        """Nesterov dual averaging (reference hmc.py:89-112), gated —
+        delegates to the shared :func:`~zhusuan_tpu.mcmc.base.dual_averaging_update`."""
+        from zhusuan_tpu.mcmc.base import dual_averaging_update
+
+        return dual_averaging_update(
+            state.da_step, state.h_bar, state.log_epsilon_bar,
+            state.step_size, acceptance_rate, gate, fresh_start,
+            mu=self.mu, target=self.target_acceptance_rate,
+            gamma=self.gamma, t0=self.t0, kappa=self.kappa,
         )
-        log_epsilon = self.mu - jnp.sqrt(new_step) / self.gamma * new_h_bar
-        rate = jnp.power(new_step, -self.kappa)
-        new_log_epsilon_bar = (
-            rate * log_epsilon
-            + (1.0 - fs) * (1.0 - rate) * state.log_epsilon_bar
-        )
-        adapted = jnp.exp(log_epsilon)
-        # If dual averaging never ran (da_step == 0), exp(log_epsilon_bar)
-        # would be exp(0) = 1.0 regardless of the configured step size; fall
-        # back to the current step size instead.
-        frozen = jnp.where(
-            state.da_step > 0,
-            jnp.exp(state.log_epsilon_bar),
-            state.step_size,
-        )
-        new_step_size = jnp.where(gate, adapted, frozen)
-        da_step = jnp.where(gate, new_step, state.da_step)
-        h_bar = jnp.where(gate, new_h_bar, state.h_bar)
-        log_eps_bar = jnp.where(gate, new_log_epsilon_bar,
-                                state.log_epsilon_bar)
-        return new_step_size, da_step, h_bar, log_eps_bar
 
     # ------------------------------------------------------------------ #
     def sample(

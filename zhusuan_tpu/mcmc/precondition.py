@@ -63,9 +63,9 @@ def whiten_log_joint(log_joint, name: str, chol):
     Identity-mass HMC on ``y`` IS dense-mass HMC on ``q`` with
     ``M = (L L^T)^{-1}``.
 
-    :param log_joint: the original ``log_joint(obs_dict)`` callable (a
-        MetaBayesianNet works too — it is wrapped through
-        ``make_log_joint_fn`` at the call site as usual).
+    :param log_joint: the original ``log_joint(obs_dict)`` callable or a
+        :class:`~zhusuan_tpu.framework.meta_bn.MetaBayesianNet` (unwrapped
+        here to its log-joint).
     :param name: which latent to whiten (its data shape must be ``[d]``).
     :param chol: ``[d, d]`` lower Cholesky from
         :func:`fit_dense_preconditioner`.
@@ -74,6 +74,11 @@ def whiten_log_joint(log_joint, name: str, chol):
         ``y -> q`` acting on ``[..., d]`` arrays.
     """
     chol = jnp.asarray(chol)
+    from zhusuan_tpu.framework.meta_bn import MetaBayesianNet
+
+    if isinstance(log_joint, MetaBayesianNet):
+        meta_bn = log_joint
+        log_joint = lambda obs: meta_bn.observe(**obs).log_joint()
 
     def from_white(y):
         return y @ chol.T

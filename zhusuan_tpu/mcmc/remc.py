@@ -29,7 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zhusuan_tpu.mcmc.base import make_log_joint_fn, tree_velocity
+from zhusuan_tpu.mcmc.base import (
+    dual_averaging_update,
+    kinetic_energy,
+    make_log_joint_fn,
+    tree_velocity,
+)
 
 __all__ = ["ReplicaExchangeHMC", "REMCState", "REMCInfo"]
 
@@ -51,7 +56,10 @@ class REMCState(NamedTuple):
 class REMCInfo(NamedTuple):
     samples: Latent  # the COLD rung's chains, [n_chains] + data_shape
     acceptance_rate: jnp.ndarray  # [n_temps] mean MH acceptance per rung
-    swap_rate: jnp.ndarray  # [n_temps-1] swap acceptance per adjacent pair
+    # [n_temps-1] swap acceptance per adjacent pair; NaN on rounds where
+    # the pair was not attempted (even/odd alternation) — aggregate with
+    # nanmean.
+    swap_rate: jnp.ndarray
     step_size: jnp.ndarray  # [n_temps]
     log_prob: jnp.ndarray  # cold-rung log p, [n_chains]
 
@@ -177,13 +185,8 @@ class ReplicaExchangeHMC:
 
         # Per-replica MH under the tempered density beta * log p.
         new_base_lp = log_post(qq)  # [K, C]
-        kin = lambda mom: sum(
-            0.5 * jnp.sum(
-                jnp.square(mom[n]),
-                axis=tuple(range(2, mom[n].ndim)),
-            )
-            for n in mom
-        )
+        unit_mass = {n: jnp.ones((), dtype) for n in q}
+        kin = lambda mom: kinetic_energy(q, mom, unit_mass, 2)
         old_h = -betas[:, None] * state.base_lp + kin(p)
         new_h = -betas[:, None] * new_base_lp + kin(pp)
         acc = jnp.exp(jnp.minimum(old_h - new_h, 0.0))
@@ -234,44 +237,42 @@ class ReplicaExchangeHMC:
             swap_lead, lp_down, jnp.where(swap_follow, lp_up, base_lp)
         )
 
-        # --- per-rung dual averaging (vectorized; hmc.py:89-112) -------- #
+        # --- per-rung dual averaging (shared helper, elementwise over the
+        # [n_temps] vector state; hmc.py:89-112) ------------------------- #
         gate = jnp.asarray(adapt)
-        mean_acc = jnp.mean(acc, axis=1)  # [K]
-        fs = jnp.where(state.da_step == 0, 1.0, 0.0).astype(dtype)
-        new_step = (1.0 - fs) * state.da_step + 1.0
-        rate1 = 1.0 / (new_step + self.t0)
-        new_h_bar = (1.0 - fs) * (1.0 - rate1) * state.h_bar + rate1 * (
-            self.target_acceptance_rate - mean_acc
-        )
         mu = jnp.log(10.0 * self.init_step_size / jnp.sqrt(betas))
-        log_eps = mu - jnp.sqrt(new_step) / self.gamma * new_h_bar
-        pow_ = jnp.power(new_step, -self.kappa)
-        new_log_eps_bar = (
-            pow_ * log_eps + (1.0 - fs) * (1.0 - pow_) * state.log_epsilon_bar
+        step_size, new_da_step, new_h_bar, new_log_eps_bar = (
+            dual_averaging_update(
+                state.da_step, state.h_bar, state.log_epsilon_bar,
+                state.step_size, jnp.mean(acc, axis=1), gate,
+                fresh_start=state.da_step == 0,
+                mu=mu, target=self.target_acceptance_rate,
+                gamma=self.gamma, t0=self.t0, kappa=self.kappa,
+            )
         )
-        frozen = jnp.where(
-            state.da_step > 0, jnp.exp(state.log_epsilon_bar),
-            state.step_size,
-        )
-        step_size = jnp.where(gate, jnp.exp(log_eps), frozen)
 
         new_state = REMCState(
             q=sel_q,
             t=state.t + 1,
             base_lp=base_lp,
             step_size=step_size.astype(dtype),
-            da_step=jnp.where(gate, new_step, state.da_step),
-            h_bar=jnp.where(gate, new_h_bar, state.h_bar),
-            log_epsilon_bar=jnp.where(gate, new_log_eps_bar,
-                                      state.log_epsilon_bar),
+            da_step=new_da_step,
+            h_bar=new_h_bar,
+            log_epsilon_bar=new_log_eps_bar,
         )
+        # Swap acceptance per adjacent pair; NaN when the pair was not
+        # attempted this round (even/odd alternation), so a nanmean over
+        # iterations gives the TRUE acceptance rate for ladder tuning.
         n_chains = base_lp.shape[1]
-        n_pairs_acc = jnp.sum(
-            jnp.where(swap_lead, 1.0, 0.0), axis=1
-        ) / jnp.where(pair_lead & do_swap, float(n_chains), 1.0)
+        n_pairs_acc = jnp.where(
+            pair_lead & do_swap,
+            jnp.sum(jnp.where(swap_lead, 1.0, 0.0), axis=1)
+            / float(n_chains),
+            jnp.nan,
+        )
         info = REMCInfo(
             samples={n: v[0] for n, v in sel_q.items()},
-            acceptance_rate=mean_acc,
+            acceptance_rate=jnp.mean(acc, axis=1),
             swap_rate=n_pairs_acc[:-1],
             step_size=step_size,
             log_prob=base_lp[0],

@@ -187,6 +187,66 @@ class TestShardedHMCEquivalence:
             rtol=1e-8,
         )
 
+    def test_remc_rungs_sharded_over_devices(self):
+        """Replica exchange with the TEMPERATURE ladder sharded across the
+        8-device mesh: per-rung transitions are embarrassingly parallel
+        and the swap `jnp.roll` over the rung axis compiles to a
+        cross-device permute (ICI collective) — results must match the
+        unsharded run exactly."""
+        MU = 3.0
+
+        def lj(obs):
+            z = obs["z"]
+            return jnp.logaddexp(
+                -0.5 * jnp.sum((z - MU) ** 2, -1),
+                -0.5 * jnp.sum((z + MU) ** 2, -1),
+            )
+
+        re = zs.ReplicaExchangeHMC(
+            step_size=0.2, n_leapfrogs=5, n_temps=8, min_beta=0.05
+        )
+        state0 = re.init({"z": jnp.full((16, 2), MU, jnp.float64)}, lj)
+        key = jax.random.PRNGKey(11)
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("temps",))
+        temp_sharded = jax.tree.map(
+            lambda x: jax.device_put(
+                x,
+                NamedSharding(
+                    mesh,
+                    P(*(("temps",) + (None,) * (x.ndim - 1)))
+                    if x.ndim >= 1 and x.shape[0] == 8
+                    else P(),
+                ),
+            ),
+            state0,
+        )
+
+        # One step is exact vs unsharded (cross-shard layout changes cost
+        # <=1 ulp in the density; long trajectories then diverge
+        # chaotically, so the full-run check is statistical below).
+        s_u, _ = re.sample(lj, {}, state0, key)
+        s_s, _ = jax.jit(lambda s, k: re.sample(lj, {}, s, k))(
+            temp_sharded, key
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_u.q["z"]), np.asarray(s_s.q["z"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_u.base_lp), np.asarray(s_s.base_lp), atol=1e-13
+        )
+
+        # Full sharded run: mode mixing survives sharding (the rolled
+        # swaps — cross-device permutes — actually happened) and the
+        # cold-rung statistics are right.
+        run = jax.jit(lambda s, k: re.run(lj, {}, s, k, 800, n_adapt=200))
+        final_s, out_s = run(temp_sharded, key)
+        xs = np.asarray(out_s["samples"]["z"][200:]).reshape(-1, 2)
+        frac = (xs[:, 0] < 0).mean()
+        assert abs(frac - 0.5) < 0.15, frac
+        pos = xs[xs[:, 0] > 0]
+        np.testing.assert_allclose(pos.mean(0), [MU, MU], atol=0.2)
+
     def test_sharded_statistics_recover_target(self):
         """Sharded sampling statistics hit the analytic moments (the weaker
         but configuration-independent check)."""

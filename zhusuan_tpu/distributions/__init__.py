@@ -9,6 +9,7 @@ from zhusuan_tpu.distributions.base import Distribution
 from zhusuan_tpu.distributions.univariate import *  # noqa: F401,F403
 from zhusuan_tpu.distributions.multivariate import *  # noqa: F401,F403
 from zhusuan_tpu.distributions.special import *  # noqa: F401,F403
+from zhusuan_tpu.distributions.flow import FlowDistribution  # noqa: F401
 from zhusuan_tpu.distributions import utils  # noqa: F401
 
 from zhusuan_tpu.distributions import univariate as _uni
@@ -16,5 +17,6 @@ from zhusuan_tpu.distributions import multivariate as _multi
 from zhusuan_tpu.distributions import special as _special
 
 __all__ = (
-    ["Distribution"] + _uni.__all__ + _multi.__all__ + _special.__all__
+    ["Distribution", "FlowDistribution"]
+    + _uni.__all__ + _multi.__all__ + _special.__all__
 )

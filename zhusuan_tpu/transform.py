@@ -28,6 +28,7 @@ __all__ = [
     "init_linear_ar",
     "affine_coupling_flow",
     "init_affine_coupling",
+    "coupling_flow_pair",
 ]
 
 
@@ -264,3 +265,22 @@ def affine_coupling_flow(samples, log_probs, params, inverse: bool = False):
         else:
             z = jnp.concatenate([active, cond], axis=-1)
     return z, log_probs
+
+
+def coupling_flow_pair(params):
+    """Bind coupling parameters into a ``(forward, inverse)`` callable pair
+    — the interface :class:`zhusuan_tpu.distributions.FlowDistribution`
+    consumes. Both directions share ``params`` (closed over), so gradients
+    through either flow into the same pytree.
+
+    :return: ``(forward, inverse)``, each ``(samples, log_probs) ->
+        (samples, log_probs)``.
+    """
+
+    def forward(samples, log_probs):
+        return affine_coupling_flow(samples, log_probs, params)
+
+    def inverse(samples, log_probs):
+        return affine_coupling_flow(samples, log_probs, params, inverse=True)
+
+    return forward, inverse

@@ -14,8 +14,12 @@ from zhusuan_tpu.variational.monte_carlo import (
     iw_objective,
 )
 from zhusuan_tpu.variational.inclusive_kl import InclusiveKLObjective, klpq
+from zhusuan_tpu.variational.svgd import SVGD, SVGDInfo, SVGDState
 
 __all__ = [
+    "SVGD",
+    "SVGDState",
+    "SVGDInfo",
     "VariationalObjective",
     "EvidenceLowerBoundObjective",
     "elbo",

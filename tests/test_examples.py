@@ -596,3 +596,15 @@ class TestSVGPDiabetes:
         rmse = float(np.sqrt(np.mean((pred - y_orig) ** 2)))
         base = float(np.sqrt(np.mean((mean_y - y_orig) ** 2)))
         assert rmse < base, (rmse, base)
+
+
+class TestSteinVariational:
+    def test_blr_svgd_beats_baseline(self):
+        # SVGD Bayesian logistic regression (Liu & Wang 2016 benchmark):
+        # the posterior-predictive ensemble must clearly beat the
+        # majority-class baseline on held-out data.
+        from examples.stein_variational import blr_svgd
+
+        acc, base = blr_svgd.main(n_particles=50, n_iters=800,
+                                  learning_rate=0.05)
+        assert acc > base + 0.2, (acc, base)

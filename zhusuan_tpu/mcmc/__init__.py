@@ -12,6 +12,7 @@ from zhusuan_tpu.mcmc.precondition import (
     whiten_log_joint,
 )
 from zhusuan_tpu.mcmc.remc import REMCInfo, REMCState, ReplicaExchangeHMC
+from zhusuan_tpu.mcmc.rwm import MALA, MHInfo, MHState, RandomWalkMetropolis
 from zhusuan_tpu.mcmc.sgmcmc import (
     SGMCMC,
     SGMCMCInfo,
@@ -41,4 +42,8 @@ __all__ = [
     "ReplicaExchangeHMC",
     "REMCState",
     "REMCInfo",
+    "RandomWalkMetropolis",
+    "MALA",
+    "MHState",
+    "MHInfo",
 ]

@@ -1,0 +1,311 @@
+"""Random-walk Metropolis and MALA: gradient-free and first-order
+baseline samplers.
+
+Beyond the reference: upstream ZhuSuan ships only HMC and the SGMCMC
+family (``zhusuan/hmc.py``, ``zhusuan/sgmcmc.py``). RWM (gradient-free —
+works on log-joints with non-differentiable pieces) and MALA (one gradient
+per step — the cheap end of the Langevin/Hamiltonian spectrum) complete
+the sampler matrix and give calibration baselines for the fancier kernels.
+
+TPU-native design (same recipe as ``hmc.py``): explicit NamedTuple state,
+pure ``sample(state, key)`` kernels iterated by ``lax.scan``; parallel
+chains are leading axes; step sizes adapt by the shared Nesterov
+dual-averaging helper (``mcmc/base.py``) toward the theory-optimal
+acceptance rates (0.234 for RWM, Roberts et al. 1997; 0.574 for MALA,
+Roberts & Rosenthal 1998). The current log-density (and score, for MALA)
+is carried in the state, so each iteration costs ONE density (+ gradient)
+evaluation — the proposal's — like the cached HMC scan path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zhusuan_tpu.mcmc.base import dual_averaging_update, make_log_joint_fn
+
+__all__ = ["RandomWalkMetropolis", "MALA", "MHState", "MHInfo"]
+
+Latent = Dict[str, jnp.ndarray]
+
+
+class MHState(NamedTuple):
+    """Explicit Metropolis sampler state."""
+
+    q: Latent  # position: chain_axes + data_axes
+    log_prob: jnp.ndarray  # [chain_shape] cached log joint at q
+    grad: Latent  # cached score at q (MALA; zeros for RWM)
+    t: jnp.ndarray  # iteration counter (int32)
+    step_size: jnp.ndarray  # scalar
+    da_step: jnp.ndarray
+    h_bar: jnp.ndarray
+    log_epsilon_bar: jnp.ndarray
+
+
+class MHInfo(NamedTuple):
+    """Per-iteration statistics."""
+
+    samples: Latent
+    acceptance_rate: jnp.ndarray  # [chain_shape] min(1, exp(log_alpha))
+    updated_step_size: jnp.ndarray
+    log_prob: jnp.ndarray  # [chain_shape] log joint at the new position
+
+
+def _tree_normal(key, like: Latent) -> Latent:
+    names = sorted(like.keys())
+    keys = jax.random.split(key, len(names))
+    return {
+        n: jax.random.normal(k, like[n].shape, like[n].dtype)
+        for n, k in zip(names, keys)
+    }
+
+
+class _MetropolisBase:
+    """Shared init/adaptation/run driver for RWM and MALA."""
+
+    _uses_grad = False
+    _default_target = 0.234
+
+    def __init__(
+        self,
+        step_size: float = 0.1,
+        adapt_step_size: bool = False,
+        target_acceptance_rate: Optional[float] = None,
+        gamma: float = 0.05,
+        t0: float = 100.0,
+        kappa: float = 0.75,
+    ):
+        if not float(step_size) > 0.0:
+            raise ValueError("step_size must be positive.")
+        self._step_size = float(step_size)
+        self._adapt = bool(adapt_step_size)
+        self._target = float(
+            self._default_target
+            if target_acceptance_rate is None
+            else target_acceptance_rate
+        )
+        if not 0.0 < self._target < 1.0:
+            raise ValueError("target_acceptance_rate must be in (0, 1).")
+        self._gamma, self._t0, self._kappa = gamma, t0, kappa
+
+    def init(self, latent: Latent, n_chain_dims: int) -> MHState:
+        """Create the initial state from initial positions of shape
+        ``chain_axes + data_axes`` (chain-shape convention of
+        ``HMC.init``). The density/score cache is filled lazily on the
+        first ``sample`` call."""
+        q = {k: jnp.asarray(v) for k, v in latent.items()}
+        if not isinstance(n_chain_dims, (int, np.integer)):
+            raise TypeError("n_chain_dims must be a Python int.")
+        any_leaf = next(iter(q.values()))
+        chain_shape = any_leaf.shape[: int(n_chain_dims)]
+        dtype = any_leaf.dtype
+        zero = jnp.zeros((), dtype)
+        return MHState(
+            q=q,
+            log_prob=jnp.zeros(chain_shape, dtype),
+            grad=jax.tree.map(jnp.zeros_like, q),
+            t=jnp.zeros((), jnp.int32),
+            step_size=jnp.asarray(self._step_size, dtype),
+            da_step=zero,
+            h_bar=zero,
+            log_epsilon_bar=zero,
+        )
+
+    # subclasses: propose(log_posterior, state, key) ->
+    #   (q_new, lp_new, grad_new, log_alpha)
+    def _propose(self, log_posterior, state, key):
+        raise NotImplementedError()
+
+    def _eval(self, log_posterior, q):
+        """(log_prob, score) — score only when the kernel needs it."""
+        if self._uses_grad:
+            # Per-chain values AND per-chain scores in one pass: grad of
+            # the summed log joint puts each chain's score in its own
+            # [chain, ...] slot, and has_aux returns the unsummed values.
+            def summed(qq):
+                out = log_posterior(qq)
+                return jnp.sum(out), out
+
+            (_, lp), g = jax.value_and_grad(summed, has_aux=True)(q)
+            return lp, g
+        return log_posterior(q), jax.tree.map(jnp.zeros_like, q)
+
+    def sample(self, meta_bn, observed, state: MHState, key, adapt=None):
+        """One Metropolis step over all chains. Pure; scan-safe.
+
+        :param adapt: traced/None bool gating step-size adaptation
+            (defaults to the constructor's ``adapt_step_size``).
+        :return: ``(new_state, MHInfo)``.
+        """
+        log_posterior = make_log_joint_fn(meta_bn, observed)
+        # Fill the (log_prob, grad) cache on the first iteration only.
+        lp0, g0 = jax.lax.cond(
+            state.t == 0,
+            lambda: self._eval(log_posterior, state.q),
+            lambda: (state.log_prob, state.grad),
+        )
+        state = state._replace(log_prob=lp0, grad=g0)
+
+        key_prop, key_mh = jax.random.split(key)
+        q_new, lp_new, g_new, log_alpha = self._propose(
+            log_posterior, state, key_prop
+        )
+        # Non-finite proposal -> certain reject (reference hmc.py:479-498
+        # semantics).
+        log_alpha = jnp.where(jnp.isfinite(lp_new), log_alpha, -jnp.inf)
+        accept_rate = jnp.minimum(1.0, jnp.exp(jnp.minimum(log_alpha, 0.0)))
+        u = jax.random.uniform(key_mh, log_alpha.shape)
+        accept = jnp.log(u) < log_alpha
+
+        def pick(new, old):
+            mask = accept.reshape(
+                accept.shape + (1,) * (new.ndim - accept.ndim)
+            )
+            return jnp.where(mask, new, old)
+
+        q = jax.tree.map(pick, q_new, state.q)
+        lp = jnp.where(accept, lp_new, state.log_prob)
+        g = jax.tree.map(pick, g_new, state.grad)
+
+        gate = self._adapt if adapt is None else adapt
+        step_size, da_step, h_bar, log_eps_bar = dual_averaging_update(
+            state.da_step,
+            state.h_bar,
+            state.log_epsilon_bar,
+            state.step_size,
+            jnp.mean(accept_rate),
+            jnp.asarray(gate),
+            fresh_start=state.t == 0,
+            mu=float(np.log(10.0 * self._step_size)),
+            target=self._target,
+            gamma=self._gamma,
+            t0=self._t0,
+            kappa=self._kappa,
+        )
+        new_state = MHState(
+            q=q,
+            log_prob=lp,
+            grad=g,
+            t=state.t + 1,
+            step_size=step_size,
+            da_step=da_step,
+            h_bar=h_bar,
+            log_epsilon_bar=log_eps_bar,
+        )
+        info = MHInfo(
+            samples=q,
+            acceptance_rate=accept_rate,
+            updated_step_size=step_size,
+            log_prob=lp,
+        )
+        return new_state, info
+
+    def run(
+        self,
+        meta_bn,
+        observed,
+        state: MHState,
+        key,
+        n_iters: int,
+        n_adapt: int = 0,
+        collect: bool = True,
+    ):
+        """Run ``n_iters`` iterations on-device via ``lax.scan`` —
+        adaptation gated ON for the first ``n_adapt`` (the ``HMC.run``
+        convention).
+
+        :return: ``(final_state, {"samples", "acceptance_rate",
+            "step_size", "log_prob"} or None)``.
+        """
+
+        def body(carry, _):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            gate = jnp.logical_and(
+                jnp.asarray(self._adapt), st.t < n_adapt
+            )
+            st2, info = self.sample(meta_bn, observed, st, sub, adapt=gate)
+            out = (
+                {
+                    "samples": info.samples,
+                    "acceptance_rate": info.acceptance_rate,
+                    "step_size": info.updated_step_size,
+                    "log_prob": info.log_prob,
+                }
+                if collect
+                else None
+            )
+            return (st2, k), out
+
+        (final_state, _), outs = jax.lax.scan(
+            body, (state, key), None, length=n_iters
+        )
+        return final_state, outs
+
+
+class RandomWalkMetropolis(_MetropolisBase):
+    """Gaussian random-walk Metropolis: ``q' = q + eps * xi``.
+
+    Gradient-free — the only sampler here usable on log-joints with
+    non-differentiable pieces. Adaptation targets the 0.234 optimal
+    acceptance rate (Roberts, Gelman & Gilks 1997).
+    """
+
+    _uses_grad = False
+    _default_target = 0.234
+
+    def _propose(self, log_posterior, state, key):
+        eps = state.step_size
+        xi = _tree_normal(key, state.q)
+        q_new = jax.tree.map(lambda q, x: q + eps * x, state.q, xi)
+        lp_new = log_posterior(q_new)
+        # Symmetric proposal: alpha = p(q')/p(q).
+        log_alpha = lp_new - state.log_prob
+        g_new = jax.tree.map(jnp.zeros_like, state.q)
+        return q_new, lp_new, g_new, log_alpha
+
+
+class MALA(_MetropolisBase):
+    """Metropolis-adjusted Langevin: drift toward the score, then correct.
+
+    ``q' = q + (eps^2/2) grad log p(q) + eps * xi`` with the asymmetric
+    Hastings correction; one density+gradient evaluation per iteration
+    (the score at the current position is carried in the state).
+    Adaptation targets 0.574 (Roberts & Rosenthal 1998).
+    """
+
+    _uses_grad = True
+    _default_target = 0.574
+
+    @staticmethod
+    def _log_q(q_to, q_from, g_from, eps, chain_ndim):
+        """log density of proposing ``q_to`` from ``q_from`` (up to the
+        shared normal constant), summed over data axes of every latent."""
+        total = None
+        for name in sorted(q_to.keys()):
+            mean = q_from[name] + 0.5 * eps * eps * g_from[name]
+            diff = q_to[name] - mean
+            axes = tuple(range(chain_ndim, diff.ndim))
+            term = -jnp.sum(diff * diff, axis=axes) / (2.0 * eps * eps)
+            total = term if total is None else total + term
+        return total
+
+    def _propose(self, log_posterior, state, key):
+        eps = state.step_size
+        chain_ndim = state.log_prob.ndim
+        xi = _tree_normal(key, state.q)
+        q_new = jax.tree.map(
+            lambda q, g, x: q + 0.5 * eps * eps * g + eps * x,
+            state.q, state.grad, xi,
+        )
+        lp_new, g_new = self._eval(log_posterior, q_new)
+        log_alpha = (
+            lp_new
+            - state.log_prob
+            + self._log_q(state.q, q_new, g_new, eps, chain_ndim)
+            - self._log_q(q_new, state.q, state.grad, eps, chain_ndim)
+        )
+        return q_new, lp_new, g_new, log_alpha

@@ -138,6 +138,15 @@ class TestVAEFamily:
         params, last, first = self._train(step, params, opt_state, x)
         assert last > first
 
+    def test_toy2d_flow_elbo_near_log_z(self):
+        # Coupling-flow VI on the funnel: the flow ELBO must approach the
+        # true log Z = 0 — a gap mean-field q cannot close (its optimum on
+        # this target sits far below; see the toy2d example).
+        from examples.normalizing_flows import toy2d_flow
+
+        flow_lb, _ = toy2d_flow.main(n_iters=500, n_particles=256)
+        assert flow_lb > -0.15, flow_lb
+
 
 class TestBNN:
     def test_bnn_vi(self):

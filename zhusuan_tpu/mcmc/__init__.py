@@ -11,6 +11,11 @@ from zhusuan_tpu.mcmc.precondition import (
     fit_dense_preconditioner,
     whiten_log_joint,
 )
+from zhusuan_tpu.mcmc.elliptical import (
+    EllipticalSlice,
+    EllipticalSliceInfo,
+    EllipticalSliceState,
+)
 from zhusuan_tpu.mcmc.remc import REMCInfo, REMCState, ReplicaExchangeHMC
 from zhusuan_tpu.mcmc.rwm import MALA, MHInfo, MHState, RandomWalkMetropolis
 from zhusuan_tpu.mcmc.sgmcmc import (
@@ -46,4 +51,7 @@ __all__ = [
     "MALA",
     "MHState",
     "MHInfo",
+    "EllipticalSlice",
+    "EllipticalSliceState",
+    "EllipticalSliceInfo",
 ]

@@ -617,3 +617,15 @@ class TestSteinVariational:
         acc, base = blr_svgd.main(n_particles=50, n_iters=800,
                                   learning_rate=0.05)
         assert acc > base + 0.2, (acc, base)
+
+
+class TestGPClassification:
+    def test_gp_ess_beats_baseline(self):
+        # Elliptical-slice GP classification: posterior-mean predictions
+        # must clearly beat the majority class on the noisy two-band data.
+        from examples.gaussian_process import gp_classification_ess
+
+        acc, base = gp_classification_ess.main(
+            n_chains=32, n_iters=1200, burn_in=500
+        )
+        assert acc > base + 0.2, (acc, base)

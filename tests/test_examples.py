@@ -138,6 +138,28 @@ class TestVAEFamily:
         params, last, first = self._train(step, params, opt_state, x)
         assert last > first
 
+    def test_gumbel_softmax_vae(self):
+        # Categorical-latent VAE via the ExpConcrete relaxation: fully
+        # reparameterized SGVB (contrast with the REINFORCE path above).
+        from examples.variational_autoencoders import gumbel_softmax_vae as gs
+
+        params = gs.init_params(KEY, 64, n_vars=4, n_classes=5, hidden=64)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        tau = jnp.asarray(1.0, jnp.float32)
+
+        @jax.jit
+        def step(params, opt_state, x, key):
+            (loss, lb), grads = jax.value_and_grad(
+                gs.loss_fn, has_aux=True
+            )(params, x, key, 4, 5, tau)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, lb
+
+        x = jnp.asarray(_fake_binary(16, 64))
+        params, last, first = self._train(step, params, opt_state, x)
+        assert last > first
+
     def test_toy2d_flow_elbo_near_log_z(self):
         # Coupling-flow VI on the funnel: the flow ELBO must approach the
         # true log Z = 0 — a gap mean-field q cannot close (its optimum on

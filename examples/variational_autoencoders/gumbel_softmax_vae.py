@@ -36,7 +36,10 @@ def build_gen(params, x_dim, n_vars, n_classes, n, temperature,
         bn = zs.BayesianNet()
         z = bn.exp_concrete(
             "z", temperature,
-            jnp.zeros([n, n_vars, n_classes]),  # uniform relaxed prior
+            # uniform relaxed prior; dtype follows the temperature so the
+            # example is clean under the x64 test config.
+            jnp.zeros([n, n_vars, n_classes],
+                      jnp.asarray(temperature).dtype),
             group_ndims=2, n_samples=n_particles,
         )
         flat = jnp.exp(z.tensor).reshape(

@@ -113,3 +113,43 @@ def test_checkpoint_untrusted_file_cannot_execute_code():
         )
         with pytest.raises(ValueError):
             restore_checkpoint(p)
+
+
+def test_checkpoint_roundtrip_new_sampler_states():
+    # MHState (MALA), SVGDState and EllipticalSliceState are plain
+    # pytrees; save/restore with like= must resume exactly.
+    from zhusuan_tpu.mcmc import MALA, EllipticalSlice
+    from zhusuan_tpu.variational import SVGD
+
+    def lj(obs):
+        return jnp.sum(-0.5 * obs["x"] ** 2, -1)
+
+    mala = MALA(step_size=0.3, adapt_step_size=True)
+    m_state = mala.init({"x": jnp.zeros((4, 2))}, n_chain_dims=1)
+    m_state, _ = mala.sample(lj, {}, m_state, jax.random.PRNGKey(0))
+
+    svgd = SVGD(learning_rate=0.1)
+    s_state = svgd.init({"x": jnp.ones((5, 2))})
+    s_state, _ = svgd.update(lj, {}, s_state)
+
+    ess = EllipticalSlice(prior_std=1.0)
+    e_state = ess.init({"x": jnp.zeros((4, 2))}, n_chain_dims=1)
+    e_state, _ = ess.sample(lj, {}, e_state, jax.random.PRNGKey(1))
+
+    for name, state in [("mala", m_state), ("svgd", s_state),
+                        ("ess", e_state)]:
+        with tempfile.TemporaryDirectory() as d:
+            p = save_checkpoint(os.path.join(d, name), state, step=1,
+                                use_orbax=False)
+            restored, step = restore_checkpoint(p, like=state)
+        assert step == 1
+        assert type(restored) is type(state)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(restored)[0]),
+            np.asarray(jax.tree.leaves(state)[0]),
+        )
+
+    # Resume each from the restored state type (already validated above
+    # for structure); one step must stay finite.
+    m2, _ = mala.sample(lj, {}, m_state, jax.random.PRNGKey(2))
+    assert np.all(np.isfinite(np.asarray(m2.q["x"])))

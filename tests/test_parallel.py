@@ -328,3 +328,67 @@ class TestSGMCMCDataParallel:
             np.asarray(qs_s["w"]), np.asarray(qs_u["w"]),
             rtol=1e-8, atol=1e-10,
         )
+
+
+class TestNewSamplersSharded:
+    def test_svgd_sharded_particles_match_unsharded(self):
+        """SVGD's [n, n] kernel couples every particle pair, so sharding
+        the particle axis makes XLA insert collectives — results must
+        match the single-placement run (deterministic updates; only
+        reduction order differs)."""
+        from zhusuan_tpu.variational import SVGD
+
+        def lj(obs):
+            z = obs["z"]
+            return -0.5 * jnp.sum((z - 1.0) ** 2, axis=-1)
+
+        svgd = SVGD(learning_rate=0.2)
+        state0 = svgd.init(
+            {"z": jax.random.normal(jax.random.PRNGKey(0), (64, 3),
+                                    jnp.float64)}
+        )
+        run = jax.jit(lambda s: svgd.run(lj, {}, s, n_iters=50))
+
+        final_u, _ = run(state0)
+        mesh = chain_mesh(8)
+        final_s, _ = run(shard_chains(mesh, state0))
+
+        np.testing.assert_allclose(
+            np.asarray(final_s.particles["z"]),
+            np.asarray(final_u.particles["z"]),
+            rtol=1e-9, atol=1e-11,
+        )
+
+    def test_mala_sharded_chains_match_unsharded(self):
+        """Chain-sharded MALA == unsharded MALA (partitionable threefry;
+        chains independent except the shared adapted step size, which is a
+        cross-device mean)."""
+        from zhusuan_tpu.mcmc import MALA
+
+        std = jnp.linspace(0.5, 2.0, 4, dtype=jnp.float64)
+
+        def lj(obs):
+            return jnp.sum(-0.5 * (obs["x"] / std) ** 2, -1)
+
+        mala = MALA(step_size=0.3, adapt_step_size=True)
+        state0 = mala.init(
+            {"x": jnp.zeros((64, 4), jnp.float64)}, n_chain_dims=1
+        )
+        run = jax.jit(
+            lambda s, k: mala.run(lj, {}, s, k, n_iters=150, n_adapt=75)
+        )
+        key = jax.random.PRNGKey(5)
+        final_u, out_u = run(state0, key)
+
+        mesh = chain_mesh(8)
+        final_s, out_s = run(shard_chains(mesh, state0), key)
+
+        np.testing.assert_allclose(
+            np.asarray(out_s["samples"]["x"]),
+            np.asarray(out_u["samples"]["x"]),
+            rtol=1e-8, atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s["step_size"]),
+            np.asarray(out_u["step_size"]), rtol=1e-8,
+        )

@@ -29,8 +29,7 @@ from examples.utils.nn import init_linear, init_mlp, linear_apply, mlp_apply
 from zhusuan_tpu.variational import elbo
 
 
-def build_gen(params, x_dim, n_vars, n_classes, n, temperature,
-              n_particles):
+def build_gen(params, n_vars, n_classes, n, temperature, n_particles):
     @zs.meta_bayesian_net()
     def gen():
         bn = zs.BayesianNet()
@@ -81,8 +80,7 @@ def loss_fn(params, x, key, n_vars, n_classes, temperature,
         params, x, n_vars, n_classes, temperature, n_particles, key
     )
     model = build_gen(
-        params, x.shape[-1], n_vars, n_classes, n, temperature,
-        n_particles,
+        params, n_vars, n_classes, n, temperature, n_particles
     )
     lower_bound = elbo(model, {"x": x}, variational=variational, axis=0)
     return jnp.mean(lower_bound.sgvb()), jnp.mean(lower_bound.tensor)

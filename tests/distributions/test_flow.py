@@ -234,3 +234,25 @@ class TestFlowVariational:
         s = out["samples"]["z"][300:].reshape(-1, 3)
         assert abs(float(jnp.mean(s))) < 0.1
         assert abs(float(jnp.std(s)) - 1.0) < 0.1
+
+
+class TestBatchedBaseRank1:
+    def test_rank1_given_broadcasts_over_batch(self):
+        # Regression: with a batched base, a rank-1 `given` must broadcast
+        # over batch_shape and return a [batch]-shaped log_prob — not
+        # silently return batch element 0's density.
+        base = Normal(
+            jnp.stack([jnp.zeros(4), jnp.ones(4) * 2.0]),  # batch (2,)
+            std=jnp.ones((2, 4)), group_ndims=1,
+        )
+        params = init_affine_coupling(jax.random.PRNGKey(0), 2, 4)
+        dist = FlowDistribution.coupling(base, params)
+        assert dist.batch_shape == (2,)
+        x = jnp.asarray([0.1, -0.2, 0.3, 0.4])
+        lp = dist.log_prob(x)
+        assert lp.shape == (2,)
+        # Identity-init flow == base; compare against the base per batch.
+        expect = base.log_prob(jnp.broadcast_to(x, (2, 4)))
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(expect),
+                                   rtol=1e-6)
+        assert not np.allclose(float(lp[0]), float(lp[1]))

@@ -178,3 +178,55 @@ class TestValidation:
         )
         assert out is None
         assert int(state.t) == 20
+
+
+class TestRobustness:
+    def test_mala_nan_gradient_does_not_poison_adaptation(self):
+        # Regression: finite density with NaN gradient regions (the
+        # where/sqrt autodiff trap) must reject the proposal, not drive
+        # the dual-averaged step size to NaN and freeze all chains.
+        def log_joint(obs):
+            z = obs["z"]
+            trap = jnp.where(z > 0.0, jnp.sqrt(jnp.abs(z)), 0.0)
+            return jnp.sum(-0.5 * z**2 + 0.0 * trap, axis=-1)
+
+        sampler = MALA(step_size=0.5, adapt_step_size=True)
+        state = sampler.init({"z": jnp.full((64, 2), -1.0)},
+                             n_chain_dims=1)
+        state, out = jax.jit(
+            lambda s, k: sampler.run(
+                log_joint, {}, s, k, n_iters=300, n_adapt=300
+            )
+        )(state, jax.random.PRNGKey(0))
+        assert np.all(np.isfinite(np.asarray(out["step_size"])))
+        # Chains must still move (not frozen by permanent rejection).
+        s = np.asarray(out["samples"]["z"])
+        assert np.std(s[-1]) > 0.1
+
+    def test_second_run_adapts_by_run_local_index(self):
+        # Regression: n_adapt counts THIS run's iterations (HMC.run
+        # convention), not the persisted state.t.
+        def log_joint(obs):
+            return jnp.sum(-0.5 * obs["z"] ** 2, axis=-1)
+
+        sampler = MALA(step_size=5.0, adapt_step_size=True)
+        state = sampler.init({"z": jnp.zeros((64, 2))}, n_chain_dims=1)
+        state, _ = sampler.run(
+            log_joint, {}, state, jax.random.PRNGKey(0), n_iters=50,
+            n_adapt=0,
+        )
+        eps_before = float(state.step_size)
+        state, out = sampler.run(
+            log_joint, {}, state, jax.random.PRNGKey(1), n_iters=100,
+            n_adapt=100,
+        )
+        eps_after = float(state.step_size)
+        # A 5.0 step on a unit Gaussian over-rejects; adaptation in the
+        # SECOND run must have shrunk it substantially.
+        assert eps_before > 4.0
+        assert eps_after < 2.0, eps_after
+
+    def test_rwm_state_has_no_grad_carry(self):
+        sampler = RandomWalkMetropolis(step_size=0.5)
+        state = sampler.init({"z": jnp.zeros((8, 3))}, n_chain_dims=1)
+        assert state.grad == {}

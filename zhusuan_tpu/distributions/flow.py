@@ -139,7 +139,15 @@ class FlowDistribution(Distribution):
                 "exact one) or score via the latent={name: (samples, "
                 "log_probs)} objective path."
             )
-        squeeze = given.ndim == 1
+        # Rank-1 input means "one d-vector" ONLY when the distribution has
+        # no batch axes; with a batched base a rank-1 `given` is a
+        # broadcast against batch_shape and must NOT be squeezed (the
+        # flow functions themselves require rank >= 2, so lift instead).
+        squeeze = given.ndim == 1 and len(self._full_shape) == 1
+        if given.ndim == 1 and not squeeze:
+            given = jnp.broadcast_to(
+                given, self._full_shape[:-1] + given.shape
+            )
         g = given[None] if squeeze else given
         zeros = jnp.zeros(g.shape[:-1], self.param_dtype)
         z0, delta = self._inverse(g, zeros)

@@ -18,6 +18,7 @@ from zhusuan_tpu.utils import merge_dicts
 
 __all__ = [
     "make_log_joint_fn",
+    "tree_normal_like",
     "tree_random_momentum",
     "tree_velocity",
     "kinetic_energy",
@@ -55,6 +56,21 @@ def make_log_joint_fn(meta_bn_or_log_joint, observed):
 
 def _data_axes(q: Latent, n_chain_dims: int):
     return {k: tuple(range(n_chain_dims, v.ndim)) for k, v in q.items()}
+
+
+def tree_normal_like(key, like: Latent) -> Latent:
+    """Unit-normal draws matching a latent dict's shapes/dtypes.
+
+    The sorted-name key-split order is a reproducibility contract shared
+    by every sampler family (momentum draws, RWM/MALA proposals, ESS
+    ellipse draws, SGMCMC noise) — keep it in this one place.
+    """
+    names = sorted(like.keys())
+    keys = jax.random.split(key, len(names))
+    return {
+        n: jax.random.normal(k, like[n].shape, like[n].dtype)
+        for n, k in zip(names, keys)
+    }
 
 
 def tree_random_momentum(key, q: Latent, mass: Latent) -> Latent:

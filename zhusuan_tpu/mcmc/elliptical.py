@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zhusuan_tpu.mcmc.base import make_log_joint_fn
+from zhusuan_tpu.mcmc.base import make_log_joint_fn, tree_normal_like
 
 __all__ = ["EllipticalSlice", "EllipticalSliceState", "EllipticalSliceInfo"]
 
@@ -88,17 +88,15 @@ class EllipticalSlice:
         return self._prior_std
 
     def _prior_draw(self, key, f: Latent) -> Latent:
-        names = sorted(f.keys())
-        keys = jax.random.split(key, len(names))
+        unit = tree_normal_like(key, f)
         out = {}
-        for name, k in zip(names, keys):
-            eps = jax.random.normal(k, f[name].shape, f[name].dtype)
+        for name, eps in unit.items():
             if name in self._prior_chol:
-                chol = jnp.asarray(self._prior_chol[name], f[name].dtype)
+                chol = jnp.asarray(self._prior_chol[name], eps.dtype)
                 out[name] = jnp.einsum("ij,...j->...i", chol, eps)
             else:
                 out[name] = eps * jnp.asarray(
-                    self._std_for(name), f[name].dtype
+                    self._std_for(name), eps.dtype
                 )
         return out
 

@@ -25,7 +25,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zhusuan_tpu.mcmc.base import dual_averaging_update, make_log_joint_fn
+from zhusuan_tpu.mcmc.base import (
+    dual_averaging_update,
+    make_log_joint_fn,
+    tree_normal_like,
+)
 
 __all__ = ["RandomWalkMetropolis", "MALA", "MHState", "MHInfo"]
 
@@ -37,7 +41,8 @@ class MHState(NamedTuple):
 
     q: Latent  # position: chain_axes + data_axes
     log_prob: jnp.ndarray  # [chain_shape] cached log joint at q
-    grad: Latent  # cached score at q (MALA; zeros for RWM)
+    grad: Latent  # cached score at q (MALA; EMPTY dict for RWM — no
+    #               dead latent-sized carry for the gradient-free kernel)
     t: jnp.ndarray  # iteration counter (int32)
     step_size: jnp.ndarray  # scalar
     da_step: jnp.ndarray
@@ -52,15 +57,6 @@ class MHInfo(NamedTuple):
     acceptance_rate: jnp.ndarray  # [chain_shape] min(1, exp(log_alpha))
     updated_step_size: jnp.ndarray
     log_prob: jnp.ndarray  # [chain_shape] log joint at the new position
-
-
-def _tree_normal(key, like: Latent) -> Latent:
-    names = sorted(like.keys())
-    keys = jax.random.split(key, len(names))
-    return {
-        n: jax.random.normal(k, like[n].shape, like[n].dtype)
-        for n, k in zip(names, keys)
-    }
 
 
 class _MetropolisBase:
@@ -106,7 +102,7 @@ class _MetropolisBase:
         return MHState(
             q=q,
             log_prob=jnp.zeros(chain_shape, dtype),
-            grad=jax.tree.map(jnp.zeros_like, q),
+            grad=jax.tree.map(jnp.zeros_like, q) if self._uses_grad else {},
             t=jnp.zeros((), jnp.int32),
             step_size=jnp.asarray(self._step_size, dtype),
             da_step=zero,
@@ -131,7 +127,7 @@ class _MetropolisBase:
 
             (_, lp), g = jax.value_and_grad(summed, has_aux=True)(q)
             return lp, g
-        return log_posterior(q), jax.tree.map(jnp.zeros_like, q)
+        return log_posterior(q), {}
 
     def sample(self, meta_bn, observed, state: MHState, key, adapt=None):
         """One Metropolis step over all chains. Pure; scan-safe.
@@ -153,9 +149,11 @@ class _MetropolisBase:
         q_new, lp_new, g_new, log_alpha = self._propose(
             log_posterior, state, key_prop
         )
-        # Non-finite proposal -> certain reject (reference hmc.py:479-498
-        # semantics).
-        log_alpha = jnp.where(jnp.isfinite(lp_new), log_alpha, -jnp.inf)
+        # Non-finite ANYWHERE in the ratio (diverged density, NaN score
+        # entering the Hastings terms) -> certain reject, so a single bad
+        # proposal can never poison the dual-averaged step size
+        # (reference hmc.py:479-498 semantics).
+        log_alpha = jnp.where(jnp.isfinite(log_alpha), log_alpha, -jnp.inf)
         accept_rate = jnp.minimum(1.0, jnp.exp(jnp.minimum(log_alpha, 0.0)))
         u = jax.random.uniform(key_mh, log_alpha.shape)
         accept = jnp.log(u) < log_alpha
@@ -221,12 +219,13 @@ class _MetropolisBase:
             "step_size", "log_prob"} or None)``.
         """
 
-        def body(carry, _):
+        def body(carry, i):
             st, k = carry
             k, sub = jax.random.split(k)
-            gate = jnp.logical_and(
-                jnp.asarray(self._adapt), st.t < n_adapt
-            )
+            # Per-RUN iteration index (HMC.run convention) — a resumed or
+            # second run adapts for ITS first n_adapt iterations
+            # regardless of the persisted state.t counter.
+            gate = jnp.logical_and(jnp.asarray(self._adapt), i < n_adapt)
             st2, info = self.sample(meta_bn, observed, st, sub, adapt=gate)
             out = (
                 {
@@ -241,7 +240,7 @@ class _MetropolisBase:
             return (st2, k), out
 
         (final_state, _), outs = jax.lax.scan(
-            body, (state, key), None, length=n_iters
+            body, (state, key), jnp.arange(n_iters)
         )
         return final_state, outs
 
@@ -259,13 +258,12 @@ class RandomWalkMetropolis(_MetropolisBase):
 
     def _propose(self, log_posterior, state, key):
         eps = state.step_size
-        xi = _tree_normal(key, state.q)
+        xi = tree_normal_like(key, state.q)
         q_new = jax.tree.map(lambda q, x: q + eps * x, state.q, xi)
         lp_new = log_posterior(q_new)
         # Symmetric proposal: alpha = p(q')/p(q).
         log_alpha = lp_new - state.log_prob
-        g_new = jax.tree.map(jnp.zeros_like, state.q)
-        return q_new, lp_new, g_new, log_alpha
+        return q_new, lp_new, {}, log_alpha
 
 
 class MALA(_MetropolisBase):
@@ -296,7 +294,7 @@ class MALA(_MetropolisBase):
     def _propose(self, log_posterior, state, key):
         eps = state.step_size
         chain_ndim = state.log_prob.ndim
-        xi = _tree_normal(key, state.q)
+        xi = tree_normal_like(key, state.q)
         q_new = jax.tree.map(
             lambda q, g, x: q + 0.5 * eps * eps * g + eps * x,
             state.q, state.grad, xi,

@@ -22,7 +22,7 @@ from typing import Callable, Dict, NamedTuple, Optional, Union
 import jax
 import jax.numpy as jnp
 
-from zhusuan_tpu.mcmc.base import make_log_joint_fn
+from zhusuan_tpu.mcmc.base import make_log_joint_fn, tree_normal_like
 
 __all__ = ["SGMCMC", "SGMCMCState", "SGMCMCInfo", "SGLD", "PSGLD", "SGHMC", "SGNHT"]
 
@@ -49,11 +49,8 @@ class SGMCMCInfo(NamedTuple):
 
 
 def _tree_normal(key, like: Latent, stddev):
-    names = sorted(like.keys())
-    keys = jax.random.split(key, len(names))
     return {
-        n: stddev * jax.random.normal(k, like[n].shape, like[n].dtype)
-        for n, k in zip(names, keys)
+        n: stddev * x for n, x in tree_normal_like(key, like).items()
     }
 
 

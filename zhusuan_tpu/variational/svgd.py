@@ -53,7 +53,8 @@ class SVGDInfo(NamedTuple):
     particles: Latent
     bandwidth: jnp.ndarray  # RBF bandwidth h used this step
     grad_norm: jnp.ndarray  # mean ||phi_i||_2 over particles
-    log_prob: jnp.ndarray  # [n_particles] log joint at the particles
+    log_prob: jnp.ndarray  # [n_particles] log joint at the PRE-update
+    #                        particles (free byproduct of the score pass)
 
 
 def _flatten_particles(q: Latent):
@@ -160,15 +161,20 @@ class SVGD:
         """The Stein direction as a latent dict, plus diagnostics."""
         # Gradient of the SUMMED log joint: per-particle scores land in the
         # [n, ...] leaves (particles are independent inside log_posterior;
-        # they interact only through the kernel below).
-        grads = jax.grad(lambda qq: jnp.sum(log_posterior(qq)))(q)
+        # they interact only through the kernel below). has_aux returns
+        # the per-particle values for free — no second forward pass.
+        def summed(qq):
+            lp = log_posterior(qq)
+            return jnp.sum(lp), lp
+
+        (_, lp), grads = jax.value_and_grad(summed, has_aux=True)(q)
         x, unflatten = _flatten_particles(q)
         g, _ = _flatten_particles(grads)
         n = x.shape[0]
         k_mat, repulsion, h = rbf_kernel_terms(x, self._bandwidth)
         phi = (k_mat @ g + repulsion) / float(n)
         grad_norm = jnp.mean(jnp.sqrt(jnp.sum(phi * phi, axis=1)))
-        return unflatten(phi), h, grad_norm
+        return unflatten(phi), h, grad_norm, lp
 
     def update(self, meta_bn, observed, state: SVGDState):
         """One SVGD step. Pure; safe under ``jit``/``scan``.
@@ -176,7 +182,7 @@ class SVGD:
         :return: ``(new_state, SVGDInfo)``.
         """
         log_posterior = make_log_joint_fn(meta_bn, observed)
-        phi, h, grad_norm = self._phi(log_posterior, state.particles)
+        phi, h, grad_norm, lp = self._phi(log_posterior, state.particles)
         # optax minimizes; SVGD ascends the Stein direction.
         neg_phi = jax.tree.map(jnp.negative, phi)
         updates, opt_state = self._opt.update(
@@ -192,7 +198,7 @@ class SVGD:
             particles=particles,
             bandwidth=h,
             grad_norm=grad_norm,
-            log_prob=log_posterior(particles),
+            log_prob=lp,
         )
         return new_state, info
 

@@ -15,6 +15,7 @@ MODULES = [
     "zhusuan_tpu.variational",
     "zhusuan_tpu.mcmc",
     "zhusuan_tpu.evaluation",
+    "zhusuan_tpu.smc",
     "zhusuan_tpu.diagnostics",
     "zhusuan_tpu.transform",
     "zhusuan_tpu.utils",

@@ -180,3 +180,62 @@ class TestValidation:
         )
         with pytest.raises(ValueError, match="single particle axis"):
             smc.run(jax.random.PRNGKey(0))
+
+
+class TestAdaptive:
+    def test_adaptive_matches_truth_with_fewer_steps(self):
+        smc = AnnealedSMC(
+            _model(), _proposal(4000), MALA(step_size=0.5),
+            observed={"x": jnp.asarray(X_OBS)}, latent=["z"],
+            n_moves=2,
+        )
+        res = jax.jit(lambda k: smc.run_adaptive(k, target_cess=0.9))(
+            jax.random.PRNGKey(0)
+        )
+        n_steps = int(res.n_steps)
+        assert abs(float(res.log_z) - TRUE_LOG_Z) < 0.03, (
+            float(res.log_z), TRUE_LOG_Z)
+        z = np.asarray(res.particles["z"])
+        assert abs(z.mean() - POST_MEAN) < 0.05
+        assert abs(z.std() - POST_STD) < 0.05
+        # The adaptive ladder on this easy bridge needs far fewer than
+        # the 50-step fixed default.
+        assert 1 <= n_steps < 40, n_steps
+        betas = np.asarray(res.betas)
+        assert abs(betas[n_steps - 1] - 1.0) < 1e-6
+        assert np.all(np.isnan(betas[n_steps:]))
+        assert np.all(np.diff(betas[:n_steps]) > 0)
+
+    def test_adaptive_peaked_likelihood(self):
+        # The hard bridge from the resampling test: adaptive tempering
+        # must still land on the right evidence.
+        sigma, x_obs = 0.2, 2.5
+        true_log_z = (
+            -0.5 * math.log(2 * math.pi * (1 + sigma**2))
+            - 0.5 * x_obs**2 / (1 + sigma**2)
+        )
+
+        @zs.meta_bayesian_net()
+        def model():
+            bn = zs.BayesianNet()
+            z = bn.normal("z", 0.0, std=1.0)
+            bn.normal("x", z.tensor, std=sigma)
+            return bn
+
+        smc = AnnealedSMC(
+            model(), _proposal(4000), MALA(step_size=0.3),
+            observed={"x": jnp.asarray(x_obs)}, latent=["z"], n_moves=3,
+        )
+        res = jax.jit(lambda k: smc.run_adaptive(k, target_cess=0.95))(
+            jax.random.PRNGKey(1)
+        )
+        assert abs(float(res.log_z) - true_log_z) < 0.08, (
+            float(res.log_z), true_log_z)
+
+    def test_bad_target_cess(self):
+        smc = AnnealedSMC(
+            _model(), _proposal(8), MALA(step_size=0.1),
+            observed={"x": jnp.asarray(X_OBS)}, latent=["z"],
+        )
+        with pytest.raises(ValueError, match="target_cess"):
+            smc.run_adaptive(jax.random.PRNGKey(0), target_cess=1.5)

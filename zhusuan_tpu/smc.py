@@ -42,10 +42,13 @@ class SMCResult(NamedTuple):
     particles: Latent  # [n_particles, ...] — equally weighted (final
     #                    resample folds the last weights in)
     log_z: jnp.ndarray  # scalar evidence estimate log p(observed)
-    ess: jnp.ndarray  # [n_temperatures] effective sample size per step
+    ess: jnp.ndarray  # [n_steps_max] effective sample size per step
     n_resamples: jnp.ndarray  # scalar: resampling events during the run
-    acceptance_rate: jnp.ndarray  # [n_temperatures] mean rejuvenation MH
+    acceptance_rate: jnp.ndarray  # [n_steps_max] mean rejuvenation MH
     #                               acceptance at each temperature
+    n_steps: jnp.ndarray  # temperatures actually used (== n_temperatures
+    #                       on the fixed schedule; <= max_steps adaptive)
+    betas: jnp.ndarray  # realized ladder (NaN-padded for adaptive runs)
 
 
 def _systematic_resample(key, log_weights):
@@ -140,10 +143,9 @@ class AnnealedSMC:
 
         return log_f
 
-    def run(self, key) -> SMCResult:
-        """Run the full annealing pass on-device (one ``lax.scan``)."""
-        key_init, key_scan, key_final = jax.random.split(key, 3)
-        q0 = self._init_particles(key_init)
+    def _setup(self, key):
+        """Draw initial particles and validate the chain shape."""
+        q0 = self._init_particles(key)
         lp_probe = self._log_prior(q0)
         if lp_probe.ndim != 1:
             raise ValueError(
@@ -151,63 +153,80 @@ class AnnealedSMC:
                 "log-prior must be [n_particles]-shaped, got shape {}."
                 .format(lp_probe.shape)
             )
-        n = lp_probe.shape[0]
-        dtype = lp_probe.dtype
+        return q0, lp_probe.shape[0], lp_probe.dtype
+
+    def _bridge_step(self, q, log_w, log_z, n_resamples, key, beta_prev,
+                     beta, n, log_n, dtype):
+        """One reweight -> conditional-resample -> rejuvenate step shared
+        by the static-schedule and adaptive drivers."""
+        k_res, k_moves = jax.random.split(key)
+
+        # 1. Reweight: incremental weight for the bridge step.
+        lp0 = self._log_prior(q)
+        lp1 = self._log_joint({**q, **self._observed})
+        log_w_inc = (beta - beta_prev) * (lp1 - lp0)
+        # Evidence update with the PREVIOUS normalized weights.
+        log_w_norm = log_w - jax.scipy.special.logsumexp(log_w)
+        log_z = log_z + jax.scipy.special.logsumexp(
+            log_w_norm + log_w_inc
+        )
+        log_w = log_w_norm + log_w_inc
+
+        # 2. Conditional systematic resampling on ESS collapse.
+        lw_n = log_w - jax.scipy.special.logsumexp(log_w)
+        ess = jnp.exp(-jax.scipy.special.logsumexp(2.0 * lw_n))
+
+        def do_resample(args):
+            q, log_w, n_resamples = args
+            idx = _systematic_resample(k_res, log_w)
+            q_r = jax.tree.map(lambda x: x[idx], q)
+            return q_r, jnp.full((n,), -log_n, dtype), n_resamples + 1
+
+        q, log_w, n_resamples = jax.lax.cond(
+            ess < self._resample_threshold * n,
+            do_resample,
+            lambda args: args,
+            (q, log_w, n_resamples),
+        )
+
+        # 3. Rejuvenate with MH moves targeting f_beta.
+        log_f = self._tempered(beta)
+        acc = jnp.zeros((), dtype)
+        if self._n_moves:
+            mh_state = self._kernel.init(q, n_chain_dims=1)
+
+            def move(carry, kk):
+                st, _ = carry
+                st2, info = self._kernel.sample(
+                    log_f, {}, st, kk, adapt=False
+                )
+                return (st2, jnp.mean(info.acceptance_rate)), None
+
+            (mh_state, acc), _ = jax.lax.scan(
+                move,
+                (mh_state, acc),
+                jax.random.split(k_moves, self._n_moves),
+            )
+            q = mh_state.q
+
+        return q, log_w, log_z, n_resamples, ess, acc
+
+    def run(self, key) -> SMCResult:
+        """Run the full fixed-schedule annealing pass on-device (one
+        ``lax.scan`` over the sigmoid temperature ladder)."""
+        key_init, key_scan, key_final = jax.random.split(key, 3)
+        q0, n, dtype = self._setup(key_init)
         schedule = self._schedule(dtype)
         log_n = jnp.log(jnp.asarray(float(n), dtype))
 
         def step(carry, inputs):
             q, log_w, log_z, n_resamples, k = carry
             beta_prev, beta = inputs
-            k, k_res, k_moves = jax.random.split(k, 3)
-
-            # 1. Reweight: incremental weight for the bridge step.
-            lp0 = self._log_prior(q)
-            lp1 = self._log_joint({**q, **self._observed})
-            log_w_inc = (beta - beta_prev) * (lp1 - lp0)
-            # Evidence update with the PREVIOUS normalized weights.
-            log_w_norm = log_w - jax.scipy.special.logsumexp(log_w)
-            log_z = log_z + jax.scipy.special.logsumexp(
-                log_w_norm + log_w_inc
+            k, sub = jax.random.split(k)
+            q, log_w, log_z, n_resamples, ess, acc = self._bridge_step(
+                q, log_w, log_z, n_resamples, sub, beta_prev, beta, n,
+                log_n, dtype,
             )
-            log_w = log_w_norm + log_w_inc
-
-            # 2. Conditional systematic resampling on ESS collapse.
-            lw_n = log_w - jax.scipy.special.logsumexp(log_w)
-            ess = jnp.exp(-jax.scipy.special.logsumexp(2.0 * lw_n))
-
-            def do_resample(args):
-                q, log_w, n_resamples = args
-                idx = _systematic_resample(k_res, log_w)
-                q_r = jax.tree.map(lambda x: x[idx], q)
-                return q_r, jnp.full((n,), -log_n, dtype), n_resamples + 1
-
-            q, log_w, n_resamples = jax.lax.cond(
-                ess < self._resample_threshold * n,
-                do_resample,
-                lambda args: args,
-                (q, log_w, n_resamples),
-            )
-
-            # 3. Rejuvenate with MH moves targeting f_beta.
-            log_f = self._tempered(beta)
-            mh_state = self._kernel.init(q, n_chain_dims=1)
-            acc = jnp.zeros((), dtype)
-            if self._n_moves:
-                def move(carry, kk):
-                    st, _ = carry
-                    st2, info = self._kernel.sample(
-                        log_f, {}, st, kk, adapt=False
-                    )
-                    return (st2, jnp.mean(info.acceptance_rate)), None
-
-                (mh_state, acc), _ = jax.lax.scan(
-                    move,
-                    (mh_state, acc),
-                    jax.random.split(k_moves, self._n_moves),
-                )
-                q = mh_state.q
-
             return (q, log_w, log_z, n_resamples, k), (ess, acc)
 
         init = (
@@ -231,4 +250,114 @@ class AnnealedSMC:
             ess=ess_t,
             n_resamples=n_resamples,
             acceptance_rate=acc_t,
+            n_steps=jnp.asarray(self._n_temperatures, jnp.int32),
+            betas=schedule[1:],
+        )
+
+    def run_adaptive(self, key, target_cess: float = 0.9,
+                     max_steps: int = 200,
+                     n_bisect: int = 30) -> SMCResult:
+        """Adaptive-tempering run: each temperature increment ``delta`` is
+        chosen by bisection so the CONDITIONAL effective sample size of
+        the incremental weights stays at ``target_cess * n`` (Jasra et al.
+        2011) — big steps where the bridge is easy, small ones where it
+        is not, no schedule to hand-tune.
+
+        TPU notes: the outer loop is a ``lax.while_loop`` (data-dependent
+        trip count, capped at ``max_steps``); the inner bisection is a
+        fixed ``fori_loop`` of ``n_bisect`` halvings; the per-step
+        ESS/acceptance/beta traces are written into preallocated
+        ``[max_steps]`` buffers (entries beyond ``n_steps`` are NaN).
+
+        :return: :class:`SMCResult` with ``n_steps`` actual temperatures
+            used and ``betas`` the realized ladder (NaN-padded).
+        """
+        if not 0.0 < float(target_cess) <= 1.0:
+            raise ValueError("target_cess must be in (0, 1].")
+        key_init, key_loop, key_final = jax.random.split(key, 3)
+        q0, n, dtype = self._setup(key_init)
+        log_n = jnp.log(jnp.asarray(float(n), dtype))
+        log_target = jnp.log(
+            jnp.asarray(float(target_cess) * n, dtype)
+        )
+        one = jnp.asarray(1.0, dtype)
+
+        def choose_delta(q, log_w):
+            """Largest delta in (0, 1-beta] with CESS >= target, by
+            bisection on the monotone CESS(delta)."""
+            d = self._log_joint({**q, **self._observed}) \
+                - self._log_prior(q)
+            lw_n = log_w - jax.scipy.special.logsumexp(log_w)
+
+            def log_cess(delta):
+                # CESS = (sum W e^{delta d})^2 / sum W e^{2 delta d} * n
+                a = jax.scipy.special.logsumexp(lw_n + delta * d)
+                b = jax.scipy.special.logsumexp(lw_n + 2.0 * delta * d)
+                return 2.0 * a - b + log_n
+
+            def bisect(lo_hi, _):
+                lo, hi = lo_hi
+                mid = 0.5 * (lo + hi)
+                ok = log_cess(mid) >= log_target
+                return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)), None
+
+            return log_cess, bisect
+
+        nan = jnp.asarray(jnp.nan, dtype)
+
+        def cond(carry):
+            (_, _, _, _, beta, i, _, _, _, _) = carry
+            return jnp.logical_and(beta < one, i < max_steps)
+
+        def body(carry):
+            (q, log_w, log_z, n_resamples, beta, i, k, ess_buf, acc_buf,
+             beta_buf) = carry
+            k, sub = jax.random.split(k)
+            log_cess, bisect = choose_delta(q, log_w)
+            hi0 = one - beta
+            (lo, hi), _ = jax.lax.scan(
+                bisect, (jnp.zeros((), dtype), hi0), None, length=n_bisect
+            )
+            # If even the full remaining jump keeps CESS above target,
+            # go straight to beta = 1.
+            delta = jnp.where(log_cess(hi0) >= log_target, hi0, lo)
+            # Never stall: a zero delta would loop forever on a hard
+            # bridge; force a floor of 1/max_steps of the remaining gap.
+            delta = jnp.maximum(delta, hi0 / max_steps)
+            new_beta = jnp.minimum(beta + delta, one)
+
+            q, log_w, log_z, n_resamples, ess, acc = self._bridge_step(
+                q, log_w, log_z, n_resamples, sub, beta, new_beta, n,
+                log_n, dtype,
+            )
+            ess_buf = ess_buf.at[i].set(ess)
+            acc_buf = acc_buf.at[i].set(acc)
+            beta_buf = beta_buf.at[i].set(new_beta)
+            return (q, log_w, log_z, n_resamples, new_beta, i + 1, k,
+                    ess_buf, acc_buf, beta_buf)
+
+        init = (
+            q0,
+            jnp.full((n,), -log_n, dtype),
+            jnp.zeros((), dtype),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), dtype),
+            jnp.zeros((), jnp.int32),
+            key_loop,
+            jnp.full((max_steps,), nan),
+            jnp.full((max_steps,), nan),
+            jnp.full((max_steps,), nan),
+        )
+        (q, log_w, log_z, n_resamples, _, n_steps, _, ess_buf, acc_buf,
+         beta_buf) = jax.lax.while_loop(cond, body, init)
+        idx = _systematic_resample(key_final, log_w)
+        particles = jax.tree.map(lambda x: x[idx], q)
+        return SMCResult(
+            particles=particles,
+            log_z=log_z,
+            ess=ess_buf,
+            n_resamples=n_resamples,
+            acceptance_rate=acc_buf,
+            n_steps=n_steps,
+            betas=beta_buf,
         )

@@ -651,3 +651,16 @@ class TestGPClassification:
             n_chains=32, n_iters=1200, burn_in=500
         )
         assert acc > base + 0.2, (acc, base)
+
+
+class TestModelComparison:
+    def test_bayes_factor_smc_matches_closed_form(self):
+        # Both candidate evidences are closed-form Gaussian-linear-model
+        # marginals: the SMC estimates must track them. (The ordering on
+        # this small dataset is a thin ~0.2-nat margin — accuracy against
+        # truth is the robust property to pin.)
+        from examples.model_comparison import bayes_factor_smc as bf
+
+        results = bf.main()
+        for degree, (est, truth) in results.items():
+            assert abs(est - truth) < 0.3, (degree, est, truth)

@@ -35,6 +35,24 @@ class TestKernelTerms:
         np.testing.assert_allclose(np.asarray(repulsion), rep, rtol=1e-4,
                                    atol=1e-6)
 
+    def test_bisection_median_matches_sort_median(self):
+        # The sort-free median (PERF.md: 36x faster SVGD at 4096
+        # particles on a v5e) must agree with jnp.median to the
+        # bandwidth-relevant precision on assorted distributions.
+        from zhusuan_tpu.variational.svgd import _median_bisect
+
+        for seed, gen in enumerate([
+            lambda k: jax.random.uniform(k, (5000,)),
+            lambda k: jax.random.gamma(k, 2.0, (5000,)),
+            lambda k: jax.random.exponential(k, (3, 700)) * 100.0,
+        ]):
+            x = gen(jax.random.PRNGKey(seed))
+            approx = float(_median_bisect(x))
+            exact = float(jnp.median(x))
+            scale = float(jnp.max(x))
+            assert abs(approx - exact) < 2e-4 * scale, (
+                seed, approx, exact)
+
     def test_median_bandwidth_positive(self):
         x = jnp.zeros((4, 2))  # all-equal particles: sqdist all zero
         _, _, h = rbf_kernel_terms(x, bandwidth="median")

@@ -74,6 +74,34 @@ def _flatten_particles(q: Latent):
     return mat, unflatten
 
 
+def _median_bisect(x, n_iters: int = 16):
+    """Median of a non-negative array by bisection on the empirical CDF.
+
+    ``jnp.median`` lowers to a full sort — measured 98x the cost of the
+    REST of the SVGD update at 4096 particles on a v5e (sorting the
+    [n, n] distance matrix is the worst possible TPU op). Bisection is
+    ``n_iters`` elementwise-compare+mean passes instead: each pass is one
+    streaming reduction, and 16 halvings pin the median to 2^-16 of the
+    range — far beyond what a bandwidth heuristic needs. (PERF.md "SVGD
+    median bandwidth".)
+    """
+    hi = jnp.max(x)
+
+    def body(_, lo_hi):
+        lo, hi = lo_hi
+        mid = 0.5 * (lo + hi)
+        below = jnp.mean((x <= mid).astype(x.dtype))
+        return (
+            jnp.where(below < 0.5, mid, lo),
+            jnp.where(below < 0.5, hi, mid),
+        )
+
+    lo, hi = jax.lax.fori_loop(
+        0, n_iters, body, (jnp.zeros((), x.dtype), hi)
+    )
+    return 0.5 * (lo + hi)
+
+
 def rbf_kernel_terms(x, bandwidth):
     """RBF kernel matrix and its summed input-gradient for SVGD.
 
@@ -92,7 +120,7 @@ def rbf_kernel_terms(x, bandwidth):
                 "bandwidth should be 'median' or a positive float, got "
                 "{!r}.".format(bandwidth)
             )
-        h = jnp.median(sqdist) / jnp.log(float(n) + 1.0)
+        h = _median_bisect(sqdist) / jnp.log(float(n) + 1.0)
         h = jnp.maximum(h, jnp.asarray(1e-8, x.dtype))
     else:
         h = jnp.asarray(bandwidth, x.dtype)

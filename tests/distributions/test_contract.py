@@ -51,6 +51,17 @@ def _cases():
          (3,), (), lambda d, s: jnp.ones(s, jnp.float32)),
         ("Laplace", lambda: zd.Laplace(_f(np.zeros((4,))), _f(1.0)),
          (4,), (), lambda d, s: jnp.zeros(s, jnp.float32)),
+        ("StudentT", lambda: zd.StudentT(_f(np.ones((3, 2)) * 4),
+                                         _f(0.0), _f(1.0)),
+         (3, 2), (), lambda d, s: jnp.zeros(s, jnp.float32)),
+        ("Exponential", lambda: zd.Exponential(_f(np.ones((4,)) * 2)),
+         (4,), (), lambda d, s: jnp.ones(s, jnp.float32)),
+        ("Cauchy", lambda: zd.Cauchy(_f(np.zeros((2, 3))), _f(1.0)),
+         (2, 3), (), lambda d, s: jnp.zeros(s, jnp.float32)),
+        ("HalfCauchy", lambda: zd.HalfCauchy(_f(np.ones((5,)))),
+         (5,), (), lambda d, s: jnp.ones(s, jnp.float32)),
+        ("LogNormal", lambda: zd.LogNormal(_f(np.zeros((4,))), _f(1.0)),
+         (4,), (), lambda d, s: jnp.ones(s, jnp.float32)),
         ("BinConcrete", lambda: zd.BinConcrete(_f(0.5), _f(np.zeros((4,)))),
          (4,), (), lambda d, s: 0.4 * jnp.ones(s, jnp.float32)),
         ("MVNCholesky",

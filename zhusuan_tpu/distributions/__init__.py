@@ -10,13 +10,15 @@ from zhusuan_tpu.distributions.univariate import *  # noqa: F401,F403
 from zhusuan_tpu.distributions.multivariate import *  # noqa: F401,F403
 from zhusuan_tpu.distributions.special import *  # noqa: F401,F403
 from zhusuan_tpu.distributions.flow import FlowDistribution  # noqa: F401
+from zhusuan_tpu.distributions.extra import *  # noqa: F401,F403
 from zhusuan_tpu.distributions import utils  # noqa: F401
 
 from zhusuan_tpu.distributions import univariate as _uni
 from zhusuan_tpu.distributions import multivariate as _multi
 from zhusuan_tpu.distributions import special as _special
+from zhusuan_tpu.distributions import extra as _extra
 
 __all__ = (
     ["Distribution", "FlowDistribution"]
-    + _uni.__all__ + _multi.__all__ + _special.__all__
+    + _uni.__all__ + _multi.__all__ + _special.__all__ + _extra.__all__
 )

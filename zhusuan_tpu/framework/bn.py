@@ -584,6 +584,77 @@ class BayesianNet(Context):
         )
         return self.stochastic(name, dist, n_samples=n_samples)
 
+    # -- beyond-reference heads (distributions/extra.py) ---------------- #
+    def student_t(
+        self, name, df, loc=0.0, scale=1.0, group_ndims=0, n_samples=None,
+        is_reparameterized=True, use_path_derivative=False,
+        check_numerics=False, **kwargs,
+    ):
+        """Add a StudentT node (beyond reference)."""
+        dist = distributions.StudentT(
+            df, loc, scale, group_ndims=group_ndims,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
+            check_numerics=check_numerics, **kwargs,
+        )
+        return self.stochastic(name, dist, n_samples=n_samples)
+
+    def exponential(
+        self, name, rate, group_ndims=0, n_samples=None,
+        is_reparameterized=True, use_path_derivative=False,
+        check_numerics=False, **kwargs,
+    ):
+        """Add an Exponential node (beyond reference)."""
+        dist = distributions.Exponential(
+            rate, group_ndims=group_ndims,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
+            check_numerics=check_numerics, **kwargs,
+        )
+        return self.stochastic(name, dist, n_samples=n_samples)
+
+    def cauchy(
+        self, name, loc, scale, group_ndims=0, n_samples=None,
+        is_reparameterized=True, use_path_derivative=False,
+        check_numerics=False, **kwargs,
+    ):
+        """Add a Cauchy node (beyond reference)."""
+        dist = distributions.Cauchy(
+            loc, scale, group_ndims=group_ndims,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
+            check_numerics=check_numerics, **kwargs,
+        )
+        return self.stochastic(name, dist, n_samples=n_samples)
+
+    def half_cauchy(
+        self, name, scale, group_ndims=0, n_samples=None,
+        is_reparameterized=True, use_path_derivative=False,
+        check_numerics=False, **kwargs,
+    ):
+        """Add a HalfCauchy node (beyond reference)."""
+        dist = distributions.HalfCauchy(
+            scale, group_ndims=group_ndims,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
+            check_numerics=check_numerics, **kwargs,
+        )
+        return self.stochastic(name, dist, n_samples=n_samples)
+
+    def log_normal(
+        self, name, mean=0.0, scale=1.0, group_ndims=0, n_samples=None,
+        is_reparameterized=True, use_path_derivative=False,
+        check_numerics=False, **kwargs,
+    ):
+        """Add a LogNormal node (beyond reference)."""
+        dist = distributions.LogNormal(
+            mean, scale, group_ndims=group_ndims,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
+            check_numerics=check_numerics, **kwargs,
+        )
+        return self.stochastic(name, dist, n_samples=n_samples)
+
     def bin_concrete(
         self, name, temperature, logits, group_ndims=0, n_samples=None,
         is_reparameterized=True, use_path_derivative=False,

@@ -2,7 +2,10 @@
 
 Parity with reference ``zhusuan/distributions/__init__.py``: 14 univariate +
 12 multivariate classes plus the special Empirical/Implicit pair, all exposed
-flat in this namespace.
+flat in this namespace. Beyond the reference: ``FlowDistribution``
+(flows as first-class densities), five extra univariate heads
+(StudentT/Exponential/Cauchy/HalfCauchy/LogNormal), and the
+``LKJCholesky`` correlation prior.
 """
 
 from zhusuan_tpu.distributions.base import Distribution

@@ -171,3 +171,16 @@ class TestBayesianNetSugar:
 
         val = log_joint({"sigma": jnp.float64(0.9)})
         assert np.isfinite(float(val))
+
+
+class TestDtypeContract:
+    def test_student_t_mixed_dtypes_rejected(self):
+        with pytest.raises(TypeError, match="same dtype"):
+            StudentT(jnp.asarray(4.0, jnp.float32),
+                     jnp.float64(0.0), jnp.float64(1.0))
+
+    def test_student_t_weak_scalars_share_df_dtype(self):
+        d = StudentT(jnp.float64(4.0), 0.0, 1.0)
+        x = d.sample(KEY, n_samples=3)
+        assert x.dtype == jnp.float64
+        assert d.log_prob(x).dtype == jnp.float64

@@ -140,3 +140,25 @@ class TestValidation:
     def test_bad_eta_shape(self):
         with pytest.raises(ValueError, match="scalar"):
             LKJCholesky(3, jnp.ones(2))
+
+
+class TestSupport:
+    def test_out_of_support_is_neg_inf(self):
+        dist = LKJCholesky(3, jnp.float64(1.0))
+        eye = jnp.eye(3, dtype=jnp.float64)
+        # Valid: identity IS a correlation Cholesky factor.
+        assert np.isfinite(float(dist.log_prob(eye)))
+        # Scaled identity: rows not unit norm.
+        assert float(dist.log_prob(2.0 * eye)) == -np.inf
+        # Non-zero upper triangle.
+        bad_u = eye.at[0, 2].set(0.5)
+        assert float(dist.log_prob(bad_u)) == -np.inf
+        # |L_21| > 1 (would be clipped silently before the fix).
+        bad_r = jnp.asarray(
+            [[1.0, 0.0, 0.0], [1.5, 0.1, 0.0], [0.0, 0.0, 1.0]],
+            jnp.float64,
+        )
+        assert float(dist.log_prob(bad_r)) == -np.inf
+        # Negative diagonal.
+        bad_d = eye.at[1, 1].set(-1.0)
+        assert float(dist.log_prob(bad_d)) == -np.inf

@@ -230,3 +230,23 @@ class TestRobustness:
         sampler = RandomWalkMetropolis(step_size=0.5)
         state = sampler.init({"z": jnp.zeros((8, 3))}, n_chain_dims=1)
         assert state.grad == {}
+
+    def test_chains_escape_zero_density_start(self):
+        # Regression: chains initialized OUTSIDE the support (current
+        # log-prob -inf) must accept the first in-support proposal
+        # (log_alpha = +inf), not freeze forever.
+        def log_joint(obs):
+            z = obs["z"]
+            inside = jnp.all(z > 0.0, axis=-1)
+            return jnp.where(inside, -0.5 * jnp.sum((z - 1) ** 2, -1),
+                             -jnp.inf)
+
+        sampler = RandomWalkMetropolis(step_size=0.8)
+        state = sampler.init({"z": jnp.full((64, 1), -0.5)},
+                             n_chain_dims=1)
+        state, out = jax.jit(
+            lambda s, k: sampler.run(log_joint, {}, s, k, n_iters=400)
+        )(state, jax.random.PRNGKey(8))
+        s = np.asarray(out["samples"]["z"][200:])
+        assert np.all(s > 0)          # escaped
+        assert np.std(s) > 0.1        # and actually mixing

@@ -239,3 +239,29 @@ class TestAdaptive:
         )
         with pytest.raises(ValueError, match="target_cess"):
             smc.run_adaptive(jax.random.PRNGKey(0), target_cess=1.5)
+
+    def test_max_steps_exhaustion_closes_bridge(self):
+        # Regression: when max_steps runs out before beta reaches 1, a
+        # forced closing jump must land the ladder exactly at 1 (the
+        # result describes the POSTERIOR, with honest extra variance) —
+        # not silently return a half-tempered target.
+        smc = AnnealedSMC(
+            _model(), _proposal(4000), MALA(step_size=0.5),
+            observed={"x": jnp.asarray(X_OBS)}, latent=["z"], n_moves=2,
+        )
+        res = jax.jit(
+            lambda k: smc.run_adaptive(k, target_cess=0.999, max_steps=3)
+        )(jax.random.PRNGKey(7))
+        n_steps = int(res.n_steps)
+        betas = np.asarray(res.betas)
+        assert abs(betas[n_steps - 1] - 1.0) < 1e-9
+        # This easy bridge stays accurate even through the forced jump.
+        assert abs(float(res.log_z) - TRUE_LOG_Z) < 0.1
+
+    def test_target_cess_one_rejected(self):
+        smc = AnnealedSMC(
+            _model(), _proposal(8), MALA(step_size=0.1),
+            observed={"x": jnp.asarray(X_OBS)}, latent=["z"],
+        )
+        with pytest.raises(ValueError, match="target_cess"):
+            smc.run_adaptive(jax.random.PRNGKey(0), target_cess=1.0)

@@ -190,3 +190,18 @@ class TestSVGDValidation:
         )(state)
         z = np.asarray(state.particles["z"])
         assert abs(z.mean()) < 0.15
+
+
+class TestMedianRobustness:
+    def test_bisection_median_survives_huge_outlier(self):
+        # Regression: absolute-tolerance bisection returned 7.6e6 for a
+        # true median of ~1.0 when one 1e12 entry stretched the range.
+        from zhusuan_tpu.variational.svgd import _median_bisect
+
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1000,),
+                               jnp.float64, 0.0, 2.0)
+        x = x.at[0].set(1e12)
+        approx = float(_median_bisect(x))
+        exact = float(jnp.median(x))
+        assert abs(approx - exact) < 1e-3 * max(exact, 1.0), (
+            approx, exact)

@@ -41,10 +41,14 @@ class _LocScaleContinuous(Distribution):
     _scale_name = "scale"
 
     def __init__(self, loc, scale, group_ndims=0, is_reparameterized=True,
-                 use_path_derivative=False, check_numerics=False, **kwargs):
-        dtype = assert_same_float_dtype(
-            [(loc, self._loc_name), (scale, self._scale_name)]
-        )
+                 use_path_derivative=False, check_numerics=False,
+                 dtype=None, **kwargs):
+        # Subclasses with extra parameters (StudentT's df) pass the JOINT
+        # dtype in; otherwise it derives from loc/scale alone.
+        if dtype is None:
+            dtype = assert_same_float_dtype(
+                [(loc, self._loc_name), (scale, self._scale_name)]
+            )
         self._loc = jnp.asarray(loc, dtype)
         self._scale = jnp.asarray(scale, dtype)
         self._check_numerics = check_numerics
@@ -89,13 +93,18 @@ class StudentT(_LocScaleContinuous):
     def __init__(self, df, loc=0.0, scale=1.0, group_ndims=0,
                  is_reparameterized=True, use_path_derivative=False,
                  check_numerics=False, **kwargs):
-        dtype = assert_same_float_dtype([(df, "df")])
+        # df participates in the SAME dtype contract as loc/scale: mixed
+        # parameter dtypes must raise (as in Normal), and sample/log_prob
+        # dtypes must agree.
+        dtype = assert_same_float_dtype(
+            [(df, "df"), (loc, "loc"), (scale, "scale")]
+        )
         self._df = jnp.asarray(df, dtype)
         super().__init__(
             loc, scale, group_ndims=group_ndims,
             is_reparameterized=is_reparameterized,
             use_path_derivative=use_path_derivative,
-            check_numerics=check_numerics, **kwargs,
+            check_numerics=check_numerics, dtype=dtype, **kwargs,
         )
 
     df = property(lambda self: self._df)

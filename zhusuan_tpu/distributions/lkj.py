@@ -120,6 +120,22 @@ class LKJCholesky(Distribution):
         L = L.at[:, d - 1, d - 1].set(w[:, d - 1])
         return L
 
+    def _support_mask(self, L):
+        """True where ``L`` is a valid correlation Cholesky factor:
+        lower-triangular, positive diagonal, unit row norms. Tolerances
+        sized for f32 round-trips."""
+        d = self._d
+        upper_zero = jnp.all(
+            jnp.abs(jnp.triu(L, k=1)) < 1e-5, axis=(-2, -1)
+        )
+        diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+        diag_pos = jnp.all(diag > 0, axis=-1)
+        row_norms = jnp.sum(L * L, axis=-1)
+        unit_rows = jnp.all(jnp.abs(row_norms - 1.0) < 1e-4, axis=-1)
+        return jnp.logical_and(
+            jnp.logical_and(upper_zero, diag_pos), unit_rows
+        )
+
     def _log_prob(self, given):
         d = self._d
         L = jnp.asarray(given, self.param_dtype)
@@ -149,4 +165,11 @@ class LKJCholesky(Distribution):
                 jnp.sqrt(jnp.maximum(w * w - L[..., :, j] ** 2, 0.0)),
                 w,
             )
-        return lp
+        # Out-of-support inputs (non-triangular, bad diagonal, non-unit
+        # rows — where the clip/tiny guards above would otherwise yield a
+        # plausible finite value) score -inf, matching the rest of the
+        # zoo's support semantics.
+        return jnp.where(
+            self._support_mask(L), lp,
+            jnp.asarray(-jnp.inf, self.param_dtype),
+        )

@@ -149,11 +149,16 @@ class _MetropolisBase:
         q_new, lp_new, g_new, log_alpha = self._propose(
             log_posterior, state, key_prop
         )
-        # Non-finite ANYWHERE in the ratio (diverged density, NaN score
-        # entering the Hastings terms) -> certain reject, so a single bad
-        # proposal can never poison the dual-averaged step size
-        # (reference hmc.py:479-498 semantics).
-        log_alpha = jnp.where(jnp.isfinite(log_alpha), log_alpha, -jnp.inf)
+        # Reject when the PROPOSAL is bad: non-finite proposal density, or
+        # NaN anywhere in the ratio (e.g. a NaN score entering the
+        # Hastings terms) — so one bad proposal can never poison the
+        # dual-averaged step size (reference hmc.py:479-498 semantics).
+        # log_alpha = +inf stays ACCEPT: that is a chain escaping a
+        # zero-density position (current lp = -inf), which must succeed.
+        bad = jnp.logical_or(
+            jnp.isnan(log_alpha), jnp.logical_not(jnp.isfinite(lp_new))
+        )
+        log_alpha = jnp.where(bad, -jnp.inf, log_alpha)
         accept_rate = jnp.minimum(1.0, jnp.exp(jnp.minimum(log_alpha, 0.0)))
         u = jax.random.uniform(key_mh, log_alpha.shape)
         accept = jnp.log(u) < log_alpha

@@ -156,14 +156,21 @@ class AnnealedSMC:
         return q0, lp_probe.shape[0], lp_probe.dtype
 
     def _bridge_step(self, q, log_w, log_z, n_resamples, key, beta_prev,
-                     beta, n, log_n, dtype):
+                     beta, n, log_n, dtype, lp0=None, lp1=None):
         """One reweight -> conditional-resample -> rejuvenate step shared
-        by the static-schedule and adaptive drivers."""
+        by the static-schedule and adaptive drivers.
+
+        ``lp0``/``lp1`` may carry precomputed prior/joint densities at
+        ``q`` (the adaptive driver already evaluated them to choose the
+        temperature — re-evaluating would double the dominant cost).
+        """
         k_res, k_moves = jax.random.split(key)
 
         # 1. Reweight: incremental weight for the bridge step.
-        lp0 = self._log_prior(q)
-        lp1 = self._log_joint({**q, **self._observed})
+        if lp0 is None:
+            lp0 = self._log_prior(q)
+        if lp1 is None:
+            lp1 = self._log_joint({**q, **self._observed})
         log_w_inc = (beta - beta_prev) * (lp1 - lp0)
         # Evidence update with the PREVIOUS normalized weights.
         log_w_norm = log_w - jax.scipy.special.logsumexp(log_w)
@@ -196,17 +203,18 @@ class AnnealedSMC:
             mh_state = self._kernel.init(q, n_chain_dims=1)
 
             def move(carry, kk):
-                st, _ = carry
+                st, acc_sum = carry
                 st2, info = self._kernel.sample(
                     log_f, {}, st, kk, adapt=False
                 )
-                return (st2, jnp.mean(info.acceptance_rate)), None
+                return (st2, acc_sum + jnp.mean(info.acceptance_rate)), None
 
-            (mh_state, acc), _ = jax.lax.scan(
+            (mh_state, acc_sum), _ = jax.lax.scan(
                 move,
                 (mh_state, acc),
                 jax.random.split(k_moves, self._n_moves),
             )
+            acc = acc_sum / self._n_moves  # MEAN over the n_moves
             q = mh_state.q
 
         return q, log_w, log_z, n_resamples, ess, acc
@@ -267,14 +275,21 @@ class AnnealedSMC:
         trip count, capped at ``max_steps``); the inner bisection is a
         fixed ``fori_loop`` of ``n_bisect`` halvings; the per-step
         ESS/acceptance/beta traces are written into preallocated
-        ``[max_steps]`` buffers (entries beyond ``n_steps`` are NaN).
+        ``[max_steps + 1]`` buffers (entries beyond ``n_steps`` are NaN).
+
+        The ladder ALWAYS terminates at ``beta = 1``: if ``max_steps``
+        runs out first, one forced closing jump bridges the remaining gap
+        (consistent estimator, higher variance on that increment) rather
+        than silently returning a half-tempered target.
 
         :return: :class:`SMCResult` with ``n_steps`` actual temperatures
             used and ``betas`` the realized ladder (NaN-padded).
         """
-        if not 0.0 < float(target_cess) <= 1.0:
-            raise ValueError("target_cess must be in (0, 1].")
-        key_init, key_loop, key_final = jax.random.split(key, 3)
+        if not 0.0 < float(target_cess) < 1.0:
+            # 1.0 exactly is unattainable: CESS(delta) < n for every
+            # delta > 0, so the ladder could never take a real step.
+            raise ValueError("target_cess must be in (0, 1).")
+        key_init, key_loop, key_last, key_final = jax.random.split(key, 4)
         q0, n, dtype = self._setup(key_init)
         log_n = jnp.log(jnp.asarray(float(n), dtype))
         log_target = jnp.log(
@@ -282,11 +297,15 @@ class AnnealedSMC:
         )
         one = jnp.asarray(1.0, dtype)
 
-        def choose_delta(q, log_w):
+        def densities(q):
+            return self._log_prior(q), self._log_joint(
+                {**q, **self._observed}
+            )
+
+        def choose_delta(lp0, lp1, log_w):
             """Largest delta in (0, 1-beta] with CESS >= target, by
             bisection on the monotone CESS(delta)."""
-            d = self._log_joint({**q, **self._observed}) \
-                - self._log_prior(q)
+            d = lp1 - lp0
             lw_n = log_w - jax.scipy.special.logsumexp(log_w)
 
             def log_cess(delta):
@@ -304,6 +323,9 @@ class AnnealedSMC:
             return log_cess, bisect
 
         nan = jnp.asarray(jnp.nan, dtype)
+        # Buffers hold max_steps adaptive entries + one slot for the
+        # forced closing jump to beta = 1 when max_steps is exhausted.
+        buf_len = max_steps + 1
 
         def cond(carry):
             (_, _, _, _, beta, i, _, _, _, _) = carry
@@ -313,7 +335,8 @@ class AnnealedSMC:
             (q, log_w, log_z, n_resamples, beta, i, k, ess_buf, acc_buf,
              beta_buf) = carry
             k, sub = jax.random.split(k)
-            log_cess, bisect = choose_delta(q, log_w)
+            lp0, lp1 = densities(q)
+            log_cess, bisect = choose_delta(lp0, lp1, log_w)
             hi0 = one - beta
             (lo, hi), _ = jax.lax.scan(
                 bisect, (jnp.zeros((), dtype), hi0), None, length=n_bisect
@@ -328,7 +351,7 @@ class AnnealedSMC:
 
             q, log_w, log_z, n_resamples, ess, acc = self._bridge_step(
                 q, log_w, log_z, n_resamples, sub, beta, new_beta, n,
-                log_n, dtype,
+                log_n, dtype, lp0=lp0, lp1=lp1,
             )
             ess_buf = ess_buf.at[i].set(ess)
             acc_buf = acc_buf.at[i].set(acc)
@@ -344,12 +367,38 @@ class AnnealedSMC:
             jnp.zeros((), dtype),
             jnp.zeros((), jnp.int32),
             key_loop,
-            jnp.full((max_steps,), nan),
-            jnp.full((max_steps,), nan),
-            jnp.full((max_steps,), nan),
+            jnp.full((buf_len,), nan),
+            jnp.full((buf_len,), nan),
+            jnp.full((buf_len,), nan),
         )
-        (q, log_w, log_z, n_resamples, _, n_steps, _, ess_buf, acc_buf,
+        (q, log_w, log_z, n_resamples, beta, n_steps, _, ess_buf, acc_buf,
          beta_buf) = jax.lax.while_loop(cond, body, init)
+
+        # If max_steps ran out before beta reached 1, CLOSE the bridge
+        # with one forced jump: the estimator stays consistent (just
+        # higher-variance on that last increment) instead of silently
+        # describing a half-tempered target.
+        def close(args):
+            q, log_w, log_z, n_resamples, n_steps, ess_buf, acc_buf, \
+                beta_buf = args
+            q, log_w, log_z, n_resamples, ess, acc = self._bridge_step(
+                q, log_w, log_z, n_resamples, key_last, beta, one, n,
+                log_n, dtype,
+            )
+            ess_buf = ess_buf.at[n_steps].set(ess)
+            acc_buf = acc_buf.at[n_steps].set(acc)
+            beta_buf = beta_buf.at[n_steps].set(one)
+            return (q, log_w, log_z, n_resamples, n_steps + 1, ess_buf,
+                    acc_buf, beta_buf)
+
+        (q, log_w, log_z, n_resamples, n_steps, ess_buf, acc_buf,
+         beta_buf) = jax.lax.cond(
+            beta < one,
+            close,
+            lambda args: args,
+            (q, log_w, log_z, n_resamples, n_steps, ess_buf, acc_buf,
+             beta_buf),
+        )
         idx = _systematic_resample(key_final, log_w)
         particles = jax.tree.map(lambda x: x[idx], q)
         return SMCResult(

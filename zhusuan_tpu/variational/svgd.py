@@ -74,30 +74,44 @@ def _flatten_particles(q: Latent):
     return mat, unflatten
 
 
-def _median_bisect(x, n_iters: int = 16):
+def _median_bisect(x, rel_tol: float = 1e-4, max_iters: int = 64):
     """Median of a non-negative array by bisection on the empirical CDF.
 
     ``jnp.median`` lowers to a full sort — measured 98x the cost of the
     REST of the SVGD update at 4096 particles on a v5e (sorting the
-    [n, n] distance matrix is the worst possible TPU op). Bisection is
-    ``n_iters`` elementwise-compare+mean passes instead: each pass is one
-    streaming reduction, and 16 halvings pin the median to 2^-16 of the
-    range — far beyond what a bandwidth heuristic needs. (PERF.md "SVGD
-    median bandwidth".)
-    """
-    hi = jnp.max(x)
+    [n, n] distance matrix is the worst possible TPU op). Bisection is a
+    handful of elementwise-compare+mean streaming passes instead.
 
-    def body(_, lo_hi):
-        lo, hi = lo_hi
+    Convergence is RELATIVE: the loop halves the bracket until
+    ``hi - lo <= rel_tol * mid`` (capped at ``max_iters``), so a single
+    huge outlier distance — which inflates the initial range by orders of
+    magnitude — costs a few extra halvings instead of corrupting the
+    result (an absolute 2^-16-of-range criterion returned 7.6e6 for a
+    true median of 1.0 with one 1e12 outlier). Typical exit: ~20 passes.
+    (PERF.md "SVGD median bandwidth".)
+    """
+    tiny = jnp.asarray(jnp.finfo(x.dtype).tiny, x.dtype)
+
+    def cond(carry):
+        i, lo, hi = carry
+        mid = jnp.maximum(0.5 * (lo + hi), tiny)
+        return jnp.logical_and(
+            i < max_iters, (hi - lo) > rel_tol * mid
+        )
+
+    def body(carry):
+        i, lo, hi = carry
         mid = 0.5 * (lo + hi)
         below = jnp.mean((x <= mid).astype(x.dtype))
         return (
+            i + 1,
             jnp.where(below < 0.5, mid, lo),
             jnp.where(below < 0.5, hi, mid),
         )
 
-    lo, hi = jax.lax.fori_loop(
-        0, n_iters, body, (jnp.zeros((), x.dtype), hi)
+    _, lo, hi = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), jnp.zeros((), x.dtype),
+                     jnp.max(x))
     )
     return 0.5 * (lo + hi)
 

@@ -2,7 +2,10 @@
 ESS of 10k iid normals >= 2000 (:22), ESS of a random-walk MH chain
 <= 1000 (:39)."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from zhusuan_tpu.diagnostics import (
     effective_sample_size,
@@ -59,3 +62,37 @@ def test_rhat_converged_vs_not():
     bad = rng.randn(1000, 8, 3) + np.arange(8)[None, :, None] * 3.0
     rhat_bad = potential_scale_reduction(bad)
     assert np.all(rhat_bad > 1.5)
+
+
+class TestSummary:
+    def test_summary_recovers_moments_and_flags_convergence(self):
+        import zhusuan_tpu as zs
+        from zhusuan_tpu.diagnostics import summary
+
+        def log_joint(obs):
+            z = obs["z"]
+            return jnp.sum(-0.5 * ((z - 1.0) / 2.0) ** 2, axis=-1)
+
+        hmc = zs.HMC(step_size=0.2, n_leapfrogs=8, adapt_step_size=True)
+        state = hmc.init({"z": jnp.zeros((8, 2))}, log_joint=log_joint)
+        state, out = jax.jit(
+            lambda s, k: hmc.run(log_joint, {}, s, k, 1500, n_adapt=700)
+        )(state, jax.random.PRNGKey(0))
+        stats, table = summary(
+            {"z": out["samples"]["z"][700:]}
+        )
+        assert stats["z"]["mean"].shape == (2,)
+        np.testing.assert_allclose(stats["z"]["mean"], 1.0, atol=0.15)
+        np.testing.assert_allclose(stats["z"]["sd"], 2.0, atol=0.25)
+        assert np.all(stats["z"]["r_hat"] < 1.05)
+        assert np.all(stats["z"]["ess"] > 100)
+        assert "z[0]" in table and "r_hat" in table
+
+    def test_summary_single_array_and_errors(self):
+        from zhusuan_tpu.diagnostics import summary
+
+        x = np.random.RandomState(0).randn(200, 4, 3)
+        stats, table = summary(x)
+        assert stats["x"]["mean"].shape == (3,)
+        with pytest.raises(ValueError, match="n_iters, n_chains"):
+            summary({"bad": np.zeros(10)})

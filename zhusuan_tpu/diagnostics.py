@@ -27,6 +27,7 @@ __all__ = [
     "ess_batch",
     "ess_batch_device",
     "potential_scale_reduction",
+    "summary",
 ]
 
 
@@ -181,3 +182,71 @@ def effective_sample_size(samples, burn_in: int = 100):
     if positive.size == 0:
         return np.inf
     return float(np.min(positive))
+
+
+def summary(samples, round_to: int = 3):
+    """Per-latent convergence/summary table over stacked MCMC output.
+
+    Beyond the reference (whose only diagnostic is ESS): the standard
+    post-sampling health check — posterior mean/sd, split-R-hat and ESS
+    for every latent in one call, over the ``(final_state, outputs)``
+    convention every sampler's ``run(collect=True)`` emits.
+
+    :param samples: dict ``{name: [n_iters, n_chains, ...]}`` (the
+        ``outputs["samples"]`` of ``HMC.run``/``MALA.run``/... after any
+        burn-in slicing), or a single such array.
+    :param round_to: decimals in the formatted table.
+    :return: ``(stats, table)`` — ``stats`` maps each latent name to a
+        dict with ``mean``/``sd``/``r_hat``/``ess`` arrays of the
+        latent's data shape; ``table`` is a printable string.
+    """
+    if not isinstance(samples, dict):
+        samples = {"x": samples}
+    stats = {}
+    for name, draws in samples.items():
+        x = np.asarray(draws, np.float64)
+        if x.ndim < 2:
+            raise ValueError(
+                "summary expects [n_iters, n_chains, ...] arrays; "
+                "{} has shape {}.".format(name, x.shape)
+            )
+        n, m = x.shape[:2]
+        data_shape = x.shape[2:]
+        flat = x.reshape(n, m, -1)
+        mean = flat.mean(axis=(0, 1))
+        sd = flat.std(axis=(0, 1))
+        r_hat = potential_scale_reduction(flat)
+        # ESS over pooled chains: per-chain ESS estimates summed (chains
+        # are independent given convergence; this is the reference
+        # estimator applied chain-wise, as in tests/test_mcmc.py).
+        ess = np.zeros(flat.shape[-1])
+        for c in range(m):
+            ess += ess_batch(flat[:, c, :])
+        stats[name] = {
+            "mean": mean.reshape(data_shape),
+            "sd": sd.reshape(data_shape),
+            "r_hat": np.asarray(r_hat).reshape(data_shape),
+            "ess": ess.reshape(data_shape),
+        }
+    header = "{:<18}{:>10}{:>10}{:>8}{:>10}".format(
+        "latent", "mean", "sd", "r_hat", "ess"
+    )
+    lines = [header, "-" * len(header)]
+    for name, s in stats.items():
+        flat_mean = np.ravel(s["mean"])
+        flat_sd = np.ravel(s["sd"])
+        flat_rh = np.ravel(s["r_hat"])
+        flat_ess = np.ravel(s["ess"])
+        for i in range(len(flat_mean)):
+            label = name if len(flat_mean) == 1 else "{}[{}]".format(
+                name, i)
+            lines.append(
+                "{:<18}{:>10}{:>10}{:>8}{:>10}".format(
+                    label,
+                    round(float(flat_mean[i]), round_to),
+                    round(float(flat_sd[i]), round_to),
+                    round(float(flat_rh[i]), round_to),
+                    int(flat_ess[i]),
+                )
+            )
+    return stats, "\n".join(lines)

@@ -664,3 +664,17 @@ class TestModelComparison:
         results = bf.main()
         for degree, (est, truth) in results.items():
             assert abs(est - truth) < 0.3, (degree, est, truth)
+
+
+class TestRobustModels:
+    def test_robust_regression_beats_ols(self):
+        # StudentT likelihood + HalfCauchy scale via bijectors: the
+        # posterior slope must be closer to the truth than OLS on the
+        # outlier-contaminated data.
+        from examples.robust_models import robust_regression
+
+        slope, ols = robust_regression.main(
+            n_chains=32, n_iters=1200, n_adapt=600
+        )
+        assert abs(slope - 2.0) < abs(ols - 2.0), (slope, ols)
+        assert abs(slope - 2.0) < 0.3

@@ -7,6 +7,7 @@ from zhusuan_tpu.framework.bn import BayesianNet, StochasticTensor
 from zhusuan_tpu.framework.meta_bn import MetaBayesianNet, meta_bayesian_net
 from zhusuan_tpu.framework.utils import Context, Local, reuse_variables
 from zhusuan_tpu.framework.arith import TensorArithmeticMixin
+from zhusuan_tpu.framework.predictive import posterior_predictive
 
 __all__ = [
     "BayesianNet",
@@ -17,4 +18,5 @@ __all__ = [
     "Local",
     "reuse_variables",
     "TensorArithmeticMixin",
+    "posterior_predictive",
 ]

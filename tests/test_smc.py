@@ -152,8 +152,8 @@ class TestMultiLatent:
 
 class TestValidation:
     def test_bad_kernel(self):
-        with pytest.raises(TypeError, match="RandomWalkMetropolis or MALA"):
-            AnnealedSMC(_model(), _proposal(8), zs.HMC(step_size=0.1),
+        with pytest.raises(TypeError, match="RandomWalkMetropolis, MALA"):
+            AnnealedSMC(_model(), _proposal(8), zs.SGLD(1e-3),
                         observed={}, latent=["z"])
 
     def test_bad_args(self):
@@ -265,3 +265,33 @@ class TestAdaptive:
         )
         with pytest.raises(ValueError, match="target_cess"):
             smc.run_adaptive(jax.random.PRNGKey(0), target_cess=1.0)
+
+
+class TestHMCKernel:
+    def test_hmc_rejuvenation_matches_truth(self):
+        # HMC as the rejuvenation kernel (gradient-based moves — the
+        # right choice in higher dimensions).
+        smc = AnnealedSMC(
+            _model(), _proposal(4000),
+            zs.HMC(step_size=0.3, n_leapfrogs=5),
+            observed={"x": jnp.asarray(X_OBS)}, latent=["z"],
+            n_temperatures=50, n_moves=2,
+        )
+        res = jax.jit(smc.run)(jax.random.PRNGKey(4))
+        assert abs(float(res.log_z) - TRUE_LOG_Z) < 0.03, (
+            float(res.log_z), TRUE_LOG_Z)
+        z = np.asarray(res.particles["z"])
+        assert abs(z.mean() - POST_MEAN) < 0.05
+        assert abs(z.std() - POST_STD) < 0.05
+        assert float(res.acceptance_rate[-1]) > 0.5  # HMC moves well
+
+    def test_hmc_kernel_adaptive_ladder(self):
+        smc = AnnealedSMC(
+            _model(), _proposal(2000),
+            zs.HMC(step_size=0.3, n_leapfrogs=5),
+            observed={"x": jnp.asarray(X_OBS)}, latent=["z"], n_moves=2,
+        )
+        res = jax.jit(
+            lambda k: smc.run_adaptive(k, target_cess=0.9)
+        )(jax.random.PRNGKey(5))
+        assert abs(float(res.log_z) - TRUE_LOG_Z) < 0.05

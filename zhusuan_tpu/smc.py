@@ -15,9 +15,9 @@ reweight (elementwise + logsumexp) -> conditional systematic resampling
 (cumsum + searchsorted gather, under ``lax.cond`` so the no-resample path
 costs nothing) -> ``n_moves`` Metropolis rejuvenation steps; the whole
 annealing run is a single ``lax.scan`` program. The rejuvenation kernel is
-any :mod:`zhusuan_tpu.mcmc.rwm` sampler instance (RWM for
-non-differentiable targets, MALA otherwise) with adaptation off — the
-per-temperature invariance SMC requires.
+any RWM (non-differentiable targets), MALA, or HMC (higher dimensions)
+instance with adaptation off — the per-temperature invariance SMC
+requires.
 """
 
 from __future__ import annotations
@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from zhusuan_tpu.framework.meta_bn import MetaBayesianNet
 from zhusuan_tpu.mcmc.base import make_log_joint_fn
+from zhusuan_tpu.mcmc.hmc import HMC
 from zhusuan_tpu.mcmc.rwm import _MetropolisBase
 
 __all__ = ["AnnealedSMC", "SMCResult"]
@@ -76,9 +77,10 @@ class AnnealedSMC:
 
     :param meta_bn: target model (MetaBayesianNet or log-joint callable).
     :param proposal_meta_bn: proposal/prior MetaBayesianNet.
-    :param kernel: a :class:`~zhusuan_tpu.mcmc.RandomWalkMetropolis` or
-        :class:`~zhusuan_tpu.mcmc.MALA` instance used for rejuvenation
-        (its ``adapt_step_size`` is ignored — adaptation stays off).
+    :param kernel: a :class:`~zhusuan_tpu.mcmc.RandomWalkMetropolis`,
+        :class:`~zhusuan_tpu.mcmc.MALA` or :class:`~zhusuan_tpu.mcmc.HMC`
+        instance used for rejuvenation (its adaptation settings are
+        ignored — adaptation stays off inside the bridge).
     :param observed: observation dict for the target model.
     :param latent: latent names (list) or dict of names.
     :param n_temperatures: annealing steps (sigmoid schedule, the AIS
@@ -101,10 +103,10 @@ class AnnealedSMC:
         self._log_joint = make_log_joint_fn(meta_bn, {})
         self._proposal = proposal_meta_bn
         self._log_prior = make_log_joint_fn(proposal_meta_bn, {})
-        if not isinstance(kernel, _MetropolisBase):
+        if not isinstance(kernel, (_MetropolisBase, HMC)):
             raise TypeError(
-                "kernel must be a RandomWalkMetropolis or MALA instance, "
-                "got {!r}.".format(type(kernel))
+                "kernel must be a RandomWalkMetropolis, MALA or HMC "
+                "instance, got {!r}.".format(type(kernel))
             )
         self._kernel = kernel
         self._observed = dict(observed)
@@ -196,17 +198,25 @@ class AnnealedSMC:
             (q, log_w, n_resamples),
         )
 
-        # 3. Rejuvenate with MH moves targeting f_beta.
+        # 3. Rejuvenate with MCMC moves targeting f_beta (adaptation off —
+        # the per-temperature invariance SMC requires).
         log_f = self._tempered(beta)
         acc = jnp.zeros((), dtype)
         if self._n_moves:
             mh_state = self._kernel.init(q, n_chain_dims=1)
+            is_hmc = isinstance(self._kernel, HMC)
 
             def move(carry, kk):
                 st, acc_sum = carry
-                st2, info = self._kernel.sample(
-                    log_f, {}, st, kk, adapt=False
-                )
+                if is_hmc:
+                    st2, info = self._kernel.sample(
+                        log_f, {}, st, kk,
+                        adapt_step_size=False, adapt_mass=False,
+                    )
+                else:
+                    st2, info = self._kernel.sample(
+                        log_f, {}, st, kk, adapt=False
+                    )
                 return (st2, acc_sum + jnp.mean(info.acceptance_rate)), None
 
             (mh_state, acc_sum), _ = jax.lax.scan(

@@ -678,3 +678,32 @@ class TestRobustModels:
         )
         assert abs(slope - 2.0) < abs(ols - 2.0), (slope, ols)
         assert abs(slope - 2.0) < 0.3
+
+
+class TestHierarchical:
+    def test_eight_schools_matches_quadrature(self):
+        # The (mu, tau) marginal posterior is exactly computable by 2-D
+        # quadrature after integrating theta out analytically — HMC on
+        # the full non-centered model must reproduce it.
+        from examples.hierarchical import eight_schools as es
+
+        stats, theta = es.main(n_chains=32, n_iters=2500, n_adapt=1200,
+                               verbose=False)
+        mus = np.linspace(-20, 35, 400)
+        taus = np.linspace(0.01, 40, 800)
+        M, T = np.meshgrid(mus, taus, indexing="ij")
+        lp = -0.5 * (M / 100.0) ** 2 + np.log(1 / (1 + (T / 5.0) ** 2))
+        for y, s in zip(es.Y, es.SIGMA):
+            v = s**2 + T**2
+            lp += -0.5 * np.log(v) - 0.5 * (y - M) ** 2 / v
+        w = np.exp(lp - lp.max())
+        w /= w.sum()
+        mu_q, tau_q = float((M * w).sum()), float((T * w).sum())
+
+        assert abs(float(stats["mu"]["mean"]) - mu_q) < 0.3
+        assert abs(float(stats["tau"]["mean"]) - tau_q) < 0.4
+        assert np.all(stats["mu"]["r_hat"] < 1.05)
+        # Partial pooling: every posterior effect lies between its raw
+        # estimate and the population mean (shrinkage).
+        post = theta.reshape(-1, 8).mean(0)
+        assert np.all(np.abs(post - mu_q) <= np.abs(es.Y - mu_q) + 0.5)

@@ -15,11 +15,17 @@ from zhusuan_tpu.variational.monte_carlo import (
 )
 from zhusuan_tpu.variational.inclusive_kl import InclusiveKLObjective, klpq
 from zhusuan_tpu.variational.svgd import SVGD, SVGDInfo, SVGDState
+from zhusuan_tpu.variational.laplace import (
+    LaplaceResult,
+    laplace_approximation,
+)
 
 __all__ = [
     "SVGD",
     "SVGDState",
     "SVGDInfo",
+    "laplace_approximation",
+    "LaplaceResult",
     "VariationalObjective",
     "EvidenceLowerBoundObjective",
     "elbo",

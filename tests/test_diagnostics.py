@@ -96,3 +96,20 @@ class TestSummary:
         assert stats["x"]["mean"].shape == (3,)
         with pytest.raises(ValueError, match="n_iters, n_chains"):
             summary({"bad": np.zeros(10)})
+
+
+def test_summary_frozen_chains_do_not_inflate_ess():
+    # Regression: a zero-variance (never-accepting) chain used to be
+    # credited with ESS == n; it must contribute 0 so dead chains SHRINK
+    # the reported ESS.
+    from zhusuan_tpu.diagnostics import summary
+
+    rng = np.random.RandomState(0)
+    live = rng.randn(500, 4, 1)
+    frozen = np.ones((500, 4, 1)) * 2.5
+    x = np.concatenate([live, frozen], axis=1)  # 4 live + 4 frozen
+    stats, _ = summary({"z": x})
+    ess_mixed = float(stats["z"]["ess"][0])
+    stats_live, _ = summary({"z": live})
+    ess_live = float(stats_live["z"]["ess"][0])
+    assert ess_mixed <= ess_live * 1.05, (ess_mixed, ess_live)

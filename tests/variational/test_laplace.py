@@ -146,3 +146,35 @@ class TestValidation:
 
         with pytest.raises(ValueError, match="UNBATCHED"):
             laplace_approximation(log_joint, {}, {"z": jnp.zeros((4, 2))})
+
+
+class TestRobustness:
+    def test_plain_optimizer_supported(self):
+        # Regression: optimizer=optax.adam crashed (value_and_grad_from_
+        # state requires linesearch-carrying optimizer state).
+        import optax
+
+        def log_joint(obs):
+            return -0.5 * jnp.sum((obs["z"] - 2.0) ** 2)
+
+        res = laplace_approximation(
+            log_joint, {}, {"z": jnp.zeros(3, jnp.float64)},
+            n_iters=2000, optimizer=optax.adam(0.05),
+        )
+        np.testing.assert_allclose(np.asarray(res.mode["z"]), 2.0,
+                                   atol=1e-3)
+        assert bool(res.pd_hessian)
+
+    def test_non_pd_hessian_flagged(self):
+        # A maximizer-free direction: the "posterior" is log-CONVEX in z,
+        # so the optimizer walks away and/or curvature is negative —
+        # pd_hessian must be False and log_evidence NaN, not a silent
+        # plausible number.
+        def log_joint(obs):
+            return 0.5 * jnp.sum(obs["z"] ** 2)  # wrong-sign quadratic
+
+        res = laplace_approximation(
+            log_joint, {}, {"z": jnp.ones(2, jnp.float64)}, n_iters=5
+        )
+        assert not bool(res.pd_hessian)
+        assert np.isnan(float(res.log_evidence))

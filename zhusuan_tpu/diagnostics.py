@@ -218,10 +218,18 @@ def summary(samples, round_to: int = 3):
         r_hat = potential_scale_reduction(flat)
         # ESS over pooled chains: per-chain ESS estimates summed (chains
         # are independent given convergence; this is the reference
-        # estimator applied chain-wise, as in tests/test_mcmc.py).
-        ess = np.zeros(flat.shape[-1])
-        for c in range(m):
-            ess += ess_batch(flat[:, c, :])
+        # estimator applied chain-wise, as in tests/test_mcmc.py) — in
+        # ONE batched FFT pass over all chains x dims, not a Python loop.
+        per_chain = ess_batch(
+            flat.reshape(n, -1)
+        ).reshape(m, flat.shape[-1])
+        # A frozen chain (zero variance — e.g. permanent rejection) has
+        # no information; the estimator's degenerate-autocovariance path
+        # would credit it with full n. Zero it instead so dead chains
+        # SHRINK the reported ESS rather than inflating it.
+        chain_var = flat.var(axis=0)  # [m, K]
+        per_chain = np.where(chain_var > 1e-300, per_chain, 0.0)
+        ess = per_chain.sum(axis=0)
         stats[name] = {
             "mean": mean.reshape(data_shape),
             "sd": sd.reshape(data_shape),

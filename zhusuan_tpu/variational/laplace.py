@@ -23,7 +23,7 @@ where Laplace makes sense).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -42,26 +42,10 @@ class LaplaceResult(NamedTuple):
     chol_precision: jnp.ndarray  # [D, D] lower Cholesky of the Hessian H
     grad_norm: jnp.ndarray  # ||grad|| at the returned mode (convergence)
     log_post_mode: jnp.ndarray  # log joint at the mode
-
-
-def _flatten(init: Dict):
-    names = sorted(init.keys())
-    shapes = {k: jnp.shape(init[k]) for k in names}
-    sizes = {k: int(np.prod(shapes[k], dtype=np.int64)) for k in names}
-
-    def flatten(d):
-        return jnp.concatenate(
-            [jnp.ravel(jnp.asarray(d[k])) for k in names]
-        )
-
-    def unflatten(x):
-        out, off = {}, 0
-        for k in names:
-            out[k] = x[off:off + sizes[k]].reshape(shapes[k])
-            off += sizes[k]
-        return out
-
-    return flatten, unflatten
+    pd_hessian: jnp.ndarray  # bool: Hessian was positive-definite at the
+    #   returned point. False -> the optimizer stopped at a saddle/flat/
+    #   non-log-concave region and log_evidence/chol_precision are NaN —
+    #   check this (or grad_norm) before trusting the result.
 
 
 def laplace_approximation(
@@ -87,11 +71,12 @@ def laplace_approximation(
         ``MultivariateNormalCholesky`` over the flattened coordinates.
     """
     import optax
+    from jax.flatten_util import ravel_pytree
 
     log_posterior = make_log_joint_fn(meta_bn, observed)
-    flatten, unflatten = _flatten(init)
-    x0 = flatten(init)
-    probe = jnp.shape(log_posterior(init))
+    init = {k: jnp.asarray(v) for k, v in init.items()}
+    x0, unflatten = ravel_pytree(init)
+    probe = jax.eval_shape(log_posterior, init).shape
     if probe != ():
         raise ValueError(
             "laplace_approximation needs an UNBATCHED latent (scalar "
@@ -104,30 +89,48 @@ def laplace_approximation(
 
     if optimizer is None:
         optimizer = optax.lbfgs()
-    value_and_grad = optax.value_and_grad_from_state(neg)
+    opt_state0 = optimizer.init(x0)
+    # L-BFGS-style optimizers carry (value, grad) in their state and take
+    # linesearch kwargs; plain transformations (adam, sgd, ...) do not.
+    from optax import tree_utils as otu
 
-    def step(carry, _):
-        x, opt_state = carry
-        value, grad = value_and_grad(x, state=opt_state)
-        updates, opt_state = optimizer.update(
-            grad, opt_state, x, value=value, grad=grad, value_fn=neg
-        )
-        return (optax.apply_updates(x, updates), opt_state), None
+    linesearch_style = otu.tree_get(opt_state0, "value") is not None
+
+    if linesearch_style:
+        value_and_grad = optax.value_and_grad_from_state(neg)
+
+        def step(carry, _):
+            x, opt_state = carry
+            value, grad = value_and_grad(x, state=opt_state)
+            updates, opt_state = optimizer.update(
+                grad, opt_state, x, value=value, grad=grad, value_fn=neg
+            )
+            return (optax.apply_updates(x, updates), opt_state), None
+    else:
+        def step(carry, _):
+            x, opt_state = carry
+            grad = jax.grad(neg)(x)
+            updates, opt_state = optimizer.update(grad, opt_state, x)
+            return (optax.apply_updates(x, updates), opt_state), None
 
     (x_map, _), _ = jax.lax.scan(
-        step, (x0, optimizer.init(x0)), None, length=n_iters
+        step, (x0, opt_state0), None, length=n_iters
     )
 
     grad_norm = jnp.linalg.norm(jax.grad(neg)(x_map))
     hess = jax.hessian(neg)(x_map)
     chol = jnp.linalg.cholesky(hess)
+    # Non-positive-definite curvature (saddle / flat / non-log-concave
+    # point) yields NaNs from cholesky — surface it as an explicit flag
+    # rather than a silently-NaN result.
+    pd = jnp.all(jnp.isfinite(chol))
     d = x_map.shape[0]
     half_log_det = jnp.sum(jnp.log(jnp.diagonal(chol)))
     lp_mode = -neg(x_map)
-    log_z = (
-        lp_mode
-        + 0.5 * d * float(np.log(2.0 * np.pi))
-        - half_log_det
+    log_z = jnp.where(
+        pd,
+        lp_mode + 0.5 * d * float(np.log(2.0 * np.pi)) - half_log_det,
+        jnp.asarray(jnp.nan, x_map.dtype),
     )
     return LaplaceResult(
         mode=unflatten(x_map),
@@ -135,4 +138,5 @@ def laplace_approximation(
         chol_precision=chol,
         grad_norm=grad_norm,
         log_post_mode=lp_mode,
+        pd_hessian=pd,
     )

@@ -113,3 +113,69 @@ def test_summary_frozen_chains_do_not_inflate_ess():
     stats_live, _ = summary({"z": live})
     ess_live = float(stats_live["z"]["ess"][0])
     assert ess_mixed <= ess_live * 1.05, (ess_mixed, ess_live)
+
+
+class TestKSD:
+    def _direct_ksd(self, x, score_fn, c=1.0, beta=-0.5):
+        # Naive reference: autodiff the IMQ kernel per pair.
+        import jax
+
+        x = jnp.asarray(x, jnp.float64)
+        n, d = x.shape
+        s = np.asarray(score_fn(x))
+        xd = np.asarray(x)
+
+        def k(a, b):
+            return (c**2 + jnp.sum((a - b) ** 2)) ** beta
+
+        gx = jax.grad(k, argnums=0)
+        gy = jax.grad(k, argnums=1)
+        trace_xy = lambda a, b: jnp.trace(jax.jacfwd(gy, argnums=0)(a, b))
+        total = 0.0
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    continue
+                a, b = x[i], x[j]
+                total += (
+                    float(k(a, b)) * float(s[i] @ s[j])
+                    + float(s[i] @ np.asarray(gy(a, b)))
+                    + float(s[j] @ np.asarray(gx(a, b)))
+                    + float(trace_xy(a, b))
+                )
+        return total / (n * (n - 1))
+
+    def test_matches_direct_computation(self):
+        from zhusuan_tpu.diagnostics import kernel_stein_discrepancy
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(12, 3))
+        score = lambda z: -z  # N(0, I)
+        fast = float(kernel_stein_discrepancy(x, score))
+        slow = self._direct_ksd(x, score)
+        np.testing.assert_allclose(fast, slow, rtol=1e-8)
+
+    def test_detects_bias(self):
+        from zhusuan_tpu.diagnostics import kernel_stein_discrepancy
+
+        rng = np.random.RandomState(1)
+        base = rng.randn(500, 4)
+        score = lambda z: -z  # target N(0, I)
+        good = float(kernel_stein_discrepancy(jnp.asarray(base), score))
+        shifted = float(kernel_stein_discrepancy(
+            jnp.asarray(base + 0.5), score))
+        very = float(kernel_stein_discrepancy(
+            jnp.asarray(base + 1.5), score))
+        assert good < shifted < very, (good, shifted, very)
+        # Wrong scale is detected too.
+        wide = float(kernel_stein_discrepancy(
+            jnp.asarray(base * 2.0), score))
+        assert good < wide
+
+    def test_validation(self):
+        from zhusuan_tpu.diagnostics import kernel_stein_discrepancy
+
+        with pytest.raises(ValueError, match="n, d"):
+            kernel_stein_discrepancy(jnp.zeros(5), lambda z: -z)
+        with pytest.raises(ValueError, match="at least 2"):
+            kernel_stein_discrepancy(jnp.zeros((1, 3)), lambda z: -z)

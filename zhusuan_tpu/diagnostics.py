@@ -28,6 +28,7 @@ __all__ = [
     "ess_batch_device",
     "potential_scale_reduction",
     "summary",
+    "kernel_stein_discrepancy",
 ]
 
 
@@ -258,3 +259,58 @@ def summary(samples, round_to: int = 3):
                 )
             )
     return stats, "\n".join(lines)
+
+
+def kernel_stein_discrepancy(samples, score_fn, c: float = 1.0,
+                             beta: float = -0.5):
+    """Kernelized Stein discrepancy (U-statistic) with the IMQ kernel.
+
+    Beyond the reference: a gradient-based sample-quality measure
+    (Gorham & Mackey 2017) — zero iff the sample matches the target
+    whose score is ``score_fn``, WITHOUT needing the normalizing
+    constant. Detects bias that ESS/R-hat cannot (they only measure
+    mixing, not correctness). The IMQ kernel ``(c^2 + ||x-y||^2)^beta``
+    with ``beta in (-1, 0)`` is the standard choice with convergence
+    control.
+
+    TPU notes: everything reduces to ``[n, n]`` Gram-style matmuls and
+    elementwise ops — no ``[n, n, d]`` intermediates — so it runs at MXU
+    speed and jits cleanly.
+
+    :param samples: ``[n, d]`` array of draws.
+    :param score_fn: ``x [n, d] -> grad log p(x) [n, d]`` (vectorized).
+    :param c, beta: IMQ kernel parameters.
+    :return: scalar KSD^2 estimate (can be slightly negative due to the
+        unbiased U-statistic; compare magnitudes, not signs).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(samples)
+    if x.ndim != 2:
+        raise ValueError(
+            "samples must be [n, d]; got shape {}.".format(x.shape)
+        )
+    n, d = x.shape
+    if n < 2:
+        raise ValueError("KSD needs at least 2 samples.")
+    s = score_fn(x)  # [n, d]
+
+    x2 = jnp.sum(x * x, axis=1)
+    r2 = jnp.maximum(x2[:, None] + x2[None, :] - 2.0 * (x @ x.T), 0.0)
+    u = c * c + r2
+    k = u**beta
+    g = 2.0 * beta * u ** (beta - 1.0)  # grad coefficient
+
+    ss = s @ s.T  # s(x_i) . s(x_j)
+    sx = jnp.sum(s * x, axis=1)  # s(x_i) . x_i
+    # s(x_i) . (x_i - x_j) and s(x_j) . (x_i - x_j) via matmuls.
+    s_i_diff = sx[:, None] - s @ x.T
+    s_j_diff = (x @ s.T) - sx[None, :]
+
+    trace_term = -(4.0 * beta * (beta - 1.0) * u ** (beta - 2.0) * r2
+                   + g * d)
+    u_p = k * ss - g * s_i_diff + g * s_j_diff + trace_term
+    # U-statistic: drop the diagonal.
+    total = jnp.sum(u_p) - jnp.sum(jnp.diagonal(u_p))
+    return total / (n * (n - 1))

@@ -179,3 +179,50 @@ class TestKSD:
             kernel_stein_discrepancy(jnp.zeros(5), lambda z: -z)
         with pytest.raises(ValueError, match="at least 2"):
             kernel_stein_discrepancy(jnp.zeros((1, 3)), lambda z: -z)
+
+
+class TestRankNormalizedRhat:
+    def test_variance_only_divergence_detected(self):
+        # Two chain groups share the MEAN but differ 3x in SCALE: the
+        # plain statistic is blind to this (B measures mean differences);
+        # the folded rank-normalized variant must flag it.
+        from zhusuan_tpu.diagnostics import potential_scale_reduction
+
+        rng = np.random.RandomState(0)
+        narrow = rng.randn(1000, 2, 1)
+        wide = rng.randn(1000, 2, 1) * 3.0
+        x = np.concatenate([narrow, wide], axis=1)
+        plain = float(potential_scale_reduction(x)[0])
+        ranked = float(
+            potential_scale_reduction(x, rank_normalized=True)[0]
+        )
+        assert plain < 1.05, plain          # plain misses it
+        assert ranked > 1.1, ranked         # folded-rank catches it
+
+    def test_converged_chains_near_one(self):
+        from zhusuan_tpu.diagnostics import potential_scale_reduction
+
+        rng = np.random.RandomState(1)
+        x = rng.randn(1000, 8, 3)
+        r = potential_scale_reduction(x, rank_normalized=True)
+        assert np.all(r < 1.01), r
+
+    def test_heavy_tailed_stability(self):
+        # Cauchy chains: plain R-hat is dominated by single extreme
+        # draws; the rank version stays near 1 for identical chains.
+        from zhusuan_tpu.diagnostics import potential_scale_reduction
+
+        rng = np.random.RandomState(2)
+        x = rng.standard_cauchy((2000, 8, 1))
+        r = float(potential_scale_reduction(x, rank_normalized=True)[0])
+        assert r < 1.02, r
+
+    def test_mean_divergence_still_detected(self):
+        from zhusuan_tpu.diagnostics import potential_scale_reduction
+
+        rng = np.random.RandomState(3)
+        a = rng.randn(500, 2, 1)
+        b = rng.randn(500, 2, 1) + 2.0
+        x = np.concatenate([a, b], axis=1)
+        r = float(potential_scale_reduction(x, rank_normalized=True)[0])
+        assert r > 1.2, r

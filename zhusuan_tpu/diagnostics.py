@@ -32,9 +32,30 @@ __all__ = [
 ]
 
 
-def potential_scale_reduction(samples):
-    """Split-R-hat (Gelman-Rubin potential scale reduction, rank-plain
-    variant) per dimension.
+def _rank_normalize(x):
+    """Fractional ranks -> normal scores over the pooled draws
+    (Vehtari et al. 2021, Eq. 14: Blom offsets, then the normal PPF)."""
+    from scipy.special import ndtri
+
+    flat = x.reshape(-1, *x.shape[2:])
+    order = np.argsort(flat, axis=0)
+    ranks = np.empty_like(order)
+    np.put_along_axis(
+        ranks, order,
+        np.broadcast_to(
+            np.arange(flat.shape[0]).reshape(
+                (-1,) + (1,) * (flat.ndim - 1)
+            ),
+            flat.shape,
+        ).copy(),
+        axis=0,
+    )
+    z = ndtri((ranks + 1 - 0.375) / (flat.shape[0] + 0.25))
+    return z.reshape(x.shape)
+
+
+def potential_scale_reduction(samples, rank_normalized: bool = False):
+    """Split-R-hat (Gelman-Rubin potential scale reduction) per dimension.
 
     Not present in the reference (its only diagnostic is ESS); added
     because multi-chain sampling is this library's flagship axis and R-hat
@@ -43,8 +64,21 @@ def potential_scale_reduction(samples):
 
     :param samples: ``[n_iters, n_chains, ...]`` array (each chain's
         draws along axis 0).
+    :param rank_normalized: compute the modern rank-normalized R-hat
+        (Vehtari et al. 2021): the max of the BULK statistic
+        (rank-normal scores — robust to heavy tails) and the FOLDED
+        statistic (scores of ``|x - median|`` — catches chains that agree
+        in location but differ in SCALE, which the plain statistic
+        misses entirely).
     :return: numpy array of shape ``samples.shape[2:]``.
     """
+    if rank_normalized:
+        x = np.asarray(samples, np.float64)
+        bulk = potential_scale_reduction(_rank_normalize(x))
+        folded = potential_scale_reduction(
+            _rank_normalize(np.abs(x - np.median(x, axis=(0, 1))))
+        )
+        return np.maximum(bulk, folded)
     x = np.asarray(samples, np.float64)
     n, m = x.shape[:2]
     # Split each chain in half (guards against trending chains).

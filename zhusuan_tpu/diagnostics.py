@@ -219,7 +219,7 @@ def effective_sample_size(samples, burn_in: int = 100):
     return float(np.min(positive))
 
 
-def summary(samples, round_to: int = 3):
+def summary(samples, round_to: int = 3, rank_normalized: bool = False):
     """Per-latent convergence/summary table over stacked MCMC output.
 
     Beyond the reference (whose only diagnostic is ESS): the standard
@@ -250,7 +250,9 @@ def summary(samples, round_to: int = 3):
         flat = x.reshape(n, m, -1)
         mean = flat.mean(axis=(0, 1))
         sd = flat.std(axis=(0, 1))
-        r_hat = potential_scale_reduction(flat)
+        r_hat = potential_scale_reduction(
+            flat, rank_normalized=rank_normalized
+        )
         # ESS over pooled chains: per-chain ESS estimates summed (chains
         # are independent given convergence; this is the reference
         # estimator applied chain-wise, as in tests/test_mcmc.py) — in

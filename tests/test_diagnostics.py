@@ -123,7 +123,6 @@ class TestKSD:
         x = jnp.asarray(x, jnp.float64)
         n, d = x.shape
         s = np.asarray(score_fn(x))
-        xd = np.asarray(x)
 
         def k(a, b):
             return (c**2 + jnp.sum((a - b) ** 2)) ** beta
@@ -226,3 +225,20 @@ class TestRankNormalizedRhat:
         x = np.concatenate([a, b], axis=1)
         r = float(potential_scale_reduction(x, rank_normalized=True)[0])
         assert r > 1.2, r
+
+    def test_constant_and_tied_chains_stable(self):
+        # Regression: ordinal tie-breaking fabricated R-hat ~1.5 on
+        # constant latents; average ranks give identical scores for ties
+        # so the statistic degrades to nan (like the plain variant), not
+        # a false divergence flag.
+        from zhusuan_tpu.diagnostics import potential_scale_reduction
+
+        const = np.ones((1000, 4, 1))
+        r = potential_scale_reduction(const, rank_normalized=True)
+        assert not (r[0] > 1.05), r  # nan or ~1, never a false flag
+        # Discrete draws with heavy ties: identical chains stay near 1.
+        rng = np.random.RandomState(0)
+        disc = rng.poisson(3.0, size=(1000, 8, 1)).astype(float)
+        r2 = float(potential_scale_reduction(
+            disc, rank_normalized=True)[0])
+        assert r2 < 1.02, r2

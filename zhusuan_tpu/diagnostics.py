@@ -33,24 +33,28 @@ __all__ = [
 
 
 def _rank_normalize(x):
-    """Fractional ranks -> normal scores over the pooled draws
-    (Vehtari et al. 2021, Eq. 14: Blom offsets, then the normal PPF)."""
-    from scipy.special import ndtri
+    """AVERAGE fractional ranks -> normal scores over the pooled draws
+    (Vehtari et al. 2021, Eq. 14: Blom offsets, then the normal PPF).
 
-    flat = x.reshape(-1, *x.shape[2:])
-    order = np.argsort(flat, axis=0)
-    ranks = np.empty_like(order)
-    np.put_along_axis(
-        ranks, order,
-        np.broadcast_to(
-            np.arange(flat.shape[0]).reshape(
-                (-1,) + (1,) * (flat.ndim - 1)
-            ),
-            flat.shape,
-        ).copy(),
-        axis=0,
+    Average ranks (ties share one rank) matter: ordinal argsort ranks
+    give tied values sort-order-dependent distinct scores, which
+    fabricates R-hat ~1.5 on constant/discrete latents. The PPF comes
+    from ``jax.scipy.special.ndtri`` — no scipy dependency at runtime.
+    """
+    from jax.scipy.special import ndtri
+
+    flat = x.reshape(-1, int(np.prod(x.shape[2:], dtype=np.int64)))
+    n_tot = flat.shape[0]
+    ranks = np.empty_like(flat)
+    for col in range(flat.shape[1]):
+        v = flat[:, col]
+        sv = np.sort(v)
+        lo = np.searchsorted(sv, v, side="left")
+        hi = np.searchsorted(sv, v, side="right")
+        ranks[:, col] = 0.5 * (lo + hi - 1)  # average 0-based rank
+    z = np.asarray(
+        ndtri((ranks + 1 - 0.375) / (n_tot + 0.25))
     )
-    z = ndtri((ranks + 1 - 0.375) / (flat.shape[0] + 0.25))
     return z.reshape(x.shape)
 
 
@@ -231,6 +235,8 @@ def summary(samples, round_to: int = 3, rank_normalized: bool = False):
         ``outputs["samples"]`` of ``HMC.run``/``MALA.run``/... after any
         burn-in slicing), or a single such array.
     :param round_to: decimals in the formatted table.
+    :param rank_normalized: use the rank-normalized + folded R-hat
+        (see :func:`potential_scale_reduction`).
     :return: ``(stats, table)`` — ``stats`` maps each latent name to a
         dict with ``mean``/``sd``/``r_hat``/``ess`` arrays of the
         latent's data shape; ``table`` is a printable string.
@@ -319,9 +325,6 @@ def kernel_stein_discrepancy(samples, score_fn, c: float = 1.0,
     :return: scalar KSD^2 estimate (can be slightly negative due to the
         unbiased U-statistic; compare magnitudes, not signs).
     """
-    import jax
-    import jax.numpy as jnp
-
     x = jnp.asarray(samples)
     if x.ndim != 2:
         raise ValueError(
@@ -335,8 +338,11 @@ def kernel_stein_discrepancy(samples, score_fn, c: float = 1.0,
     x2 = jnp.sum(x * x, axis=1)
     r2 = jnp.maximum(x2[:, None] + x2[None, :] - 2.0 * (x @ x.T), 0.0)
     u = c * c + r2
-    k = u**beta
-    g = 2.0 * beta * u ** (beta - 1.0)  # grad coefficient
+    # One transcendental pow for the [n, n] matrix; the other two powers
+    # of u follow by multiplication.
+    p = u ** (beta - 2.0)
+    g = 2.0 * beta * p * u  # = 2 beta u^{beta-1}
+    k = p * u * u  # = u^beta
 
     ss = s @ s.T  # s(x_i) . s(x_j)
     sx = jnp.sum(s * x, axis=1)  # s(x_i) . x_i
@@ -344,8 +350,7 @@ def kernel_stein_discrepancy(samples, score_fn, c: float = 1.0,
     s_i_diff = sx[:, None] - s @ x.T
     s_j_diff = (x @ s.T) - sx[None, :]
 
-    trace_term = -(4.0 * beta * (beta - 1.0) * u ** (beta - 2.0) * r2
-                   + g * d)
+    trace_term = -(4.0 * beta * (beta - 1.0) * p * r2 + g * d)
     u_p = k * ss - g * s_i_diff + g * s_j_diff + trace_term
     # U-statistic: drop the diagonal.
     total = jnp.sum(u_p) - jnp.sum(jnp.diagonal(u_p))

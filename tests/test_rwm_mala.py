@@ -250,3 +250,31 @@ class TestRobustness:
         s = np.asarray(out["samples"]["z"][200:])
         assert np.all(s > 0)          # escaped
         assert np.std(s) > 0.1        # and actually mixing
+
+    def test_collect_fields_and_thinning(self):
+        sampler = MALA(step_size=0.3, adapt_step_size=True)
+
+        def lj(obs):
+            return jnp.sum(-0.5 * obs["z"] ** 2, axis=-1)
+
+        key = jax.random.PRNGKey(11)
+        s0 = sampler.init({"z": jnp.zeros((8, 2))}, n_chain_dims=1)
+        _, full = sampler.run(lj, {}, s0, key, n_iters=30, n_adapt=10)
+        fin_t, thin = sampler.run(
+            lj, {}, s0, key, n_iters=30, n_adapt=10,
+            collect_fields=("samples",), thinning=5,
+        )
+        assert set(thin) == {"samples"}
+        assert thin["samples"]["z"].shape == (6, 8, 2)
+        # The key threading is identical, so thinned output IS the full
+        # trajectory sliced at every thinning-th iteration.
+        np.testing.assert_allclose(
+            np.asarray(thin["samples"]["z"]),
+            np.asarray(full["samples"]["z"][4::5]),
+            rtol=1e-12,
+        )
+        with pytest.raises(ValueError, match="collect field"):
+            sampler.run(lj, {}, s0, key, n_iters=4,
+                        collect_fields=("bogus",))
+        with pytest.raises(ValueError, match="thinning"):
+            sampler.run(lj, {}, s0, key, n_iters=4, thinning=0)

@@ -206,6 +206,8 @@ class _MetropolisBase:
         )
         return new_state, info
 
+    _VALID_FIELDS = ("samples", "acceptance_rate", "step_size", "log_prob")
+
     def run(
         self,
         meta_bn,
@@ -215,34 +217,83 @@ class _MetropolisBase:
         n_iters: int,
         n_adapt: int = 0,
         collect: bool = True,
+        collect_fields=("samples", "acceptance_rate", "step_size",
+                        "log_prob"),
+        thinning: int = 1,
     ):
         """Run ``n_iters`` iterations on-device via ``lax.scan`` —
         adaptation gated ON for the first ``n_adapt`` (the ``HMC.run``
         convention).
 
-        :return: ``(final_state, {"samples", "acceptance_rate",
-            "step_size", "log_prob"} or None)``.
+        :param collect_fields: which outputs to stack (fewer stacked
+            outputs = less HBM traffic in the hot scan; ``HMC.run``
+            convention).
+        :param thinning: stack every ``thinning``-th iteration only —
+            memory-bounded via an inner ``fori_loop`` (never materializes
+            the unthinned trajectory; the ``SGMCMC.run`` recipe).
+        :return: ``(final_state, {field: stacked} or None)``.
         """
+        for f in collect_fields:
+            if f not in self._VALID_FIELDS:
+                raise ValueError(
+                    "Unknown collect field {!r}; valid: {}.".format(
+                        f, self._VALID_FIELDS)
+                )
+        if int(thinning) < 1:
+            raise ValueError("thinning must be >= 1.")
+        thinning = int(thinning)
 
-        def body(carry, i):
-            st, k = carry
+        def pick(info):
+            full = {
+                "samples": info.samples,
+                "acceptance_rate": info.acceptance_rate,
+                "step_size": info.updated_step_size,
+                "log_prob": info.log_prob,
+            }
+            return {f: full[f] for f in collect_fields}
+
+        def one(st, k, i):
             k, sub = jax.random.split(k)
             # Per-RUN iteration index (HMC.run convention) — a resumed or
             # second run adapts for ITS first n_adapt iterations
             # regardless of the persisted state.t counter.
             gate = jnp.logical_and(jnp.asarray(self._adapt), i < n_adapt)
             st2, info = self.sample(meta_bn, observed, st, sub, adapt=gate)
-            out = (
-                {
-                    "samples": info.samples,
-                    "acceptance_rate": info.acceptance_rate,
-                    "step_size": info.updated_step_size,
-                    "log_prob": info.log_prob,
-                }
-                if collect
-                else None
+            return st2, k, info
+
+        if collect and thinning > 1:
+            n_out = n_iters // thinning
+
+            # fori_loop needs a uniform carry; run the first inner step
+            # outside to seed an info structure.
+            def outer(carry, j):
+                st, k = carry
+                st, k, info = one(st, k, j * thinning)
+
+                def inner(t, c):
+                    st, k, _ = c
+                    return one(st, k, j * thinning + t)
+
+                st, k, info = jax.lax.fori_loop(
+                    1, thinning, inner, (st, k, info)
+                )
+                return (st, k), pick(info)
+
+            (final_state, _), outs = jax.lax.scan(
+                outer, (state, key), jnp.arange(n_out)
             )
-            return (st2, k), out
+            rem = n_iters - n_out * thinning
+            for r in range(rem):
+                final_state, key, _ = one(
+                    final_state, jax.random.fold_in(key, r + 1),
+                    jnp.asarray(n_out * thinning + r),
+                )
+            return final_state, outs
+
+        def body(carry, i):
+            st, k = carry
+            st2, k, info = one(st, k, i)
+            return (st2, k), (pick(info) if collect else None)
 
         (final_state, _), outs = jax.lax.scan(
             body, (state, key), jnp.arange(n_iters)

@@ -15,6 +15,7 @@ from zhusuan_tpu.distributions.special import *  # noqa: F401,F403
 from zhusuan_tpu.distributions.flow import FlowDistribution  # noqa: F401
 from zhusuan_tpu.distributions.extra import *  # noqa: F401,F403
 from zhusuan_tpu.distributions.lkj import LKJCholesky  # noqa: F401
+from zhusuan_tpu.distributions.wishart import Wishart  # noqa: F401
 from zhusuan_tpu.distributions import utils  # noqa: F401
 
 from zhusuan_tpu.distributions import univariate as _uni
@@ -23,6 +24,6 @@ from zhusuan_tpu.distributions import special as _special
 from zhusuan_tpu.distributions import extra as _extra
 
 __all__ = (
-    ["Distribution", "FlowDistribution", "LKJCholesky"]
+    ["Distribution", "FlowDistribution", "LKJCholesky", "Wishart"]
     + _uni.__all__ + _multi.__all__ + _special.__all__ + _extra.__all__
 )

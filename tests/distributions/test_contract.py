@@ -51,6 +51,13 @@ def _cases():
          (3,), (), lambda d, s: jnp.ones(s, jnp.float32)),
         ("Laplace", lambda: zd.Laplace(_f(np.zeros((4,))), _f(1.0)),
          (4,), (), lambda d, s: jnp.zeros(s, jnp.float32)),
+        ("LKJCholesky", lambda: zd.LKJCholesky(3, _f(1.0)),
+         (), (3, 3),
+         lambda d, s: jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), s)),
+        ("Wishart", lambda: zd.Wishart(4.0, jnp.eye(3, dtype=jnp.float32)),
+         (), (3, 3),
+         lambda d, s: jnp.broadcast_to(
+             2.0 * jnp.eye(3, dtype=jnp.float32), s)),
         ("StudentT", lambda: zd.StudentT(_f(np.ones((3, 2)) * 4),
                                          _f(0.0), _f(1.0)),
          (3, 2), (), lambda d, s: jnp.zeros(s, jnp.float32)),

@@ -203,28 +203,45 @@ class TestRobustness:
         s = np.asarray(out["samples"]["z"])
         assert np.std(s[-1]) > 0.1
 
-    def test_second_run_adapts_by_run_local_index(self):
-        # Regression: n_adapt counts THIS run's iterations (HMC.run
-        # convention), not the persisted state.t.
+    def test_adapt_gate_follows_persisted_counter(self):
+        # n_adapt counts against the PERSISTED state.t — the actual
+        # HMC.run convention (hmc.py:762-771): adaptation continues
+        # seamlessly across consecutive runs until t hits n_adapt, and a
+        # resumed post-burn-in state never re-adapts.
         def log_joint(obs):
             return jnp.sum(-0.5 * obs["z"] ** 2, axis=-1)
 
         sampler = MALA(step_size=5.0, adapt_step_size=True)
         state = sampler.init({"z": jnp.zeros((64, 2))}, n_chain_dims=1)
         state, _ = sampler.run(
-            log_joint, {}, state, jax.random.PRNGKey(0), n_iters=50,
-            n_adapt=0,
-        )
-        eps_before = float(state.step_size)
-        state, out = sampler.run(
-            log_joint, {}, state, jax.random.PRNGKey(1), n_iters=100,
+            log_joint, {}, state, jax.random.PRNGKey(0), n_iters=40,
             n_adapt=100,
         )
-        eps_after = float(state.step_size)
-        # A 5.0 step on a unit Gaussian over-rejects; adaptation in the
-        # SECOND run must have shrunk it substantially.
-        assert eps_before > 4.0
-        assert eps_after < 2.0, eps_after
+        eps_mid = float(state.step_size)
+        assert eps_mid < 5.0  # adaptation engaged in run 1 (t 0..39)
+        state, _ = sampler.run(
+            log_joint, {}, state, jax.random.PRNGKey(1), n_iters=60,
+            n_adapt=100,
+        )
+        eps_done = float(state.step_size)
+        assert eps_done < 2.0, eps_done  # kept adapting through t=99
+        # t >= 100 now: the gate closes. The shared dual-averaging helper
+        # hands over exp(log_eps_bar) (the averaged step size) on the
+        # first frozen iteration — exactly like HMC — and is constant
+        # thereafter.
+        eps_frozen = float(np.exp(np.asarray(state.log_epsilon_bar)))
+        state, _ = sampler.run(
+            log_joint, {}, state, jax.random.PRNGKey(2), n_iters=50,
+            n_adapt=100,
+        )
+        np.testing.assert_allclose(float(state.step_size), eps_frozen,
+                                   rtol=1e-12)
+        state, _ = sampler.run(
+            log_joint, {}, state, jax.random.PRNGKey(3), n_iters=20,
+            n_adapt=100,
+        )
+        np.testing.assert_allclose(float(state.step_size), eps_frozen,
+                                   rtol=1e-12)
 
     def test_rwm_state_has_no_grad_carry(self):
         sampler = RandomWalkMetropolis(step_size=0.5)
@@ -278,3 +295,23 @@ class TestRobustness:
                         collect_fields=("bogus",))
         with pytest.raises(ValueError, match="thinning"):
             sampler.run(lj, {}, s0, key, n_iters=4, thinning=0)
+
+    def test_thinning_remainder_matches_full_run(self):
+        # n_iters not divisible by thinning: the remainder is scanned on
+        # the SAME key thread, so the final state matches the unthinned
+        # run bit-for-bit.
+        sampler = RandomWalkMetropolis(step_size=0.5)
+
+        def lj(obs):
+            return jnp.sum(-0.5 * obs["z"] ** 2, axis=-1)
+
+        key = jax.random.PRNGKey(12)
+        s0 = sampler.init({"z": jnp.zeros((4, 2))}, n_chain_dims=1)
+        fin_full, _ = sampler.run(lj, {}, s0, key, n_iters=32)
+        fin_thin, thin = sampler.run(lj, {}, s0, key, n_iters=32,
+                                     thinning=5)
+        assert thin["samples"]["z"].shape[0] == 6
+        np.testing.assert_array_equal(
+            np.asarray(fin_thin.q["z"]), np.asarray(fin_full.q["z"])
+        )
+        assert int(fin_thin.t) == int(fin_full.t) == 32

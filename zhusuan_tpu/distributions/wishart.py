@@ -30,15 +30,6 @@ from zhusuan_tpu.distributions.utils import assert_same_float_dtype
 __all__ = ["Wishart"]
 
 
-def _multigammaln(a, d):
-    """log of the multivariate gamma function ``Gamma_d(a)``."""
-    i = jnp.arange(d, dtype=a.dtype)
-    return (
-        0.25 * d * (d - 1) * float(np.log(np.pi))
-        + jnp.sum(jax.lax.lgamma(a - 0.5 * i))
-    )
-
-
 class Wishart(Distribution):
     """Wishart ``W(df, scale)`` over ``[d, d]`` positive-definite matrices.
 
@@ -131,7 +122,7 @@ class Wishart(Distribution):
             - 0.5 * trace
             - 0.5 * df * d * float(np.log(2.0))
             - 0.5 * df * logdet_s
-            - _multigammaln(0.5 * df, d)
+            - jax.scipy.special.multigammaln(0.5 * df, d)
         )
         # Outside the PD cone the Cholesky is NaN: score -inf like the
         # rest of the zoo's support semantics.

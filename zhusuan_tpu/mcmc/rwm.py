@@ -221,16 +221,24 @@ class _MetropolisBase:
                         "log_prob"),
         thinning: int = 1,
     ):
-        """Run ``n_iters`` iterations on-device via ``lax.scan`` —
-        adaptation gated ON for the first ``n_adapt`` (the ``HMC.run``
-        convention).
+        """Run ``n_iters`` iterations on-device via ``lax.scan``.
+
+        Adaptation is gated on the PERSISTED counter ``state.t < n_adapt``
+        — exactly the ``HMC.run`` convention (hmc.py:762-771): a resumed
+        or checkpoint-restored state whose ``t`` already passed
+        ``n_adapt`` will NOT re-adapt (post-burn-in draws stay
+        untouched). To re-run adaptation, start from a fresh ``init()``
+        state.
 
         :param collect_fields: which outputs to stack (fewer stacked
             outputs = less HBM traffic in the hot scan; ``HMC.run``
             convention).
         :param thinning: stack every ``thinning``-th iteration only —
             memory-bounded via an inner ``fori_loop`` (never materializes
-            the unthinned trajectory; the ``SGMCMC.run`` recipe).
+            the unthinned trajectory; the ``SGMCMC.run`` recipe). The key
+            threading is identical to the unthinned run, so the stacked
+            output IS the full trajectory sliced at every
+            ``thinning``-th step, for any ``n_iters``.
         :return: ``(final_state, {field: stacked} or None)``.
         """
         for f in collect_fields:
@@ -252,12 +260,16 @@ class _MetropolisBase:
             }
             return {f: full[f] for f in collect_fields}
 
-        def one(st, k, i):
+        adapt_on = self._adapt and n_adapt > 0
+
+        def one(st, k):
             k, sub = jax.random.split(k)
-            # Per-RUN iteration index (HMC.run convention) — a resumed or
-            # second run adapts for ITS first n_adapt iterations
-            # regardless of the persisted state.t counter.
-            gate = jnp.logical_and(jnp.asarray(self._adapt), i < n_adapt)
+            # Compile-time-constant gate when adaptation is off lets XLA
+            # DCE the dual-averaging update from the scan body (the
+            # HMC.run trick, hmc.py:762-771).
+            gate = (
+                st.t < n_adapt if adapt_on else jnp.asarray(False)
+            )
             st2, info = self.sample(meta_bn, observed, st, sub, adapt=gate)
             return st2, k, info
 
@@ -266,37 +278,44 @@ class _MetropolisBase:
 
             # fori_loop needs a uniform carry; run the first inner step
             # outside to seed an info structure.
-            def outer(carry, j):
+            def outer(carry, _):
                 st, k = carry
-                st, k, info = one(st, k, j * thinning)
+                st, k, info = one(st, k)
 
                 def inner(t, c):
                     st, k, _ = c
-                    return one(st, k, j * thinning + t)
+                    return one(st, k)
 
                 st, k, info = jax.lax.fori_loop(
                     1, thinning, inner, (st, k, info)
                 )
                 return (st, k), pick(info)
 
-            (final_state, _), outs = jax.lax.scan(
-                outer, (state, key), jnp.arange(n_out)
+            (final_state, key), outs = jax.lax.scan(
+                outer, (state, key), None, length=n_out
             )
             rem = n_iters - n_out * thinning
-            for r in range(rem):
-                final_state, key, _ = one(
-                    final_state, jax.random.fold_in(key, r + 1),
-                    jnp.asarray(n_out * thinning + r),
+            if rem:
+                # Scanned remainder continuing the SAME key thread (the
+                # sgmcmc.py recipe) — no eager per-op dispatch, and the
+                # final state matches the unthinned run bit-for-bit.
+                def tail(carry, _):
+                    st, k = carry
+                    st, k, _ = one(st, k)
+                    return (st, k), None
+
+                (final_state, _), _ = jax.lax.scan(
+                    tail, (final_state, key), None, length=rem
                 )
             return final_state, outs
 
-        def body(carry, i):
+        def body(carry, _):
             st, k = carry
-            st2, k, info = one(st, k, i)
+            st2, k, info = one(st, k)
             return (st2, k), (pick(info) if collect else None)
 
         (final_state, _), outs = jax.lax.scan(
-            body, (state, key), jnp.arange(n_iters)
+            body, (state, key), None, length=n_iters
         )
         return final_state, outs
 

@@ -315,3 +315,42 @@ class TestRobustness:
             np.asarray(fin_thin.q["z"]), np.asarray(fin_full.q["z"])
         )
         assert int(fin_thin.t) == int(fin_full.t) == 32
+
+
+class TestCacheSentinel:
+    """MHState density cache: NaN sentinel + invalidate_cache (advisor
+    r2 finding: a t>0 state reused against a different target silently
+    carried a stale density)."""
+
+    def test_retarget_after_invalidate(self):
+        sampler = RandomWalkMetropolis(step_size=0.5)
+
+        def lj_a(obs):
+            return jnp.sum(-0.5 * obs["z"] ** 2, axis=-1)
+
+        def lj_b(obs):  # shifted target: cached lp from lj_a is stale
+            return jnp.sum(-0.5 * (obs["z"] - 10.0) ** 2, axis=-1)
+
+        s0 = sampler.init({"z": jnp.zeros((16, 2))}, n_chain_dims=1)
+        assert np.all(np.isnan(np.asarray(s0.log_prob)))
+        s1, _ = sampler.run(lj_a, {}, s0, jax.random.PRNGKey(0), 5)
+        assert np.all(np.isfinite(np.asarray(s1.log_prob)))
+        # Re-target: invalidate forces re-evaluation under lj_b, so the
+        # first step's acceptance ratio uses the TRUE current density.
+        s2 = s1.invalidate_cache()
+        st, info = sampler.sample(lj_b, {}, s2, jax.random.PRNGKey(1))
+        lp_direct = np.asarray(lj_b({"z": np.asarray(st.q["z"])}))
+        np.testing.assert_allclose(np.asarray(st.log_prob), lp_direct,
+                                   rtol=1e-6)
+
+    def test_mala_grad_cache_refills(self):
+        sampler = MALA(step_size=0.2)
+
+        def lj(obs):
+            return jnp.sum(-0.5 * obs["z"] ** 2, axis=-1)
+
+        s0 = sampler.init({"z": jnp.full((4, 3), 2.0)}, n_chain_dims=1)
+        s1, _ = sampler.run(lj, {}, s0, jax.random.PRNGKey(0), 3)
+        st, _ = sampler.sample(lj, {}, s1.invalidate_cache(),
+                               jax.random.PRNGKey(1))
+        assert np.all(np.isfinite(np.asarray(st.log_prob)))

@@ -45,3 +45,4 @@ from zhusuan_tpu import ops
 from zhusuan_tpu import checkpoint
 from zhusuan_tpu.checkpoint import save_checkpoint, restore_checkpoint
 from zhusuan_tpu import profiling
+from zhusuan_tpu.fit import fit_scan, make_fit_epoch

@@ -44,14 +44,26 @@ def _rank_normalize(x):
     from jax.scipy.special import ndtri
 
     flat = x.reshape(-1, int(np.prod(x.shape[2:], dtype=np.int64)))
-    n_tot = flat.shape[0]
+    n_tot, n_cols = flat.shape
+    # Vectorized average ranks over ALL columns in one NumPy pass (no
+    # per-column Python loop): stable argsort gives ordinal positions;
+    # tie groups are contiguous in sorted order, so the average rank of a
+    # group is (first_index + last_index)/2, recovered with prefix/suffix
+    # accumulates and scattered back with put_along_axis.
+    order = np.argsort(flat, axis=0, kind="stable")
+    sv = np.take_along_axis(flat, order, axis=0)
+    idx = np.arange(n_tot, dtype=flat.dtype)[:, None]
+    start = np.ones((n_tot, n_cols), dtype=bool)
+    start[1:] = sv[1:] != sv[:-1]
+    first = np.maximum.accumulate(np.where(start, idx, 0.0), axis=0)
+    nxt = np.concatenate(
+        [np.where(start[1:], idx[1:], float(n_tot)),
+         np.full((1, n_cols), float(n_tot), flat.dtype)], axis=0)
+    last = np.flip(
+        np.minimum.accumulate(np.flip(nxt, axis=0), axis=0), axis=0
+    ) - 1.0
     ranks = np.empty_like(flat)
-    for col in range(flat.shape[1]):
-        v = flat[:, col]
-        sv = np.sort(v)
-        lo = np.searchsorted(sv, v, side="left")
-        hi = np.searchsorted(sv, v, side="right")
-        ranks[:, col] = 0.5 * (lo + hi - 1)  # average 0-based rank
+    np.put_along_axis(ranks, order, 0.5 * (first + last), axis=0)
     z = np.asarray(
         ndtri((ranks + 1 - 0.375) / (n_tot + 0.25))
     )

@@ -114,7 +114,10 @@ class EllipticalSlice:
                 self._std_for(name)  # validate coverage eagerly
         return EllipticalSliceState(
             f=f,
-            log_lik=jnp.zeros(chain_shape, any_leaf.dtype),
+            # NaN sentinel: "cache not filled" — sample() re-evaluates on
+            # it (same recipe as MHState, rwm.py), so a restored/
+            # re-targeted state never slices against a stale threshold.
+            log_lik=jnp.full(chain_shape, float("nan"), any_leaf.dtype),
             t=jnp.zeros((), jnp.int32),
         )
 
@@ -128,7 +131,7 @@ class EllipticalSlice:
         """
         log_lik_fn = make_log_joint_fn(meta_bn, observed)
         ll0 = jax.lax.cond(
-            state.t == 0,
+            jnp.any(jnp.isnan(state.log_lik)),
             lambda: log_lik_fn(state.f),
             lambda: state.log_lik,
         )

@@ -108,10 +108,17 @@ class HMC:
     :param experimental_fused_step: fuse the ENTIRE transition (momentum
         draw + trajectory + MH select) into one Pallas kernel
         (:mod:`zhusuan_tpu.ops.hmc_step`) when the latent is a single
-        ``[n_chains, dim]`` array with broadcast diagonal mass. Same
+        f32 ``[n_chains, dim]`` array with broadcast diagonal mass. Same
         distribution, different random stream (TPU hardware PRNG) — runs
-        are deterministic per key but not bitwise equal to the default
-        path. Falls back to the scan path when not applicable.
+        are deterministic per key but not bitwise equal to the scan
+        path. The default ``"auto"`` selects the fused kernel whenever it
+        is eligible AND the computation targets a non-CPU backend (1.87x
+        ESS/sec at 32k chains, PERF.md), falling back to the scan path
+        otherwise — so the fast path is the default path on TPU. Pass
+        ``False`` to force the scan path (e.g. to keep the
+        counter-based PRNG stream bitwise stable across devices), or
+        ``True`` to request the kernel explicitly (still falls back when
+        ineligible).
     """
 
     def __init__(
@@ -129,7 +136,7 @@ class HMC:
         step_size_jitter: float = 0.0,
         check_numerics: bool = False,
         experimental_fused_leapfrog: bool = False,
-        experimental_fused_step: bool = False,
+        experimental_fused_step="auto",
     ):
         self.init_step_size = float(step_size)
         self.n_leapfrogs = int(n_leapfrogs)
@@ -163,7 +170,36 @@ class HMC:
         self.step_size_jitter = float(step_size_jitter)
         self.check_numerics = bool(check_numerics)
         self.experimental_fused_leapfrog = bool(experimental_fused_leapfrog)
-        self.experimental_fused_step = bool(experimental_fused_step)
+        if experimental_fused_step not in (True, False, "auto"):
+            raise ValueError(
+                "experimental_fused_step must be True, False, or 'auto'."
+            )
+        self.experimental_fused_step = experimental_fused_step
+
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def _on_cpu() -> bool:
+        """Trace-time guess of the target backend (best-effort: an
+        explicit device_put to CPU on a TPU host is not detectable)."""
+        default_dev = getattr(jax.config, "jax_default_device", None)
+        return jax.default_backend() == "cpu" or (
+            default_dev is not None
+            and getattr(default_dev, "platform", None) == "cpu"
+        )
+
+    def _fused_step_likely(self, q) -> bool:
+        """Cheap predictor of whether :meth:`sample` will take the fused
+        kernel for this latent — used by run()/warmup_run() to decide if
+        carrying the (log_prob, grad) eval cache pays (the fused kernel
+        ignores it). Mirrors the inexpensive half of the eligibility
+        gate; the VMEM-fit checks are skipped (worst case: a rare
+        fallback run without the cache)."""
+        if not self.experimental_fused_step:
+            return False
+        if self.check_numerics or self._on_cpu() or len(q) != 1:
+            return False
+        (arr,) = q.values()
+        return arr.ndim == 2 and arr.dtype == jnp.float32
 
     # ------------------------------------------------------------------ #
     def init(self, latent: Latent, n_chain_dims: Optional[int] = None,
@@ -375,6 +411,7 @@ class HMC:
         adapt_step_size=None,
         adapt_mass=None,
         reinit_step_size=None,
+        init_step_size_search=None,
         cache=None,
     ):
         """Run ONE HMC iteration: pure ``(state, key) -> (state, info)``.
@@ -393,6 +430,14 @@ class HMC:
         :param reinit_step_size: optional traced bool forcing the heuristic
             step-size re-search and a dual-averaging fresh start this
             iteration (used by :meth:`warmup_run` at window boundaries).
+        :param init_step_size_search: pass the static value ``False`` to
+            suppress the t-based heuristic init-search trigger (which
+            otherwise fires at ``t==1`` and ``t==mass_collect_iters``)
+            regardless of the state's counter — XLA then DCEs the search
+            ``while_loop`` from the program. Used by :class:`~.AnnealedSMC`
+            rejuvenation, whose kernel must be a FIXED f_beta-invariant
+            transition independent of the particle cloud. An explicit
+            ``reinit_step_size=True`` still forces a search.
         :param cache: optional ``(log_prob, grad_dict)`` evaluated at
             ``state.q`` (build the first one with :meth:`make_cache`).
             When given, the iteration skips re-evaluating the density and
@@ -455,13 +500,9 @@ class HMC:
         # Checks both the default backend AND a `jax.default_device(cpu)`
         # override (best-effort: explicit device_put to CPU on a TPU host
         # is not detectable at trace time).
-        default_dev = getattr(jax.config, "jax_default_device", None)
-        on_cpu = jax.default_backend() == "cpu" or (
-            default_dev is not None
-            and getattr(default_dev, "platform", None) == "cpu"
-        )
+        on_cpu = self._on_cpu()
         use_fused_step = (
-            self.experimental_fused_step
+            bool(self.experimental_fused_step)
             and len(q) == 1
             and n_chain_dims == 1
             and not self.check_numerics
@@ -501,7 +542,15 @@ class HMC:
 
         # --- step size (+ heuristic init search; hmc.py:458-472) ------- #
         if self.adapt_step_size is not None:
-            if_init_ss = (new_t == 1) | (new_t == self.mass_collect_iters)
+            if init_step_size_search is False:
+                # Static suppression of the t-based trigger (see the
+                # docstring); lax.cond with a constant-False predicate is
+                # simplified away together with the search body.
+                if_init_ss = jnp.asarray(False)
+            else:
+                if_init_ss = (
+                    (new_t == 1) | (new_t == self.mass_collect_iters)
+                )
             if reinit_step_size is not None:
                 if_init_ss = if_init_ss | jnp.asarray(reinit_step_size)
 
@@ -714,6 +763,7 @@ class HMC:
         collect_fields=("samples", "acceptance_rate", "step_size",
                         "log_prob"),
         collect_dtype=None,
+        thinning: int = 1,
     ):
         """Run ``n_iters`` iterations fully on-device via ``lax.scan``.
 
@@ -732,6 +782,16 @@ class HMC:
             copy (e.g. ``jnp.bfloat16`` to halve trajectory HBM at a
             precision adequate for diagnostics); the chain itself always
             advances in the state dtype.
+        :param thinning: stack every ``thinning``-th iteration only,
+            memory-bounded via an inner ``fori_loop`` (the unthinned
+            trajectory is never materialized — the ``SGMCMC.run`` recipe,
+            sgmcmc.py:160-180). Key threading and adaptation gating are
+            identical to the unthinned run, so the stacked output IS the
+            full trajectory sliced ``thinning-1::thinning``, bit-for-bit,
+            and the final state matches the unthinned run for any
+            ``n_iters`` (a non-multiple remainder is advanced in a scanned
+            tail). At 32k chains this is what sustains arbitrary run
+            lengths at fixed HBM.
         :return: ``(final_state, outputs)`` where outputs is a dict with
             the requested fields (iteration-major) when ``collect`` else
             None.
@@ -745,6 +805,9 @@ class HMC:
                     bad, valid_fields
                 )
             )
+        if int(thinning) < 1:
+            raise ValueError("thinning must be >= 1.")
+        thinning = int(thinning)
         adapt_enabled = self.adapt_step_size is not None
         # Carry (log_prob, grad) at the current position across iterations:
         # each step then costs n_leapfrogs gradient + 1 density evaluations
@@ -752,11 +815,11 @@ class HMC:
         # PERF.md). Skipped for both fused kernels: they re-evaluate in
         # VMEM, where the recompute measured faster than any carried input.
         use_cache = not (
-            self.experimental_fused_leapfrog or self.experimental_fused_step
+            self.experimental_fused_leapfrog
+            or self._fused_step_likely(state.q)
         )
 
-        def body(carry, inp):
-            st, k, cache = carry
+        def one(st, k, cache):
             k, sub = jax.random.split(k)
             i = st.t
             if not adapt_enabled:
@@ -775,29 +838,69 @@ class HMC:
                 adapt_mass=gate if self.adapt_mass is not None else None,
                 cache=cache,
             )
-            cache2 = rest[0] if rest else None
-            if collect:
-                all_fields = {
-                    "samples": (
-                        {
-                            n: v.astype(collect_dtype)
-                            for n, v in info.samples.items()
-                        }
-                        if collect_dtype is not None
-                        else info.samples
-                    ),
-                    "acceptance_rate": info.acceptance_rate,
-                    "step_size": info.updated_step_size,
-                    "log_prob": info.log_prob,
-                }
-                out = {f: all_fields[f] for f in collect_fields}
-            else:
-                out = None
-            return (st2, k, cache2), out
+            return st2, k, (rest[0] if rest else None), info
+
+        def pick(info):
+            all_fields = {
+                "samples": (
+                    {
+                        n: v.astype(collect_dtype)
+                        for n, v in info.samples.items()
+                    }
+                    if collect_dtype is not None
+                    else info.samples
+                ),
+                "acceptance_rate": info.acceptance_rate,
+                "step_size": info.updated_step_size,
+                "log_prob": info.log_prob,
+            }
+            return {f: all_fields[f] for f in collect_fields}
 
         cache0 = (
             self.make_cache(meta_bn, observed, state) if use_cache else None
         )
+
+        if collect and thinning > 1:
+            n_out = n_iters // thinning
+
+            # fori_loop needs a uniform carry; run the first inner step
+            # outside the loop to seed an info structure (RWM recipe,
+            # rwm.py:276-297).
+            def outer(carry, _):
+                st, k, cache = carry
+                st, k, cache, info = one(st, k, cache)
+
+                def inner(t, c):
+                    st, k, cache, _ = c
+                    return one(st, k, cache)
+
+                st, k, cache, info = jax.lax.fori_loop(
+                    1, thinning, inner, (st, k, cache, info)
+                )
+                return (st, k, cache), pick(info)
+
+            (final_state, key, cache0), outputs = jax.lax.scan(
+                outer, (state, key, cache0), None, length=n_out
+            )
+            rem = n_iters - n_out * thinning
+            if rem:
+                # Scanned remainder on the SAME key thread — final state
+                # matches the unthinned run bit-for-bit.
+                def tail(carry, _):
+                    st, k, cache = carry
+                    st, k, cache, _ = one(st, k, cache)
+                    return (st, k, cache), None
+
+                (final_state, _, _), _ = jax.lax.scan(
+                    tail, (final_state, key, cache0), None, length=rem
+                )
+            return final_state, outputs
+
+        def body(carry, inp):
+            st, k, cache = carry
+            st2, k, cache2, info = one(st, k, cache)
+            return (st2, k, cache2), (pick(info) if collect else None)
+
         (final_state, _, _), outputs = jax.lax.scan(
             body, (state, key, cache0), None, length=n_iters
         )
@@ -888,7 +991,8 @@ class HMC:
         zeros = {k: jnp.zeros_like(v) for k, v in state.mass.items()}
 
         use_cache = not (
-            self.experimental_fused_leapfrog or self.experimental_fused_step
+            self.experimental_fused_leapfrog
+            or self._fused_step_likely(state.q)
         )
 
         def body(carry, i):

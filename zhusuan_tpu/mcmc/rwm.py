@@ -37,7 +37,16 @@ Latent = Dict[str, jnp.ndarray]
 
 
 class MHState(NamedTuple):
-    """Explicit Metropolis sampler state."""
+    """Explicit Metropolis sampler state.
+
+    Cache invariant: ``log_prob``/``grad`` are only valid for the
+    (meta_bn, observed) target the state was last advanced under.
+    ``init`` fills them with a NaN sentinel and ``sample`` re-evaluates
+    whenever the sentinel is present (not on a ``t == 0`` gate), so a
+    never-filled cache can't be silently accepted/rejected against; a
+    state being re-targeted after checkpoint surgery should call
+    :meth:`invalidate_cache` to force re-evaluation.
+    """
 
     q: Latent  # position: chain_axes + data_axes
     log_prob: jnp.ndarray  # [chain_shape] cached log joint at q
@@ -48,6 +57,13 @@ class MHState(NamedTuple):
     da_step: jnp.ndarray
     h_bar: jnp.ndarray
     log_epsilon_bar: jnp.ndarray
+
+    def invalidate_cache(self) -> "MHState":
+        """Mark the density/score cache stale (NaN sentinel); the next
+        ``sample`` call re-evaluates against its own target. Use after
+        re-targeting a restored state (see the class docstring)."""
+        return self._replace(log_prob=jnp.full_like(self.log_prob,
+                                                    float("nan")))
 
 
 class MHInfo(NamedTuple):
@@ -101,7 +117,11 @@ class _MetropolisBase:
         zero = jnp.zeros((), dtype)
         return MHState(
             q=q,
-            log_prob=jnp.zeros(chain_shape, dtype),
+            # NaN sentinel: "cache not filled" (see MHState docstring) —
+            # sample() re-evaluates on it, and it can never be confused
+            # with a real density (MH rejects NaN proposals, so a live
+            # cache is always finite or -inf).
+            log_prob=jnp.full(chain_shape, float("nan"), dtype),
             grad=jax.tree.map(jnp.zeros_like, q) if self._uses_grad else {},
             t=jnp.zeros((), jnp.int32),
             step_size=jnp.asarray(self._step_size, dtype),
@@ -137,9 +157,12 @@ class _MetropolisBase:
         :return: ``(new_state, MHInfo)``.
         """
         log_posterior = make_log_joint_fn(meta_bn, observed)
-        # Fill the (log_prob, grad) cache on the first iteration only.
+        # (Re-)fill the (log_prob, grad) cache whenever the NaN sentinel
+        # is present — first iteration, or after invalidate_cache(). A
+        # live cache is never NaN (bad proposals are rejected below), so
+        # this gate cannot misfire mid-run.
         lp0, g0 = jax.lax.cond(
-            state.t == 0,
+            jnp.any(jnp.isnan(state.log_prob)),
             lambda: self._eval(log_posterior, state.q),
             lambda: (state.log_prob, state.grad),
         )

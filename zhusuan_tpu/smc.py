@@ -205,24 +205,19 @@ class AnnealedSMC:
         if self._n_moves:
             mh_state = self._kernel.init(q, n_chain_dims=1)
             is_hmc = isinstance(self._kernel, HMC)
-            if is_hmc:
-                # A fresh HMCState starts at t=0, and HMC.sample fires its
-                # heuristic init step-size SEARCH at t==1 regardless of
-                # the runtime adapt flags (hmc.py:504) — that would make
-                # the kernel depend on the particle cloud (not a fixed
-                # f_beta-invariant kernel) and pay a search while_loop at
-                # every temperature. Skip past the trigger iterations so
-                # the kernel uses exactly its configured step size.
-                mh_state = mh_state._replace(
-                    t=jnp.asarray(1_000_000, mh_state.t.dtype)
-                )
 
             def move(carry, kk):
                 st, acc_sum = carry
                 if is_hmc:
+                    # init_step_size_search=False statically suppresses
+                    # HMC's heuristic init-search trigger (which would
+                    # otherwise fire on this fresh t=0 state and make the
+                    # kernel depend on the particle cloud — not a fixed
+                    # f_beta-invariant transition).
                     st2, info = self._kernel.sample(
                         log_f, {}, st, kk,
                         adapt_step_size=False, adapt_mass=False,
+                        init_step_size_search=False,
                     )
                 else:
                     st2, info = self._kernel.sample(

@@ -281,6 +281,32 @@ def measure_host_loop(jax, jnp, zs, cpu, n_chains):
     return float(np.minimum.reduce(ess, axis=1).sum()) / dt, dt
 
 
+def measure_fused_cpu(jax, jnp, zs, cpu, n_chains, n_iters):
+    """Strongest-possible CPU JAX execution (fully fused lax.scan) — the
+    'even a perfect CPU port would lose' datapoint (README table)."""
+    with jax.default_device(cpu):
+        state, burn, _, hmc, log_joint = build(
+            jax, jnp, zs, n_chains, np.float32, fused=False, collect_kw={}
+        )
+        sample = jax.jit(
+            lambda s, k: hmc.run(
+                log_joint, {}, s, k, n_iters, n_adapt=0,
+                collect_fields=("samples",),
+            )
+        )
+        state, _ = burn(state, jax.random.PRNGKey(0))
+        jax.block_until_ready(state.q["x"])
+        out_w = sample(state, jax.random.PRNGKey(1))
+        jax.block_until_ready(out_w[0].q["x"])
+        del out_w
+        t0 = time.perf_counter()
+        final, out = sample(state, jax.random.PRNGKey(2))
+        jax.block_until_ready(out["samples"]["x"])
+        dt = time.perf_counter() - t0
+        eps = total_ess(jax, out["samples"]["x"], dt)
+    return eps, dt
+
+
 def measure_vae_steps(jax, jnp, n_steps=100, batch=128, z_dim=40):
     """Secondary metric (BASELINE.md north-star part 2): VAE MNIST-shape
     SGVB train steps/sec — host-loop stepping AND the packaged scanned
@@ -409,6 +435,16 @@ def main():
         detail["baseline_host_loop_proxy"] = "error: " + str(e)[:80]
         if base_value is None:
             raise
+
+    try:
+        eps_2k, dt_2k = measure_fused_cpu(jax, jnp, zs, cpu, 2048, 200)
+        detail["baseline_fused_scan_cpu"] = {
+            "n_chains": 2048, "n_iters": 200,
+            "ess_per_sec": round(eps_2k, 2),
+            "sample_phase_sec": round(dt_2k, 2),
+        }
+    except Exception as e:
+        detail["baseline_fused_scan_cpu"] = "error: " + str(e)[:80]
 
     if on_tpu:
         # Scan-path number at the same scale: keeps the fused-vs-scan gap

@@ -26,3 +26,53 @@ jax.config.update("jax_threefry_partitionable", True)
 # float64 on the CPU test backend enables tight scipy numerics parity
 # checks; the TPU runtime path stays float32/bfloat16.
 jax.config.update("jax_enable_x64", True)
+
+
+# --------------------------------------------------------------------- #
+# Fast lane: `-m "not slow"` (<5 min on the 1-vCPU CI box).
+#
+# The suite's cost is concentrated in statistical-bound tests (many-draw
+# MCMC/SGVB runs), end-to-end example trainings, and 8-device-mesh
+# compiles. Those modules are marked slow wholesale below (per-module
+# auto-marking keeps the policy in ONE place; a new test in a slow module
+# is slow until proven otherwise). Everything else — the full
+# distribution zoo, framework/BN semantics, shapes/dtypes/error paths,
+# objective gradients — stays in the fast lane.
+# --------------------------------------------------------------------- #
+
+import pytest  # noqa: E402
+
+SLOW_MODULES = {
+    "test_examples",        # end-to-end example trainings
+    "test_mcmc",            # double-well KDE bounds, long chains
+    "test_smc",             # annealing bridges
+    "test_parallel",        # 8-device mesh compiles + statistical runs
+    "test_rwm_mala",        # acceptance-rate statistics
+    "test_elliptical",      # GP posterior recovery
+    "test_evaluation",      # AIS bridges
+    "test_implicit_reparam",  # 2e5-sample MC gradient checks
+    "test_chees",           # adaptive trajectory statistics
+    "test_transform",       # flow trainings
+    "test_sampler_stats",   # KS tests on large draws
+    "test_svgd",            # particle descent to convergence
+    "test_remc",            # replica-exchange statistics
+    "test_sgmcmc_extra",    # long SGMCMC chains
+    "test_diagnostics",     # large-trajectory ESS/R-hat
+    "test_checkpoint",      # HMC resume runs
+    "test_contract",        # full-zoo contract sweep (182s)
+    "test_flow",            # flow-distribution change-of-variables (103s)
+    "test_lkj",             # quadrature/importance normalizer checks (70s)
+    "test_objectives",      # 1e6-sample estimator gradient checks (51s)
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: statistical/example/mesh-compile tests "
+        "excluded from the fast lane (-m 'not slow')")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rpartition(".")[2] in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

@@ -86,13 +86,22 @@ class StudentT(_LocScaleContinuous):
 
     Beyond reference (univariate.py has no heavy-tailed location family).
     Sampler: ``loc + scale * t``, ``t ~ jax.random.t(df)`` — the
-    location-scale path is reparameterized in ``loc``/``scale`` (not in
-    ``df``). Density: the standard t density shifted/scaled.
+    location-scale path is reparameterized in ``loc``/``scale``. Density:
+    the standard t density shifted/scaled.
+
+    ``reparameterize_df=True`` additionally carries gradients through
+    ``df`` via the construction ``t = z / sqrt(g / (df/2))`` with
+    ``z ~ N(0,1)`` and ``g ~ Gamma(df/2, 1)`` — the Gamma draw uses
+    JAX's implicit reparameterization (Figurnov et al. 2018), so the
+    tail weight itself becomes learnable by SGVB. Off by default (the
+    plain path matches ``jax.random.t``'s stream).
     """
 
     def __init__(self, df, loc=0.0, scale=1.0, group_ndims=0,
-                 is_reparameterized=True, use_path_derivative=False,
+                 is_reparameterized=True, reparameterize_df=False,
+                 use_path_derivative=False,
                  check_numerics=False, **kwargs):
+        self._reparameterize_df = bool(reparameterize_df)
         # df participates in the SAME dtype contract as loc/scale: mixed
         # parameter dtypes must raise (as in Normal), and sample/log_prob
         # dtypes must agree.
@@ -119,10 +128,22 @@ class StudentT(_LocScaleContinuous):
         df, loc, scale = _maybe_stop(
             (self._df, self._loc, self._scale), self.is_reparameterized
         )
-        # df never carries reparameterization gradients.
-        df = jax.lax.stop_gradient(df)
         shape = (n_samples,) + self.batch_shape
-        t = jax.random.t(key, df, shape, self.dtype)
+        if self.is_reparameterized and self._reparameterize_df:
+            # z / sqrt(g / (df/2)): the Gamma draw carries the implicit
+            # df-gradient; z is reparameterized trivially.
+            kz, kg = jax.random.split(key)
+            half_df = jnp.broadcast_to(
+                jnp.asarray(0.5, self.dtype) * df, shape
+            )
+            z = jax.random.normal(kz, shape, self.dtype)
+            g = jax.random.gamma(kg, half_df, dtype=self.dtype)
+            t = z * jnp.sqrt(half_df / g)
+        else:
+            # df never carries gradients on this path.
+            t = jax.random.t(
+                key, jax.lax.stop_gradient(df), shape, self.dtype
+            )
         return loc + scale * t
 
     def _log_prob(self, given):

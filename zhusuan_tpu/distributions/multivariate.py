@@ -334,10 +334,19 @@ class Dirichlet(Distribution):
     K >= 2 (multivariate.py:602-623). Sampler: normalized Gammas via the
     native ``jax.random.dirichlet`` (multivariate.py:660-663); density
     ``-lbeta(alpha) + sum((alpha-1)*log(x))`` (multivariate.py:665-677).
-    Not reparameterized.
+
+    Beyond reference: ``is_reparameterized=True`` samples through the
+    normalized-Gamma construction with JAX's implicitly differentiable
+    ``random.gamma`` (Figurnov et al. 2018), so SGVB trains Dirichlet
+    posteriors (e.g. Dirichlet-VAE / LNTM document-topic latents)
+    directly — the reference marked Dirichlet non-reparameterized.
+    Default ``False`` for estimator parity.
     """
 
-    def __init__(self, alpha, group_ndims: int = 0, check_numerics=False, **kwargs):
+    def __init__(self, alpha, group_ndims: int = 0,
+                 is_reparameterized: bool = False,
+                 use_path_derivative: bool = False,
+                 check_numerics=False, **kwargs):
         dtype = assert_same_float_dtype([(alpha, "alpha")])
         self._alpha = jnp.asarray(alpha, dtype)
         if self._alpha.ndim < 1:
@@ -352,7 +361,8 @@ class Dirichlet(Distribution):
             dtype=dtype,
             param_dtype=dtype,
             is_continuous=True,
-            is_reparameterized=False,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
             group_ndims=group_ndims,
             **kwargs,
         )
@@ -367,14 +377,21 @@ class Dirichlet(Distribution):
         return (self._n_categories,)
 
     def _sample(self, key, n_samples):
+        shape = (n_samples,) + self.batch_shape + (self._n_categories,)
+        if self.is_reparameterized:
+            # Normalized-Gamma construction; random.gamma carries the
+            # implicit reparameterization gradient w.r.t. alpha.
+            g = jax.random.gamma(
+                key, jnp.broadcast_to(self._alpha, shape), dtype=self.dtype
+            )
+            return g / jnp.sum(g, axis=-1, keepdims=True)
         alpha = jax.lax.stop_gradient(self._alpha)
-        alpha_b = jnp.broadcast_to(
-            alpha, (n_samples,) + self.batch_shape + (self._n_categories,)
+        return jax.random.dirichlet(
+            key, jnp.broadcast_to(alpha, shape), dtype=self.dtype
         )
-        return jax.random.dirichlet(key, alpha_b, dtype=self.dtype)
 
     def _log_prob(self, given):
-        alpha = self._alpha
+        alpha = self.path_param(self._alpha)
         lbeta = jnp.sum(jax.lax.lgamma(alpha), axis=-1) - jax.lax.lgamma(
             jnp.sum(alpha, axis=-1)
         )

@@ -392,12 +392,22 @@ class Gamma(Distribution):
     ``jax.random.gamma`` (Marsaglia-Tsang on-chip; reference used
     ``tf.random_gamma``, univariate.py:733-735); density
     ``alpha*log(beta) - lgamma(alpha) + (alpha-1)*log(x) - beta*x``
-    (univariate.py:737-747). Not reparameterized (matching the reference; note
-    JAX's gamma does support implicit reparameterization gradients, which we
-    deliberately cut with stop_gradient for estimator parity).
+    (univariate.py:737-747).
+
+    Beyond reference: ``is_reparameterized=True`` enables IMPLICIT
+    reparameterization gradients (Figurnov et al. 2018) through the
+    sampler — ``jax.random.gamma`` differentiates w.r.t. ``alpha`` via
+    the implicit d(sample)/d(alpha) = -(dF/dalpha)/(dF/dx) rule, and the
+    rate enters explicitly through ``g / beta`` — so SGVB can train
+    Gamma posteriors directly. The reference could not offer this
+    (univariate.py:733-735 marks Gamma non-reparameterized); the default
+    stays ``False`` for estimator parity with reference models.
     """
 
-    def __init__(self, alpha, beta, group_ndims: int = 0, check_numerics=False, **kwargs):
+    def __init__(self, alpha, beta, group_ndims: int = 0,
+                 is_reparameterized: bool = False,
+                 use_path_derivative: bool = False,
+                 check_numerics=False, **kwargs):
         dtype = assert_same_float_dtype([(alpha, "alpha"), (beta, "beta")])
         self._alpha = jnp.asarray(alpha, dtype)
         self._beta = jnp.asarray(beta, dtype)
@@ -407,7 +417,8 @@ class Gamma(Distribution):
             dtype=dtype,
             param_dtype=dtype,
             is_continuous=True,
-            is_reparameterized=False,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
             group_ndims=group_ndims,
             **kwargs,
         )
@@ -422,14 +433,16 @@ class Gamma(Distribution):
         return ()
 
     def _sample(self, key, n_samples):
-        alpha = jax.lax.stop_gradient(self._alpha)
-        beta = jax.lax.stop_gradient(self._beta)
+        alpha, beta = _maybe_stop(
+            (self._alpha, self._beta), self.is_reparameterized
+        )
         shape = (n_samples,) + self.batch_shape
         g = jax.random.gamma(key, jnp.broadcast_to(alpha, shape), dtype=self.dtype)
         return g / beta
 
     def _log_prob(self, given):
-        alpha, beta = self._alpha, self._beta
+        alpha = self.path_param(self._alpha)
+        beta = self.path_param(self._beta)
         log_given = jnp.log(given)
         log_beta = jnp.log(beta)
         lgamma_alpha = jax.lax.lgamma(alpha)
@@ -446,10 +459,20 @@ class Beta(Distribution):
     Parity: reference ``univariate.py:753-854``. Sampler: ``x/(x+y)`` from two
     Gammas (univariate.py:826-831); here we use the native
     ``jax.random.beta``. Density ``(a-1)log x + (b-1)log(1-x) - lbeta(a, b)``
-    (univariate.py:833-851). Not reparameterized.
+    (univariate.py:833-851).
+
+    Beyond reference: ``is_reparameterized=True`` draws through the
+    two-Gamma construction ``Ga/(Ga+Gb)`` with JAX's implicitly
+    differentiable ``random.gamma`` (Figurnov et al. 2018) so gradients
+    flow to both concentrations (the reference marks Beta
+    non-reparameterized, univariate.py:826-831). Default ``False`` for
+    estimator parity.
     """
 
-    def __init__(self, alpha, beta, group_ndims: int = 0, check_numerics=False, **kwargs):
+    def __init__(self, alpha, beta, group_ndims: int = 0,
+                 is_reparameterized: bool = False,
+                 use_path_derivative: bool = False,
+                 check_numerics=False, **kwargs):
         dtype = assert_same_float_dtype([(alpha, "alpha"), (beta, "beta")])
         self._alpha = jnp.asarray(alpha, dtype)
         self._beta = jnp.asarray(beta, dtype)
@@ -459,7 +482,8 @@ class Beta(Distribution):
             dtype=dtype,
             param_dtype=dtype,
             is_continuous=True,
-            is_reparameterized=False,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
             group_ndims=group_ndims,
             **kwargs,
         )
@@ -474,9 +498,20 @@ class Beta(Distribution):
         return ()
 
     def _sample(self, key, n_samples):
+        shape = (n_samples,) + self.batch_shape
+        if self.is_reparameterized:
+            # Two-Gamma construction: jax.random.gamma carries implicit
+            # reparameterization gradients w.r.t. its concentration.
+            ka, kb = jax.random.split(key)
+            ga = jax.random.gamma(
+                ka, jnp.broadcast_to(self._alpha, shape), dtype=self.dtype
+            )
+            gb = jax.random.gamma(
+                kb, jnp.broadcast_to(self._beta, shape), dtype=self.dtype
+            )
+            return ga / (ga + gb)
         alpha = jax.lax.stop_gradient(self._alpha)
         beta = jax.lax.stop_gradient(self._beta)
-        shape = (n_samples,) + self.batch_shape
         return jax.random.beta(
             key,
             jnp.broadcast_to(alpha, shape),
@@ -485,7 +520,8 @@ class Beta(Distribution):
         )
 
     def _log_prob(self, given):
-        alpha, beta = self._alpha, self._beta
+        alpha = self.path_param(self._alpha)
+        beta = self.path_param(self._beta)
         log_given = jnp.log(given)
         log_1_minus_given = jnp.log1p(-given)
         lgamma_alpha = jax.lax.lgamma(alpha)
@@ -651,10 +687,15 @@ class InverseGamma(Distribution):
     Parity: reference ``univariate.py:1070-1161``. Sampler ``1 / Gamma``
     (univariate.py:1141-1144); density
     ``alpha*log(beta) - lgamma(alpha) - (alpha+1)*log(x) - beta/x``
-    (univariate.py:1146-1158).
+    (univariate.py:1146-1158). ``is_reparameterized=True`` enables
+    implicit reparameterization through the Gamma draw (see
+    :class:`Gamma`); default ``False`` for reference parity.
     """
 
-    def __init__(self, alpha, beta, group_ndims: int = 0, check_numerics=False, **kwargs):
+    def __init__(self, alpha, beta, group_ndims: int = 0,
+                 is_reparameterized: bool = False,
+                 use_path_derivative: bool = False,
+                 check_numerics=False, **kwargs):
         dtype = assert_same_float_dtype([(alpha, "alpha"), (beta, "beta")])
         self._alpha = jnp.asarray(alpha, dtype)
         self._beta = jnp.asarray(beta, dtype)
@@ -664,7 +705,8 @@ class InverseGamma(Distribution):
             dtype=dtype,
             param_dtype=dtype,
             is_continuous=True,
-            is_reparameterized=False,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
             group_ndims=group_ndims,
             **kwargs,
         )
@@ -679,14 +721,16 @@ class InverseGamma(Distribution):
         return ()
 
     def _sample(self, key, n_samples):
-        alpha = jax.lax.stop_gradient(self._alpha)
-        beta = jax.lax.stop_gradient(self._beta)
+        alpha, beta = _maybe_stop(
+            (self._alpha, self._beta), self.is_reparameterized
+        )
         shape = (n_samples,) + self.batch_shape
         g = jax.random.gamma(key, jnp.broadcast_to(alpha, shape), dtype=self.dtype)
         return beta / g
 
     def _log_prob(self, given):
-        alpha, beta = self._alpha, self._beta
+        alpha = self.path_param(self._alpha)
+        beta = self.path_param(self._beta)
         log_given = jnp.log(given)
         log_beta = jnp.log(beta)
         lgamma_alpha = jax.lax.lgamma(alpha)

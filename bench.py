@@ -137,30 +137,56 @@ def measure_tpu(jax, jnp, zs, device, n_chains, fused=True):
 
 def measure_ess_bias(jax, jnp, zs, device, n_chains=8192):
     """f32 vs bf16 trajectory recording, SAME keys: the ESS ratio bounds
-    the bf16-quantization inflation of the headline (VERDICT r2 weak 1)."""
+    the bf16-quantization inflation of the headline (VERDICT r2 weak 1).
+
+    Measured on a deliberately AUTOCORRELATED chain (1 leapfrog, small
+    step): the headline's own near-iid chains saturate the
+    reference-exact estimator at its cutoff-1 fixed point ESS = n/(3 -
+    2/(n-1)) — a data-INDEPENDENT value (the recurrence includes the
+    lag-0 term, so rho_0 = 1 - 1/(n-1) regardless of the samples; the
+    reference's iid test expecting ~n/3, tests/test_diagnostics.py:22,
+    pins the same semantics). Quantization noise therefore cannot move
+    the headline at all; this check quantifies the bias in the regime
+    where the estimator IS data-dependent (cutoff > 1)."""
     from zhusuan_tpu.diagnostics import ess_batch_device
 
+    target_std = jnp.asarray(np.linspace(0.1, 1.0, DIM), jnp.float32)
+
+    def log_joint(obs):
+        return jnp.sum(-0.5 * (obs["x"] / target_std) ** 2, -1)
+
+    hmc = zs.HMC(step_size=0.05, n_leapfrogs=1,
+                 experimental_fused_step=True)
     out = {}
     with jax.default_device(device):
         for label, dtype in (("f32", None), ("bf16", jnp.bfloat16)):
-            state, burn, sample, _, _ = build(
-                jax, jnp, zs, n_chains, np.float32, fused=True,
-                collect_kw=dict(
-                    collect_fields=("samples",),
-                    **({"collect_dtype": dtype} if dtype else {}),
-                ),
+            state = hmc.init(
+                {"x": jnp.zeros((n_chains, DIM), jnp.float32)},
+                log_joint=log_joint,
             )
-            state, _ = burn(state, jax.random.PRNGKey(0))
-            jax.block_until_ready(state.q["x"])
-            _, o = sample(state, jax.random.PRNGKey(100))
+            kw = {"collect_dtype": dtype} if dtype else {}
+            run = jax.jit(
+                lambda s, k: hmc.run(
+                    log_joint, {}, s, k, N_ITERS,
+                    collect_fields=("samples",), **kw
+                )
+            )
+            state, _ = run(state, jax.random.PRNGKey(0))  # warm the chain
+            _, o = run(state, jax.random.PRNGKey(100))
             traj = o["samples"]["x"]
             T, C, D = traj.shape
             ess = ess_batch_device(traj.reshape(T, C * D)).reshape(C, D)
             out[label] = float(np.minimum.reduce(ess, axis=1).sum())
             del o, traj
-    out["bf16_over_f32"] = round(out["bf16"] / out["f32"], 4)
+    out["bf16_over_f32"] = round(out["bf16"] / out["f32"], 5)
     out["f32"] = round(out["f32"], 1)
     out["bf16"] = round(out["bf16"], 1)
+    out["note"] = (
+        "autocorrelated 1-leapfrog chain (cutoff > 1); the headline's "
+        "near-iid chains sit at the estimator's data-independent "
+        "cutoff-1 fixed point (= n iters / ~3 per chain-dim), where "
+        "collect dtype provably cannot bias ESS"
+    )
     return out
 
 

@@ -587,3 +587,41 @@ class TestHMCThinning:
         with pytest.raises(ValueError, match="thinning"):
             hmc.run(log_joint_gauss, {}, s0, jax.random.PRNGKey(0),
                     n_iters=4, thinning=0)
+
+
+class TestFusedAutoSelect:
+    """experimental_fused_step='auto' (round-3 default): gating logic and
+    CPU fallback invariants."""
+
+    def test_invalid_value_rejected(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="experimental_fused_step"):
+            zs.HMC(experimental_fused_step="yes")
+
+    def test_predictor_false_on_cpu_and_for_ineligible_latents(self):
+        hmc = zs.HMC(step_size=0.1, n_leapfrogs=3)  # default 'auto'
+        # CPU backend (the test environment) -> never fused.
+        assert not hmc._fused_step_likely({"x": jnp.zeros((8, 4),
+                                                          jnp.float32)})
+        off = zs.HMC(step_size=0.1, n_leapfrogs=3,
+                     experimental_fused_step=False)
+        assert not off._fused_step_likely({"x": jnp.zeros((8, 4),
+                                                          jnp.float32)})
+
+    def test_auto_matches_false_on_cpu_bitwise(self):
+        # On CPU the auto default must take the identical scan path —
+        # same PRNG stream, bit-identical draws.
+        def lj(obs):
+            return jnp.sum(-0.5 * obs["x"] ** 2, -1)
+
+        run = lambda hmc: jax.jit(
+            lambda s, k: hmc.run(lj, {}, s, k, 15)
+        )(hmc.init({"x": jnp.zeros((8, 4), jnp.float64)}, log_joint=lj),
+          jax.random.PRNGKey(2))
+        _, out_auto = run(zs.HMC(step_size=0.3, n_leapfrogs=3))
+        _, out_off = run(zs.HMC(step_size=0.3, n_leapfrogs=3,
+                                experimental_fused_step=False))
+        np.testing.assert_array_equal(
+            np.asarray(out_auto["samples"]["x"]),
+            np.asarray(out_off["samples"]["x"]))

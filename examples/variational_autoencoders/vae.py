@@ -156,15 +156,24 @@ def main():
             epoch + 1, time.time() - t0, -neg_lb))
         t0 = time.time()
 
-    for stage in range(epochs // 5):
+    # Train in eval-punctuated stages of <= 5 epochs, covering ALL
+    # `epochs` (a trailing remainder stage trains the leftover epochs).
+    # One loss-fn OBJECT across stages so fit_scan's memoized epoch
+    # program is compiled once and reused every stage.
+    def loss_fn(p, xb, k):
+        return elbo_loss(p, xb, k, z_dim)
+
+    done = 0
+    while done < epochs:
+        stage_epochs = min(5, epochs - done)
         key, k_fit, k_eval = jax.random.split(key, 3)
         params, opt_state, _ = zs.fit_scan(
-            lambda p, xb, k: elbo_loss(p, xb, k, z_dim),
-            params, optimizer, x_train,
-            key=k_fit, epochs=5, batch_size=batch_size,
+            loss_fn, params, optimizer, x_train,
+            key=k_fit, epochs=stage_epochs, batch_size=batch_size,
             opt_state=opt_state,
-            callback=lambda e, l, s=stage: on_epoch(s * 5 + e, l),
+            callback=lambda e, l, s=done: on_epoch(s + e, l),
         )
+        done += stage_epochs
         test_ll = eval_is_loglikelihood(
             params, jnp.asarray(x_test[:1000]), k_eval, z_dim,
             n_particles=1000,

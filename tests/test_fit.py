@@ -105,3 +105,34 @@ class TestFitScan:
             key=jax.random.PRNGKey(2), epochs=3, batch_size=64,
         )
         assert hist[-1].mean() < hist[0].mean()  # loss (=-ELBO) falls
+
+
+class TestEpochFnMemoization:
+    def test_same_loss_and_optimizer_reuse_epoch_fn(self):
+        opt = optax.adam(1e-2)
+        f1 = zs.make_fit_epoch(quad_loss, opt)
+        f2 = zs.make_fit_epoch(quad_loss, opt)
+        assert f1 is f2  # same compiled program across fit_scan calls
+
+    def test_distinct_optimizers_get_distinct_fns(self):
+        f1 = zs.make_fit_epoch(quad_loss, optax.adam(1e-2))
+        f2 = zs.make_fit_epoch(quad_loss, optax.adam(1e-3))
+        assert f1 is not f2
+
+    def test_staged_fit_continues_training(self):
+        # Two 30-epoch stages == continued optimization (loss keeps
+        # falling), exercising the memoized path end-to-end.
+        data, w_true = make_data()
+        opt = optax.adam(0.05)
+        params = {"w": jnp.zeros(4, jnp.float64),
+                  "b": jnp.zeros((), jnp.float64)}
+        params, opt_state, h1 = zs.fit_scan(
+            quad_loss, params, opt, data,
+            key=jax.random.PRNGKey(0), epochs=30, batch_size=64)
+        params, opt_state, h2 = zs.fit_scan(
+            quad_loss, params, opt, data,
+            key=jax.random.PRNGKey(1), epochs=30, batch_size=64,
+            opt_state=opt_state)
+        assert h2[-1].mean() < h1[-1].mean() < h1[0].mean()
+        np.testing.assert_allclose(np.asarray(params["w"]), w_true,
+                                   atol=0.05)

@@ -625,3 +625,21 @@ class TestFusedAutoSelect:
         np.testing.assert_array_equal(
             np.asarray(out_auto["samples"]["x"]),
             np.asarray(out_off["samples"]["x"]))
+
+
+class TestInitSearchFlagValidation:
+    def test_only_none_or_static_false_accepted(self):
+        import pytest
+
+        hmc = zs.HMC(step_size=0.3, n_leapfrogs=2, adapt_step_size=True)
+        s0 = hmc.init({"x": jnp.zeros((4, 2), jnp.float64)},
+                      log_joint=log_joint_gauss)
+        k = jax.random.PRNGKey(0)
+        for bad in (True, jnp.asarray(False), np.False_, 0):
+            with pytest.raises(ValueError, match="init_step_size_search"):
+                hmc.sample(log_joint_gauss, {}, s0, k,
+                           init_step_size_search=bad)
+        # The two supported values work.
+        hmc.sample(log_joint_gauss, {}, s0, k, init_step_size_search=None)
+        hmc.sample(log_joint_gauss, {}, s0, k,
+                   init_step_size_search=False)

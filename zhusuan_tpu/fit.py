@@ -17,6 +17,7 @@ scan body so XLA fuses it with the backward pass.
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -36,7 +37,20 @@ def make_fit_epoch(loss_fn: Callable, optimizer) -> Callable:
     ``losses`` is the per-step loss vector ``[n_batches]``. The whole
     epoch is one ``lax.scan`` — dispatch cost is one call per epoch, not
     per step.
+
+    Memoized on ``(loss_fn, optimizer)`` when both are hashable (plain
+    functions and optax GradientTransformations are), so repeated
+    ``fit_scan`` calls — e.g. a train/eval stage loop — reuse the SAME
+    jit wrapper and its compiled program instead of re-tracing (a cold
+    compile costs ~30-300s on the remote-compile runtime, CLAUDE.md).
     """
+    try:
+        return _make_fit_epoch_cached(loss_fn, optimizer)
+    except TypeError:  # unhashable loss_fn/optimizer: build uncached
+        return _make_fit_epoch(loss_fn, optimizer)
+
+
+def _make_fit_epoch(loss_fn: Callable, optimizer) -> Callable:
 
     @jax.jit
     def epoch_fn(params, opt_state, batches, key):
@@ -56,6 +70,11 @@ def make_fit_epoch(loss_fn: Callable, optimizer) -> Callable:
         return params, opt_state, losses
 
     return epoch_fn
+
+
+@_functools.lru_cache(maxsize=64)
+def _make_fit_epoch_cached(loss_fn, optimizer):
+    return _make_fit_epoch(loss_fn, optimizer)
 
 
 def _apply(params, updates):

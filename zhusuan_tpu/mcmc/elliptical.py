@@ -37,11 +37,24 @@ Latent = Dict[str, jnp.ndarray]
 
 
 class EllipticalSliceState(NamedTuple):
-    """Explicit sampler state."""
+    """Explicit sampler state.
+
+    Cache invariant: ``log_lik`` is only valid for the likelihood the
+    state was last advanced under (the MHState recipe, rwm.py). ``init``
+    fills it with a NaN sentinel and ``sample`` re-evaluates on the
+    sentinel; call :meth:`invalidate_cache` after re-targeting a
+    restored state.
+    """
 
     f: Latent  # position: chain_axes + data_axes
     log_lik: jnp.ndarray  # [chain_shape] cached log likelihood at f
     t: jnp.ndarray  # iteration counter (int32)
+
+    def invalidate_cache(self) -> "EllipticalSliceState":
+        """Mark the likelihood cache stale; the next ``sample`` call
+        re-evaluates it against its own target."""
+        return self._replace(log_lik=jnp.full_like(self.log_lik,
+                                                   float("nan")))
 
 
 class EllipticalSliceInfo(NamedTuple):

@@ -430,14 +430,17 @@ class HMC:
         :param reinit_step_size: optional traced bool forcing the heuristic
             step-size re-search and a dual-averaging fresh start this
             iteration (used by :meth:`warmup_run` at window boundaries).
-        :param init_step_size_search: pass the static value ``False`` to
-            suppress the t-based heuristic init-search trigger (which
-            otherwise fires at ``t==1`` and ``t==mass_collect_iters``)
-            regardless of the state's counter — XLA then DCEs the search
-            ``while_loop`` from the program. Used by :class:`~.AnnealedSMC`
-            rejuvenation, whose kernel must be a FIXED f_beta-invariant
-            transition independent of the particle cloud. An explicit
-            ``reinit_step_size=True`` still forces a search.
+        :param init_step_size_search: ONLY ``None`` (default trigger
+            behavior) or the static Python ``False`` (suppress the
+            t-based heuristic init-search trigger, which otherwise fires
+            at ``t==1`` and ``t==mass_collect_iters``, regardless of the
+            state's counter — XLA then DCEs the search ``while_loop``
+            from the program). Any other value — including traced bools
+            and ``True`` — raises: the gate must be a compile-time
+            constant (to force a search, use ``reinit_step_size=True``).
+            Used by :class:`~.AnnealedSMC` rejuvenation, whose kernel
+            must be a FIXED f_beta-invariant transition independent of
+            the particle cloud.
         :param cache: optional ``(log_prob, grad_dict)`` evaluated at
             ``state.q`` (build the first one with :meth:`make_cache`).
             When given, the iteration skips re-evaluating the density and
@@ -452,6 +455,15 @@ class HMC:
         :return: ``(new_state, HMCInfo)``, plus ``new_cache`` when
             ``cache`` was given.
         """
+        if not (init_step_size_search is None
+                or init_step_size_search is False):
+            # Must be a compile-time constant (the suppression relies on
+            # XLA DCE); traced values or True would be silent no-ops.
+            raise ValueError(
+                "init_step_size_search accepts only None or the static "
+                "Python False (got {!r}); use reinit_step_size=True to "
+                "force a search.".format(init_step_size_search)
+            )
         log_post = make_log_joint_fn(meta_bn, observed)
         q = state.q
         n_chain_dims = len(jax.eval_shape(log_post, q).shape)

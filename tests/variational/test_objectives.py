@@ -283,3 +283,30 @@ class TestInclusiveKL:
         obj = klpq(log_joint_p, {}, variational=q)
         with pytest.warns(UserWarning, match="self-normalized"):
             obj.importance()
+
+
+class TestReinforceCenterIsPreUpdate:
+    def test_signal_centered_with_pre_update_mean(self):
+        """The NVIL center must be the PRE-update moving mean (reference
+        exclusive_kl.py:215-217 subtracts the variable read, not the
+        assign result): a post-update center contains (1-decay) of the
+        batch's own signal and biases the score gradient. Verified by
+        reconstructing the surrogate from the centered signal."""
+        samples = jax.random.normal(KEY, (64,), jnp.float64) * 0.7 + 0.8
+        q_dist = zs.distributions.Normal(0.8, std=0.7)
+        log_q = q_dist.log_prob(samples)
+        lb = elbo(log_joint_p, {}, latent={"x": (samples, log_q)}, axis=0)
+        m0, decay = jnp.float64(1.7), 0.9
+        cost, new_mm = lb.reinforce(moving_mean=m0, decay=decay)
+
+        l_signal = np.asarray(log_joint_p({"x": samples})) - np.asarray(
+            log_q)
+        np.testing.assert_allclose(
+            float(new_mm),
+            decay * float(m0) + (1 - decay) * l_signal.mean(), rtol=1e-6)
+        # cost = -log_joint + sg(centered signal) * entropy, with
+        # entropy = -log_q.
+        expected_cost = np.mean(
+            -np.asarray(log_joint_p({"x": samples}))
+            - (l_signal - float(m0)) * np.asarray(log_q))
+        np.testing.assert_allclose(float(cost), expected_cost, rtol=1e-6)

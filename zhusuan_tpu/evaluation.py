@@ -72,8 +72,8 @@ class AIS:
     :param hmc: an :class:`HMC` instance used as the transition kernel.
     :param observed: dict of observations.
     :param latent: list of latent node names (the reference took a dict of
-        tf.Variables; shapes come from the proposal here).
-    :param n_chains: number of independent annealing chains (leading axis).
+        tf.Variables; shapes come from the proposal here — the chain
+        count is the proposal samples' leading axis).
     :param n_temperatures: number of annealing steps.
     :param n_adapt: number of step-size adaptation iterations before the
         annealing run.
@@ -97,6 +97,8 @@ class AIS:
         self._latent_names = (
             list(latent.keys()) if isinstance(latent, dict) else list(latent)
         )
+        if int(n_temperatures) < 1:
+            raise ValueError("n_temperatures must be >= 1.")
         self._n_temperatures = int(n_temperatures)
         self._n_adapt = int(n_adapt)
 
@@ -177,9 +179,22 @@ class AIS:
         def anneal_body(carry, T):
             st, k, log_w = carry
             k, sub = jax.random.split(k)
+            # EVERY adaptation channel is frozen during annealing — step
+            # size, mass (an adapt_mass=True kernel would otherwise keep
+            # re-estimating its metric from the per-temperature particle
+            # cloud), and the t-based heuristic init-step-size search
+            # (fires at t==1 / t==mass_collect_iters regardless of the
+            # runtime gates) — so each transition is a FIXED
+            # f_T-invariant kernel, the invariance AIS formally requires
+            # (same discipline as AnnealedSMC rejuvenation, smc.py).
             st2, info = self._hmc.sample(
                 self._tempered_log_fn(T), self._observed, st, sub,
                 adapt_step_size=jnp.asarray(False) if adapt_enabled else None,
+                adapt_mass=(
+                    jnp.asarray(False)
+                    if self._hmc.adapt_mass is not None else None
+                ),
+                init_step_size_search=False,
             )
             # old/new log f_T values come out of the HMC info directly.
             log_w = log_w + info.orig_log_prob - info.log_prob

@@ -8,8 +8,7 @@ CPU-side gradient averaging.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,11 +30,19 @@ def chain_mesh(n_devices: Optional[int] = None, axis_name: str = "chains"):
     """Build a 1-D device mesh over which the leading chain/particle axis is
     sharded — the PPL's flagship parallel axis (SURVEY.md §2.10 row 1).
 
-    :param n_devices: number of devices (default: all).
+    :param n_devices: number of devices (default: all). Requesting more
+        devices than the backend exposes raises — a silently smaller mesh
+        would make :func:`shard_chains` quietly replicate arrays the
+        caller sized for ``n_devices``-way sharding.
     :param axis_name: mesh axis name.
     """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                "chain_mesh: requested {} devices but the backend exposes "
+                "only {}.".format(n_devices, len(devices))
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
 

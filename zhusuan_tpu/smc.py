@@ -148,7 +148,9 @@ class AnnealedSMC:
     def _setup(self, key):
         """Draw initial particles and validate the chain shape."""
         q0 = self._init_particles(key)
-        lp_probe = self._log_prior(q0)
+        # Shape-only probe: no density FLOPs spent on validation
+        # (evaluation.py/laplace.py pattern).
+        lp_probe = jax.eval_shape(self._log_prior, q0)
         if lp_probe.ndim != 1:
             raise ValueError(
                 "AnnealedSMC supports a single particle axis: the proposal "

@@ -96,7 +96,13 @@ class EvidenceLowerBoundObjective(VariationalObjective):
                 moving_mean = jnp.asarray(moving_mean)
                 new_moving_mean = decay * moving_mean + (1.0 - decay) * \
                     jax.lax.stop_gradient(bc)
-                l_signal = l_signal - new_moving_mean
+                # Center with the PRE-update mean (reference
+                # exclusive_kl.py:215-217 subtracts the moving_mean
+                # variable read, not the assign result): the post-update
+                # value contains (1-decay) of THIS batch's own signal,
+                # which would correlate the baseline with the samples and
+                # bias the score-function gradient.
+                l_signal = l_signal - moving_mean
             else:
                 l_signal = l_signal - jax.lax.stop_gradient(bc)
 

@@ -6,6 +6,7 @@ import tempfile
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import zhusuan_tpu as zs
 from zhusuan_tpu.checkpoint import restore_checkpoint, save_checkpoint
@@ -153,3 +154,50 @@ def test_checkpoint_roundtrip_new_sampler_states():
     # for structure); one step must stay finite.
     m2, _ = mala.sample(lj, {}, m_state, jax.random.PRNGKey(2))
     assert np.all(np.isfinite(np.asarray(m2.q["x"])))
+
+
+class TestRound3ReviewFixes:
+    def test_orbax_namedtuple_restore_by_path(self, tmp_path):
+        """Orbax restores NamedTuples as dicts with ALPHABETICAL key order;
+        a positional unflatten scrambled same-shaped fields (review r3).
+        Restore must match leaves by path."""
+        pytest.importorskip("orbax.checkpoint")
+        from zhusuan_tpu.mcmc.sgmcmc import SGMCMCState
+
+        state = SGMCMCState(
+            q={"x": jnp.asarray([1.0, 2.0])},
+            t=jnp.asarray(7, jnp.int32),
+            v={"x": jnp.asarray([3.0, 4.0])},       # same shape as q
+            alpha={"x": jnp.asarray([5.0, 6.0])},   # same shape again
+            rms={},
+        )
+        p = str(tmp_path / "orbax_ckpt")
+        save_checkpoint(p, state, step=7, use_orbax=True)
+        restored, step = restore_checkpoint(p, like=state)
+        assert step == 7
+        np.testing.assert_array_equal(np.asarray(restored.q["x"]), [1, 2])
+        np.testing.assert_array_equal(np.asarray(restored.v["x"]), [3, 4])
+        np.testing.assert_array_equal(
+            np.asarray(restored.alpha["x"]), [5, 6])
+        assert int(restored.t) == 7
+
+    def test_npz_bfloat16_roundtrip(self, tmp_path):
+        state = {"w": jnp.arange(6, dtype=jnp.bfloat16).reshape(2, 3),
+                 "b": jnp.ones((), jnp.float32)}
+        p = str(tmp_path / "bf16.npz")
+        save_checkpoint(p, state, use_orbax=False)
+        restored, _ = restore_checkpoint(p)
+        assert restored["w"].dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(restored["w"], np.float32),
+            np.arange(6, dtype=np.float32).reshape(2, 3))
+
+    def test_npz_list_with_none_requires_like(self, tmp_path):
+        state = {"a": [jnp.asarray(1.0), None, jnp.asarray(2.0)]}
+        p = str(tmp_path / "holes.npz")
+        save_checkpoint(p, state, use_orbax=False)
+        with pytest.raises(ValueError, match="like"):
+            restore_checkpoint(p)
+        restored, _ = restore_checkpoint(p, like=state)
+        assert restored["a"][1] is None
+        assert float(restored["a"][2]) == 2.0

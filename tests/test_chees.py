@@ -38,9 +38,14 @@ class TestChEES:
         np.testing.assert_allclose(
             xs.mean(0) / np.asarray(STD), np.zeros(16), atol=0.1
         )
-        acc = float(np.mean(np.asarray(out["acceptance_rate"][600:])))
-        # Dual averaging drives acceptance to the 0.651 target.
-        assert abs(acc - 0.651) < 0.1, acc
+        # Dual averaging drives the HARMONIC-mean acceptance (across
+        # chains, the paper's statistic — round-3 fix) to the 0.651
+        # target; the arithmetic mean then sits above it.
+        a = np.asarray(out["acceptance_rate"][600:], np.float64)
+        harm = float(np.mean(1.0 / np.mean(1.0 / np.maximum(a, 1e-10),
+                                           axis=1)))
+        assert abs(harm - 0.651) < 0.1, harm
+        assert float(np.mean(a)) >= harm - 1e-6
 
     def test_trajectory_scales_with_target_width(self):
         # The ChEES-optimal integration time grows with the widest

@@ -116,11 +116,9 @@ def transform_log_joint(log_joint, bijectors: Dict[str, Bijector]):
         coordinates (change-of-variables term included) plus dict maps
         in both directions.
     """
-    from zhusuan_tpu.framework.meta_bn import MetaBayesianNet
+    from zhusuan_tpu.mcmc.base import make_log_joint_fn
 
-    if isinstance(log_joint, MetaBayesianNet):
-        meta_bn = log_joint
-        log_joint = lambda obs: meta_bn.observe(**obs).log_joint()
+    log_joint = make_log_joint_fn(log_joint, {})
     bijectors = dict(bijectors)
 
     def to_constrained(latent):

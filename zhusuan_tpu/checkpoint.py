@@ -81,6 +81,16 @@ def _rebuild_from_paths(paths, leaves):
             return {}
         keys = sorted(node.keys(), key=lambda k: (str(type(k)), k))
         if all(isinstance(k, int) for k in keys):
+            if keys != list(range(len(keys))):
+                # A list/tuple with None entries was saved: None is
+                # structure, not a leaf, so the indices have holes and
+                # the sequence cannot be rebuilt faithfully without a
+                # template.
+                raise ValueError(
+                    "This checkpoint contains a sequence with None "
+                    "entries (indices {}); pass `like=` (a template "
+                    "state) to restore it faithfully.".format(keys)
+                )
             return [finalize(node[i], kinds_at) for i in range(len(keys))]
         return {k: finalize(node[k], kinds_at) for k in node}
 
@@ -90,6 +100,17 @@ def _rebuild_from_paths(paths, leaves):
             return leaf
         insert(root, path, leaf)
     return finalize(root, None)
+
+
+def _dtype_from_name(name: str) -> np.dtype:
+    """Resolve a dtype name, including ml_dtypes names ('bfloat16',
+    'float8_e4m3fn', ...) that plain ``np.dtype`` does not accept."""
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes
+
+        return np.dtype(getattr(ml_dtypes, name))
 
 
 def save_checkpoint(path: str, state: Any, step: int = 0, use_orbax=None):
@@ -112,12 +133,25 @@ def save_checkpoint(path: str, state: Any, step: int = 0, use_orbax=None):
             if use_orbax:
                 raise
     leaves = jax.tree.leaves(state)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays = {}
+    exotic = {}  # leaf index -> [dtype name, shape] for npz-hostile dtypes
+    for i, x in enumerate(leaves):
+        arr = np.asarray(x)
+        if arr.dtype.kind == "V":
+            # ml_dtypes types (bfloat16, float8_*) register as void in
+            # npy headers and round-trip as unusable '|V' blobs — store
+            # raw bytes + (dtype, shape) metadata instead.
+            exotic[i] = [arr.dtype.name, list(arr.shape)]
+            arr = np.frombuffer(arr.tobytes(), dtype=np.uint8)
+        arrays[f"leaf_{i}"] = arr
     paths_json = json.dumps(_encode_paths(state))
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     np.savez(
         path,
         __paths__=np.frombuffer(paths_json.encode("utf-8"), dtype=np.uint8),
+        __exotic__=np.frombuffer(
+            json.dumps(exotic).encode("utf-8"), dtype=np.uint8
+        ),
         __step__=np.asarray(step),
         **arrays,
     )
@@ -148,7 +182,20 @@ def restore_checkpoint(path: str, like: Any = None):
             )
         paths = json.loads(data["__paths__"].tobytes().decode("utf-8"))
         step = int(data["__step__"])
-        leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(paths))]
+        exotic = (
+            json.loads(data["__exotic__"].tobytes().decode("utf-8"))
+            if "__exotic__" in data.files else {}
+        )
+        leaves = []
+        for i in range(len(paths)):
+            arr = data[f"leaf_{i}"]
+            meta = exotic.get(str(i))
+            if meta is not None:
+                name, shape = meta
+                arr = np.frombuffer(
+                    arr.tobytes(), dtype=_dtype_from_name(name)
+                ).reshape(shape)
+            leaves.append(jnp.asarray(arr))
         if like is not None:
             structure = jax.tree.structure(like)
             if structure.num_leaves != len(leaves):
@@ -170,8 +217,48 @@ def restore_checkpoint(path: str, like: Any = None):
     restored = ckpt.restore(os.path.abspath(path))
     state, step = restored["state"], int(restored["step"])
     if like is not None:
-        state = jax.tree.unflatten(
-            jax.tree.structure(like),
-            [jnp.asarray(x) for x in jax.tree.leaves(state)],
-        )
+        # Orbax restores custom nodes (NamedTuples, ...) as plain dicts,
+        # whose jax leaf order is ALPHABETICAL by key — not the field
+        # declaration order of `like` — so a positional unflatten would
+        # scramble same-shaped fields (q <-> momentum, mean <-> var).
+        # Match leaves to the template BY PATH instead.
+        state = _restore_like_by_path(like, state)
     return state, step
+
+
+def _restore_like_by_path(like, restored):
+    """Rebuild ``like``'s structure from an orbax-restored container tree,
+    resolving each template leaf path against dict/list nesting (attribute
+    names become dict keys in the restored tree)."""
+    flat_like, treedef = jax.tree_util.tree_flatten_with_path(like)
+    leaves = []
+    for path, _ in flat_like:
+        node = restored
+        walked = []
+        for p in path:
+            if isinstance(p, DictKey):
+                key = p.key
+            elif isinstance(p, GetAttrKey):
+                key = p.name
+            elif isinstance(p, SequenceKey):
+                key = p.idx
+            elif isinstance(p, FlattenedIndexKey):
+                key = p.key
+            else:  # pragma: no cover - unknown key type
+                raise ValueError(
+                    "Cannot resolve pytree path entry {!r} against the "
+                    "restored checkpoint.".format(p)
+                )
+            walked.append(key)
+            try:
+                if isinstance(node, dict):
+                    node = node[key] if key in node else node[str(key)]
+                else:
+                    node = node[int(key)]
+            except (KeyError, IndexError, TypeError, ValueError):
+                raise ValueError(
+                    "Checkpoint does not contain a value at path {} "
+                    "required by the `like` template.".format(walked)
+                )
+        leaves.append(jnp.asarray(node))
+    return jax.tree_util.tree_unflatten(treedef, leaves)

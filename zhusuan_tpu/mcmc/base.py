@@ -54,6 +54,17 @@ def make_log_joint_fn(meta_bn_or_log_joint, observed):
     return log_posterior
 
 
+def on_cpu_backend() -> bool:
+    """Trace-time guess of whether computation targets the CPU backend
+    (best-effort: an explicit device_put to CPU on a TPU host is not
+    detectable). Shared by the fused-kernel gates in hmc.py/sgmcmc.py."""
+    default_dev = getattr(jax.config, "jax_default_device", None)
+    return jax.default_backend() == "cpu" or (
+        default_dev is not None
+        and getattr(default_dev, "platform", None) == "cpu"
+    )
+
+
 def _data_axes(q: Latent, n_chain_dims: int):
     return {k: tuple(range(n_chain_dims, v.ndim)) for k, v in q.items()}
 

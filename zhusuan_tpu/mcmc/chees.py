@@ -264,10 +264,17 @@ class ChEESHMC:
         gate = jnp.asarray(adapt)
 
         # --- step-size dual averaging (shared helper; hmc.py:89-112) --- #
+        # HARMONIC-mean acceptance across chains (Hoffman et al. 2021,
+        # the module docstring's promise): dominated by the worst-mixing
+        # chains, so stragglers pull the step size down where the
+        # arithmetic mean would let a few accept~1 chains mask them.
+        harmonic_accept = 1.0 / jnp.mean(
+            1.0 / jnp.maximum(accept_prob, 1e-10)
+        )
         step_size, new_da_step, new_h_bar, new_log_eps_bar = (
             dual_averaging_update(
                 state.da_step, state.h_bar, state.log_epsilon_bar,
-                state.step_size, jnp.mean(accept_prob), gate,
+                state.step_size, harmonic_accept, gate,
                 fresh_start=state.da_step == 0,
                 mu=self.mu, target=self.target_acceptance_rate,
                 gamma=self.gamma, t0=self.t0, kappa=self.kappa,

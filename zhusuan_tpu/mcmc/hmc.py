@@ -179,13 +179,11 @@ class HMC:
     # ------------------------------------------------------------------ #
     @staticmethod
     def _on_cpu() -> bool:
-        """Trace-time guess of the target backend (best-effort: an
-        explicit device_put to CPU on a TPU host is not detectable)."""
-        default_dev = getattr(jax.config, "jax_default_device", None)
-        return jax.default_backend() == "cpu" or (
-            default_dev is not None
-            and getattr(default_dev, "platform", None) == "cpu"
-        )
+        """Trace-time guess of the target backend (shared helper,
+        mcmc/base.py)."""
+        from zhusuan_tpu.mcmc.base import on_cpu_backend
+
+        return on_cpu_backend()
 
     def _fused_step_likely(self, q) -> bool:
         """Cheap predictor of whether :meth:`sample` will take the fused

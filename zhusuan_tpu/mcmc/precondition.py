@@ -74,11 +74,9 @@ def whiten_log_joint(log_joint, name: str, chol):
         ``y -> q`` acting on ``[..., d]`` arrays.
     """
     chol = jnp.asarray(chol)
-    from zhusuan_tpu.framework.meta_bn import MetaBayesianNet
+    from zhusuan_tpu.mcmc.base import make_log_joint_fn
 
-    if isinstance(log_joint, MetaBayesianNet):
-        meta_bn = log_joint
-        log_joint = lambda obs: meta_bn.observe(**obs).log_joint()
+    log_joint = make_log_joint_fn(log_joint, {})
 
     def from_white(y):
         return y @ chol.T

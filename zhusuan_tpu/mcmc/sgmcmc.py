@@ -22,7 +22,11 @@ from typing import Callable, Dict, NamedTuple, Optional, Union
 import jax
 import jax.numpy as jnp
 
-from zhusuan_tpu.mcmc.base import make_log_joint_fn, tree_normal_like
+from zhusuan_tpu.mcmc.base import (
+    make_log_joint_fn,
+    on_cpu_backend,
+    tree_normal_like,
+)
 
 __all__ = ["SGMCMC", "SGMCMCState", "SGMCMCInfo", "SGLD", "PSGLD", "SGHMC", "SGNHT"]
 
@@ -63,12 +67,7 @@ def _fused_gate(q):
         return None
     (name,) = q.keys()
     arr = q[name]
-    default_dev = getattr(jax.config, "jax_default_device", None)
-    on_cpu = jax.default_backend() == "cpu" or (
-        default_dev is not None
-        and getattr(default_dev, "platform", None) == "cpu"
-    )
-    if on_cpu or arr.ndim != 2 or arr.dtype != jnp.float32:
+    if on_cpu_backend() or arr.ndim != 2 or arr.dtype != jnp.float32:
         return None
     return name
 
@@ -142,59 +141,75 @@ class SGMCMC:
 
         :param collect: stack per-iteration ``q`` (thinned) when True.
         :param collect_info: additionally stack the full per-iteration
-            :class:`SGMCMCInfo` (mean kinetic energy, thermostat values).
+            :class:`SGMCMCInfo` (mean kinetic energy, thermostat values);
+            composes with ``thinning`` (every ``thinning``-th info).
         :return: ``(final_state, stacked_q_or_None)`` — or
             ``(final_state, stacked_q, stacked_info)`` when
             ``collect_info``.
         """
 
-        def body(carry, _):
-            st, k = carry
+        def one(st, k):
             k, sub = jax.random.split(k)
             st2, info = self.sample(meta_bn, observed, st, sub)
-            out = info.q if collect else None
-            if collect_info:
-                out = (out, info)
-            return (st2, k), out
+            return st2, k, info
 
-        if collect and thinning > 1 and not collect_info:
+        if collect and thinning > 1:
             # Memory-bounded thinning: inner loop of `thinning` un-collected
             # iterations per emitted draw (stacking all n_iters and slicing
-            # afterwards would allocate the full trajectory).
+            # afterwards would allocate the full trajectory). The HMC.run
+            # recipe: first inner step outside the fori_loop to seed a
+            # uniform info carry; the remainder advances on the SAME key
+            # thread so the final state matches the unthinned run
+            # bit-for-bit for any n_iters.
             n_out = n_iters // thinning
 
             def outer(carry, _):
-                def inner(_, c):
-                    st, k = c
-                    k, sub = jax.random.split(k)
-                    st2, _ = self.sample(meta_bn, observed, st, sub)
-                    return (st2, k)
+                st, k = carry
+                st, k, info = one(st, k)
 
-                st, k = jax.lax.fori_loop(0, thinning, inner, carry)
-                return (st, k), st.q
+                def inner(t, c):
+                    st, k, _ = c
+                    return one(st, k)
 
-            (final_state, _), qs = jax.lax.scan(
+                st, k, info = jax.lax.fori_loop(
+                    1, thinning, inner, (st, k, info)
+                )
+                return (st, k), ((info.q, info) if collect_info
+                                 else info.q)
+
+            (final_state, key), outs = jax.lax.scan(
                 outer, (state, key), None, length=n_out
             )
             rem = n_iters - n_out * thinning
             if rem:
+                def tail(carry, _):
+                    st, k = carry
+                    st, k, _ = one(st, k)
+                    return (st, k), None
+
                 (final_state, _), _ = jax.lax.scan(
-                    lambda c, _: (body(c, None)[0], None),
-                    (final_state, jax.random.fold_in(key, 1)),
-                    None, length=rem,
+                    tail, (final_state, key), None, length=rem
                 )
-            return final_state, qs
+            if collect_info:
+                qs, infos = outs
+                return final_state, qs, infos
+            return final_state, outs
+
+        def body(carry, _):
+            st, k = carry
+            st2, k, info = one(st, k)
+            out = info.q if collect else None
+            if collect_info:
+                out = (out, info)
+            return (st2, k), out
 
         (final_state, _), outs = jax.lax.scan(
             body, (state, key), None, length=n_iters
         )
         if collect_info:
             qs, infos = outs
-        else:
-            qs, infos = outs, None
-        if collect_info:
             return final_state, qs, infos
-        return final_state, qs
+        return final_state, outs
 
 
 class SGLD(SGMCMC):

@@ -254,6 +254,8 @@ class TestSpecial:
         out = dist.sample(KEY, 3)
         assert out.shape == (3, 2)
         np.testing.assert_allclose(np.asarray(out[0]), [1.0, 2.0])
-        np.testing.assert_allclose(
-            np.asarray(dist.prob(_f64([1.0, 0.0]))), [1.0, 0.0]
+        # Continuous implicit density is a point mass: +inf at the sample,
+        # -inf elsewhere (reference legacy/distributions/special.py:164-169).
+        np.testing.assert_array_equal(
+            np.asarray(dist.prob(_f64([1.0, 0.0]))), [np.inf, -np.inf]
         )

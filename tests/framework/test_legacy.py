@@ -165,9 +165,14 @@ def test_implicit_wrapper():
     with pytest.warns(FutureWarning):
         node = legacy.Implicit("i", samples)
     np.testing.assert_array_equal(np.asarray(node.tensor), np.arange(3.0))
-    # Delta-like density: 1 where equal, 0 elsewhere.
+    # Continuous implicit density is a point mass: +inf at the sample,
+    # -inf elsewhere (reference legacy/distributions/special.py:164-169:
+    # ``(2*equal - 1) * inf``).
     np.testing.assert_array_equal(
-        np.asarray(node.dist.prob(samples)), np.ones(3)
+        np.asarray(node.dist.prob(samples)), np.full(3, np.inf)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(node.dist.prob(samples + 1.0)), np.full(3, -np.inf)
     )
 
 

@@ -242,3 +242,20 @@ class TestRankNormalizedRhat:
         r2 = float(potential_scale_reduction(
             disc, rank_normalized=True)[0])
         assert r2 < 1.02, r2
+
+
+class TestFrozenChainESS:
+    def test_zero_variance_dimension_reports_zero_not_full(self):
+        """A frozen (permanently-rejecting) chain used to be credited with
+        FULL ess=n by the host estimator while the device variant said
+        ~0.5 (review r3). Both now report 0 — conservative and equal."""
+        from zhusuan_tpu.diagnostics import ess_batch, ess_batch_device
+
+        rng = np.random.RandomState(0)
+        x = np.zeros((200, 2))
+        x[:, 0] = rng.randn(200)  # healthy iid column
+        # column 1 stays constant (frozen chain)
+        host = ess_batch(x)
+        dev = np.asarray(ess_batch_device(jnp.asarray(x)))
+        assert host[0] > 30 and dev[0] > 30
+        assert host[1] == 0.0 and dev[1] == 0.0

@@ -142,7 +142,12 @@ def _ess_from_acov(acov, n):
     cutoff = np.where(any_neg, neg.argmax(axis=0), n)  # [d]
     lag_idx = np.arange(n)[:, None]
     sum_rho = np.sum(np.where(lag_idx < cutoff, rho, 0.0), axis=0)
-    return n / (1.0 + 2.0 * sum_rho)
+    ess = n / (1.0 + 2.0 * sum_rho)
+    # Zero-variance (frozen) dimension: the recurrence is 0/0 there and
+    # the NaN->-1 fill used to credit a permanently-rejecting chain with
+    # FULL ess = n. A constant chain carries no information about mixing
+    # — report 0 (conservative; matches ess_batch_device bit-for-bit).
+    return np.where(var_plus > 0, ess, 0.0)
 
 
 def effective_sample_size_1d(samples):
@@ -206,7 +211,10 @@ def ess_batch_device(samples, chunk: int = 1 << 18):
         cutoff = jnp.where(any_neg, jnp.argmax(neg, axis=0), n)
         lag_idx = jnp.arange(n)[:, None]
         sum_rho = jnp.sum(jnp.where(lag_idx < cutoff, rho, 0.0), axis=0)
-        return n / (1.0 + 2.0 * sum_rho)
+        ess = n / (1.0 + 2.0 * sum_rho)
+        # Frozen dimension -> 0, agreeing with the host ess_batch (see
+        # _ess_from_acov).
+        return jnp.where(var_plus > 0, ess, 0.0)
 
     out = []
     for start in range(0, d, chunk):

@@ -174,7 +174,21 @@ class Distribution:
     # densities                                                          #
     # ------------------------------------------------------------------ #
     def _check_input_shape(self, given):
-        given = jnp.asarray(given, dtype=self.dtype)
+        given = jnp.asarray(given)
+        if self.is_continuous or not jnp.issubdtype(
+            given.dtype, jnp.floating
+        ):
+            # Continuous heads score in their sample dtype; integer input
+            # to a discrete head likewise.
+            given = given.astype(self.dtype)
+        else:
+            # FLOAT input to a discrete head: cast to param_dtype so
+            # fractional values (soft labels, dequantized counts) score
+            # exactly — the reference casts `given` to param_dtype inside
+            # each _log_prob (e.g. univariate.py:1047-1064); casting to
+            # the integer sample dtype here would silently truncate
+            # Bernoulli(0.5) to Bernoulli(0.0).
+            given = given.astype(self.param_dtype)
         static_sample_shape = tuple(self.batch_shape) + tuple(self.value_shape)
         try:
             np.broadcast_shapes(jnp.shape(given), static_sample_shape)

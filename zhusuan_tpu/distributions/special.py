@@ -117,7 +117,11 @@ class Implicit(Distribution):
     def _prob(self, given):
         prob = (given == self._samples).astype(self.param_dtype)
         if self.is_continuous:
-            # Continuous implicit density is degenerate; parity with the
-            # reference's convention of returning an indicator.
-            return prob
+            # Continuous implicit density is a point mass: +inf at the
+            # sample, -inf elsewhere (reference convention
+            # legacy/distributions/special.py:164-169:
+            # ``(2*equal - 1) * inf``).
+            return (2.0 * prob - 1.0) * jnp.asarray(
+                jnp.inf, self.param_dtype
+            )
         return prob

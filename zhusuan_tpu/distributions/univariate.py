@@ -317,7 +317,15 @@ class Categorical(Distribution):
         given_b = jnp.broadcast_to(given, out_shape).astype(jnp.int32)
         log_p_b = jnp.broadcast_to(log_p, out_shape + (self._n_categories,))
         gathered = jnp.take_along_axis(log_p_b, given_b[..., None], axis=-1)
-        return jnp.squeeze(gathered, axis=-1)
+        # take_along_axis clamps out-of-range indices, which would return
+        # a plausible-looking density for data outside the support; mask
+        # to -inf instead (scipy/log-pmf convention).
+        in_support = (given_b >= 0) & (given_b < self._n_categories)
+        return jnp.where(
+            in_support,
+            jnp.squeeze(gathered, axis=-1),
+            -jnp.inf,
+        )
 
 
 Discrete = Categorical

@@ -55,14 +55,24 @@ def posterior_predictive(
     n_draws = n_set.pop()
 
     if outputs is None:
-        # One probe instantiation on a single draw (cheap, outside the
-        # vmap) enumerates the stochastic nodes the draws do not pin down.
+        # Trace-only probe (jax.eval_shape): enumerates the stochastic
+        # nodes the draws do not pin down with ZERO device work — a real
+        # observe+sample here would compile and execute the whole model
+        # once just to read node names (~30-300s per new program shape on
+        # the remote-compile runtime, CLAUDE.md).
         one = {k: jnp.asarray(v)[0] for k, v in draws.items()}
-        bn = meta_bn.observe(key=jax.random.PRNGKey(0), **one)
-        outputs = [
-            name for name, node in bn.nodes.items()
-            if isinstance(node, StochasticTensor) and name not in draws
-        ]
+        found: list = []
+
+        def probe(key, d):
+            bn = meta_bn.observe(key=key, **d)
+            found.extend(
+                name for name, node in bn.nodes.items()
+                if isinstance(node, StochasticTensor) and name not in draws
+            )
+            return 0
+
+        jax.eval_shape(probe, jax.random.PRNGKey(0), one)
+        outputs = found
         if not outputs:
             raise ValueError(
                 "No stochastic nodes remain once draws are observed; "
@@ -71,7 +81,9 @@ def posterior_predictive(
 
     def one_draw(k, d):
         bn = meta_bn.observe(key=k, **d)
-        return {name: bn[name].tensor for name in outputs}
+        # _node_value: StochasticTensor -> .tensor; deterministic nodes
+        # are raw arrays (outputs= may name either kind).
+        return {name: bn._node_value(bn.nodes[name]) for name in outputs}
 
     keys = jax.random.split(key, n_draws)
     return jax.vmap(one_draw)(keys, {k: jnp.asarray(v)

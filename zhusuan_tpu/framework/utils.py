@@ -24,11 +24,18 @@ class Context:
     """A per-class thread-local context stack with ``with`` support."""
 
     _local = None  # set per subclass
+    _init_lock = threading.Lock()
 
     @classmethod
     def _stack(cls):
         if cls.__dict__.get("_local") is None:
-            cls._local = threading.local()
+            # Double-checked init under a lock: an unguarded check-then-
+            # set lets two threads race on creating the threading.local,
+            # and the loser's active stack would be silently discarded
+            # mid-`with` (an unobserved net built with no error).
+            with Context._init_lock:
+                if cls.__dict__.get("_local") is None:
+                    cls._local = threading.local()
         if not hasattr(cls._local, "stack"):
             cls._local.stack = []
         return cls._local.stack

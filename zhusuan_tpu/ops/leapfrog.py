@@ -121,10 +121,9 @@ def fused_leapfrog(
         oq_ref[:] = qq
         op_ref[:] = pp
 
-    def _replicated_spec(arr):
-        return pl.BlockSpec(
-            arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
-        )
+    from zhusuan_tpu.ops._pallas_utils import (
+        replicated_block_spec as _replicated_spec,
+    )
 
     out_q, out_p = pl.pallas_call(
         kernel,

@@ -29,7 +29,8 @@ def _key_to_seed(key):
 
 
 def _block_rows(rows, cols, target_bytes=1 << 20):
-    """Largest divisor of ``rows`` whose block fits in ~4MB of VMEM."""
+    """Largest divisor of ``rows`` whose f32 block fits the 1MB-per-buffer
+    VMEM budget shared by the sibling kernels (_BLOCK_BYTES_LIMIT)."""
     limit = max(1, target_bytes // max(1, cols * 4))
     best = 1
     for cand in range(1, rows + 1):
@@ -55,24 +56,29 @@ def tpu_normal(key, shape, interpret: bool = False):
     grid = (rows // br,)
 
     def kernel(seed_ref, out_ref):
-        from zhusuan_tpu.ops._pallas_utils import uniform_from_bits
+        from zhusuan_tpu.ops._pallas_utils import (
+            split_boxmuller_normal, uniform_from_bits,
+        )
 
         i = pl.program_id(0)
         # Independent stream per block: fold the block index into the seed.
         pltpu.prng_seed(seed_ref[0] + i, seed_ref[1])
-        bits1 = pltpu.bitcast(
-            pltpu.prng_random_bits((br, cols)), jnp.uint32
-        )
-        bits2 = pltpu.bitcast(
-            pltpu.prng_random_bits((br, cols)), jnp.uint32
-        )
-        u1 = uniform_from_bits(bits1)
-        u2 = uniform_from_bits(bits2)
-        # Open interval for the log.
-        u1 = jnp.maximum(u1, 1e-7)
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        theta = (2.0 * np.pi) * u2
-        out_ref[:] = r * jnp.cos(theta)
+        if br % 2 == 0:
+            # Both Box-Muller outputs used: half the bit draws and half
+            # the log/sqrt per normal (the fused samplers' helper).
+            out_ref[:] = split_boxmuller_normal(br, cols)
+        else:
+            bits1 = pltpu.bitcast(
+                pltpu.prng_random_bits((br, cols)), jnp.uint32
+            )
+            bits2 = pltpu.bitcast(
+                pltpu.prng_random_bits((br, cols)), jnp.uint32
+            )
+            # Open interval for the log.
+            u1 = jnp.maximum(uniform_from_bits(bits1), 1e-7)
+            u2 = uniform_from_bits(bits2)
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            out_ref[:] = r * jnp.cos((2.0 * np.pi) * u2)
 
     return pl.pallas_call(
         kernel,

@@ -1,0 +1,110 @@
+"""Predictive model comparison with PSIS-LOO and WAIC.
+
+Beyond the reference's zoo: the companion to
+``bayes_factor_smc.py`` — that example selects by *evidence* (prior
+predictive mass); this one selects by *expected log predictive density*
+(Vehtari, Gelman & Gabry 2017) computed from the posterior draws you
+already have. Three polynomial regressions are fit by HMC on data from
+the degree-1 truth:
+
+- degree 0 (misspecified) loses decisively — its elpd gap dwarfs the
+  standard error;
+- degrees 1 and 2 tie within error: LOO measures predictive accuracy,
+  and the nested extra coefficient neither helps nor (much) hurts —
+  the honest reading is "no preference", which is exactly what the
+  criterion should say (contrast the Bayes factor, which penalizes the
+  diluted prior and picks degree 1 outright).
+
+All ``pareto_k`` stay below 0.7 — the importance weights are reliable
+everywhere, so the elpd numbers can be trusted without refits.
+
+Run: ``python -m examples.model_comparison.loo_compare``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import zhusuan_tpu as zs
+from zhusuan_tpu.evaluation import pointwise_log_likelihood, psis_loo, waic
+
+NOISE = 0.3
+
+
+def make_design(x, degree):
+    """[n, degree+1] polynomial design matrix (1, x, x^2, ...)."""
+    return np.stack([x**d for d in range(degree + 1)], axis=1)
+
+
+def make_model(X, y_group_ndims):
+    """The same polynomial model at two likelihood granularities:
+    ``y_group_ndims=1`` reduces over the data axis (the chain-shaped
+    log-joint HMC needs), ``y_group_ndims=0`` keeps per-datapoint
+    entries (what ``pointwise_log_likelihood``/LOO consume)."""
+    X_j = jnp.asarray(X)
+
+    @zs.meta_bayesian_net()
+    def model():
+        bn = zs.BayesianNet()
+        w = bn.normal("w", jnp.zeros(X_j.shape[1]), std=1.0,
+                      group_ndims=1)
+        bn.normal("y", w.tensor @ X_j.T, std=NOISE,
+                  group_ndims=y_group_ndims)
+        return bn
+
+    return model()
+
+
+def fit_and_score(X, y, key, n_chains=32, n_iters=500, n_adapt=250):
+    """HMC-fit the polynomial model, return (LOOResult, WAICResult)."""
+    meta_bn = make_model(X, y_group_ndims=1)
+    observed = {"y": jnp.asarray(y)}
+    hmc = zs.HMC(step_size=0.1, n_leapfrogs=10, adapt_step_size=True)
+    state = hmc.init(
+        {"w": jnp.zeros((n_chains, X.shape[1]))}, n_chain_dims=1
+    )
+    state, out = hmc.run(
+        meta_bn, observed, state, key, n_iters=n_iters, n_adapt=n_adapt
+    )
+    draws = np.asarray(out["samples"]["w"][n_adapt:])  # [T, C, d]
+    flat = draws.reshape(-1, draws.shape[-1])
+    ll = pointwise_log_likelihood(
+        make_model(X, y_group_ndims=0), {"w": jnp.asarray(flat)},
+        observed, node="y",
+    )
+    return psis_loo(ll), waic(ll)
+
+
+def main(n_data=40, seed=0):
+    rng = np.random.RandomState(seed)
+    x = np.linspace(-1.0, 1.0, n_data)
+    w_true = np.array([0.3, 1.2])
+    y = make_design(x, 1) @ w_true + NOISE * rng.randn(n_data)
+
+    key = jax.random.PRNGKey(3)
+    results = {}
+    for degree in (0, 1, 2):
+        X = make_design(x, degree)
+        loo, wc = fit_and_score(X, y, jax.random.fold_in(key, degree))
+        results[degree] = loo
+        print(
+            "degree {}: elpd_loo = {:8.2f} +- {:.2f}  p_loo = {:.2f}  "
+            "max k = {:.2f}   (waic {:8.2f})".format(
+                degree, float(loo.elpd_loo), float(loo.se),
+                float(loo.p_loo), float(np.max(loo.pareto_k)),
+                float(wc.elpd_waic),
+            )
+        )
+    gap01 = float(results[1].elpd_loo - results[0].elpd_loo)
+    gap12 = float(results[1].elpd_loo - results[2].elpd_loo)
+    print("elpd(deg1) - elpd(deg0) = {:+.2f}  -> degree 0 decisively "
+          "worse".format(gap01))
+    print("elpd(deg1) - elpd(deg2) = {:+.2f}  -> tie within error "
+          "(nested models)".format(gap12))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -246,3 +246,139 @@ def test_ais_rejects_zero_temperatures():
             lambda obs: obs["z"], proposal(), zs.HMC(step_size=0.1),
             {}, ["z"], n_temperatures=0,
         )
+
+
+# --------------------------------------------------------------------- #
+# WAIC / PSIS-LOO (beyond the reference)                                 #
+# --------------------------------------------------------------------- #
+from scipy import stats
+
+from zhusuan_tpu.evaluation import (
+    pointwise_log_likelihood,
+    psis_loo,
+    waic,
+)
+from zhusuan_tpu.evaluation import _gpd_fit, psis_smooth_log_weights
+
+
+class TestGPDFit:
+    def test_recovers_known_parameters(self):
+        rng = np.random.RandomState(7)
+        true_xi, true_sigma = 0.3, 1.5
+        x = stats.genpareto.rvs(
+            c=true_xi, scale=true_sigma, size=3000, random_state=rng
+        )
+        exc = np.sort(x)[:, None]
+        xi, sigma = _gpd_fit(exc)
+        assert abs(float(xi[0]) - true_xi) < 0.08, xi
+        assert abs(float(sigma[0]) - true_sigma) < 0.15, sigma
+
+    def test_light_tail_gives_negative_xi(self):
+        rng = np.random.RandomState(8)
+        # Uniform exceedances: bounded support => xi = -1 regime.
+        exc = np.sort(rng.uniform(0.0, 2.0, size=2000))[:, None]
+        xi, _ = _gpd_fit(exc)
+        assert float(xi[0]) < -0.5, xi
+
+
+class TestPSISLOO:
+    """Normal-Normal conjugate model where exact LOO is closed-form:
+    theta ~ N(0, tau^2), y_i | theta ~ N(theta, sigma^2)."""
+
+    TAU = 1.5
+    SIGMA = 1.0
+    N = 50
+    S = 4000
+
+    @classmethod
+    def _setup(cls):
+        rng = np.random.RandomState(42)
+        y = rng.normal(1.0, cls.SIGMA, size=cls.N)
+        prec_post = 1.0 / cls.TAU ** 2 + cls.N / cls.SIGMA ** 2
+        mean_post = (y.sum() / cls.SIGMA ** 2) / prec_post
+        theta = rng.normal(
+            mean_post, 1.0 / np.sqrt(prec_post), size=cls.S
+        )
+        ll = stats.norm.logpdf(y[None, :], theta[:, None], cls.SIGMA)
+        return y, ll
+
+    @classmethod
+    def _exact_loo(cls, y):
+        out = 0.0
+        for i in range(cls.N):
+            rest = np.delete(y, i)
+            prec = 1.0 / cls.TAU ** 2 + (cls.N - 1) / cls.SIGMA ** 2
+            mean = (rest.sum() / cls.SIGMA ** 2) / prec
+            pred_sd = np.sqrt(cls.SIGMA ** 2 + 1.0 / prec)
+            out += stats.norm.logpdf(y[i], mean, pred_sd)
+        return out
+
+    def test_matches_exact_loo(self):
+        y, ll = self._setup()
+        res = psis_loo(ll)
+        exact = self._exact_loo(y)
+        assert abs(float(res.elpd_loo) - exact) < 0.3, (
+            float(res.elpd_loo), exact
+        )
+        # Well-specified model, exact posterior draws: every k is small.
+        assert float(np.max(res.pareto_k)) < 0.7, res.pareto_k
+        assert res.pointwise.shape == (self.N,)
+
+    def test_waic_close_to_loo_and_p_eff_sane(self):
+        _, ll = self._setup()
+        res_l = psis_loo(ll)
+        res_w = waic(ll)
+        assert abs(float(res_w.elpd_waic) - float(res_l.elpd_loo)) < 0.2
+        # One scalar parameter => effective parameter count ~ 1.
+        assert 0.3 < float(res_w.p_waic) < 2.0, res_w.p_waic
+        assert 0.3 < float(res_l.p_loo) < 2.0, res_l.p_loo
+        assert float(res_w.se) > 0 and float(res_l.se) > 0
+
+    def test_small_sample_passthrough(self):
+        lw, khat = psis_smooth_log_weights(
+            np.zeros((10, 3)) + np.arange(10)[:, None]
+        )
+        assert np.all(np.isinf(khat)) and np.all(khat > 0)
+
+    def test_constant_weights_unsmoothed(self):
+        lw, khat = psis_smooth_log_weights(np.zeros((400, 2)))
+        # Zero-variation tail: raw weights kept, khat = -inf (reliable).
+        assert np.all(khat == -np.inf)
+        np.testing.assert_allclose(lw, 0.0)
+
+
+class TestPointwiseLogLikelihood:
+    def test_matches_scipy(self):
+        tau, sigma, n, s = 1.5, 1.0, 20, 8
+        rng = np.random.RandomState(0)
+        y = rng.normal(1.0, sigma, size=n)
+        thetas = rng.normal(0.0, 1.0, size=s)
+
+        @zs.meta_bayesian_net()
+        def model():
+            bn = zs.BayesianNet()
+            th = bn.normal("theta", 0.0, std=tau)
+            bn.normal("y", th.tensor, std=sigma)
+            return bn
+
+        ll = pointwise_log_likelihood(
+            model(), {"theta": jnp.asarray(thetas)},
+            {"y": jnp.asarray(y)}, "y",
+        )
+        expected = stats.norm.logpdf(y[None, :], thetas[:, None], sigma)
+        np.testing.assert_allclose(np.asarray(ll), expected, rtol=1e-6)
+
+    def test_rejects_mismatched_draw_counts(self):
+        @zs.meta_bayesian_net()
+        def model():
+            bn = zs.BayesianNet()
+            th = bn.normal("theta", 0.0, std=1.0)
+            bn.normal("y", th.tensor, std=1.0)
+            return bn
+
+        with pytest.raises(ValueError, match="n_draws"):
+            pointwise_log_likelihood(
+                model(),
+                {"theta": jnp.zeros(3), "z": jnp.zeros(4)},
+                {"y": jnp.zeros(2)}, "y",
+            )

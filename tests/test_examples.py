@@ -666,6 +666,28 @@ class TestModelComparison:
             assert abs(est - truth) < 0.3, (degree, est, truth)
 
 
+    def test_loo_compare_selects_correctly(self):
+        # Misspecified degree-0 must lose by many standard errors; the
+        # nested degree-2 must tie degree 1 within error; every Pareto k
+        # must certify the weights (< 0.7); p_loo must track the true
+        # parameter counts for the well-specified models.
+        import numpy as np
+
+        from examples.model_comparison import loo_compare
+
+        results = loo_compare.main()
+        gap01 = float(results[1].elpd_loo - results[0].elpd_loo)
+        se01 = float(np.hypot(results[0].se, results[1].se))
+        assert gap01 > 2.0 * se01, (gap01, se01)
+        gap12 = abs(float(results[1].elpd_loo - results[2].elpd_loo))
+        se12 = float(np.hypot(results[1].se, results[2].se))
+        assert gap12 < se12, (gap12, se12)
+        for deg, loo in results.items():
+            assert float(np.max(loo.pareto_k)) < 0.7, (deg, loo.pareto_k)
+        assert 1.0 < float(results[1].p_loo) < 3.0
+        assert 2.0 < float(results[2].p_loo) < 4.5
+
+
 class TestRobustModels:
     def test_robust_regression_beats_ols(self):
         # StudentT likelihood + HalfCauchy scale via bijectors: the

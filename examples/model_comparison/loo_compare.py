@@ -103,6 +103,13 @@ def main(n_data=40, seed=0):
           "worse".format(gap01))
     print("elpd(deg1) - elpd(deg2) = {:+.2f}  -> tie within error "
           "(nested models)".format(gap12))
+    print("\nranked (paired-difference SEs):")
+    for row in zs.evaluation.compare(
+        {"degree {}".format(d): r for d, r in results.items()}
+    ):
+        print("  #{} {:9s} elpd {:8.2f}  diff {:6.2f} +- {:.2f}{}".format(
+            row.rank, row.name, row.elpd, row.elpd_diff, row.dse,
+            "  [k>0.7!]" if row.warning else ""))
     return results
 
 

@@ -382,3 +382,41 @@ class TestPointwiseLogLikelihood:
                 {"theta": jnp.zeros(3), "z": jnp.zeros(4)},
                 {"y": jnp.zeros(2)}, "y",
             )
+
+
+class TestCompare:
+    def test_ranks_and_paired_se(self):
+        from zhusuan_tpu.evaluation import compare
+
+        rng = np.random.RandomState(3)
+        y = rng.normal(1.0, 1.0, size=40)
+        theta = rng.normal(1.0, 0.1, size=2000)
+        ll_good = stats.norm.logpdf(y[None, :], theta[:, None], 1.0)
+        # A misspecified model: fixed wrong location.
+        ll_bad = np.broadcast_to(
+            stats.norm.logpdf(y, -1.0, 1.0)[None, :], ll_good.shape
+        )
+        rows = compare({
+            "good": psis_loo(ll_good),
+            "bad": psis_loo(ll_bad),
+        })
+        assert [r.name for r in rows] == ["good", "bad"]
+        assert rows[0].elpd_diff == 0.0 and rows[0].dse == 0.0
+        assert rows[1].elpd_diff > 0 and rows[1].dse > 0
+        # The gap must be decisive relative to the paired SE.
+        assert rows[1].elpd_diff > 4 * rows[1].dse
+        # Mixed criteria work too (WAICResult has no pareto_k).
+        rows2 = compare({"good": waic(ll_good), "bad": waic(ll_bad)})
+        assert [r.name for r in rows2] == ["good", "bad"]
+        assert rows2[1].warning is False
+
+    def test_rejects_mismatched_data(self):
+        from zhusuan_tpu.evaluation import compare
+
+        rng = np.random.RandomState(4)
+        a = psis_loo(rng.randn(200, 10) - 1.0)
+        b = psis_loo(rng.randn(200, 11) - 1.0)
+        with pytest.raises(ValueError, match="same data"):
+            compare({"a": a, "b": b})
+        with pytest.raises(ValueError, match="at least two"):
+            compare({"a": a})

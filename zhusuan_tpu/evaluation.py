@@ -41,6 +41,8 @@ __all__ = [
     "psis_loo",
     "WAICResult",
     "LOOResult",
+    "compare",
+    "ComparisonRow",
 ]
 
 
@@ -462,3 +464,69 @@ def psis_loo(log_likelihood) -> LOOResult:
         pareto_k=khat.reshape(data_shape),
         pointwise=elpd_i.reshape(data_shape),
     )
+
+
+class ComparisonRow(NamedTuple):
+    """One row of :func:`compare` (models ranked best-first)."""
+
+    name: str
+    rank: int
+    elpd: float  # elpd_loo or elpd_waic of this model
+    se: float  # standard error of this model's elpd
+    elpd_diff: float  # elpd(best) - elpd(this); 0 for the best row
+    dse: float  # PAIRED standard error of that difference (pointwise
+    #             differences share data — much tighter than hypot(se))
+    p_eff: float  # effective parameter count (p_loo / p_waic)
+    warning: bool  # True when any pareto_k > 0.7 (LOO results only)
+
+
+def compare(results) -> "list[ComparisonRow]":
+    """Rank models by expected log predictive density.
+
+    The difference column uses the PAIRED standard error over shared
+    data points (Vehtari, Gelman & Gabry 2017 Eq. 24): pointwise elpd
+    differences cancel shared data noise, so two models can be
+    confidently separated even when their individual ``se`` intervals
+    overlap.
+
+    :param results: ``{model_name: LOOResult | WAICResult}`` — all
+        scored on the SAME data (pointwise shapes must match).
+    :return: list of :class:`ComparisonRow`, best model first.
+    """
+    if len(results) < 2:
+        raise ValueError("compare needs at least two models.")
+    point = {}
+    for name, res in results.items():
+        point[name] = np.asarray(res.pointwise, np.float64).reshape(-1)
+    shapes = {v.shape for v in point.values()}
+    if len(shapes) != 1:
+        raise ValueError(
+            "All models must be scored on the same data; pointwise "
+            "shapes differ: {}.".format(
+                {k: v.shape for k, v in point.items()})
+        )
+    order = sorted(results, key=lambda k: -float(np.sum(point[k])))
+    best = order[0]
+    n = point[best].shape[0]
+    rows = []
+    for rank, name in enumerate(order):
+        res = results[name]
+        diff_i = point[best] - point[name]
+        dse = (
+            float(np.sqrt(n * np.var(diff_i, ddof=1)))
+            if (name != best and n > 1) else 0.0
+        )
+        k = getattr(res, "pareto_k", None)
+        p_eff = res.p_loo if isinstance(res, LOOResult) else res.p_waic
+        rows.append(ComparisonRow(
+            name=name,
+            rank=rank,
+            elpd=float(np.sum(point[name])),
+            se=float(res.se),
+            elpd_diff=float(np.sum(diff_i)),
+            dse=dse,
+            p_eff=float(p_eff),
+            warning=bool(np.any(np.asarray(k) > 0.7))
+            if k is not None else False,
+        ))
+    return rows

@@ -35,6 +35,7 @@ from zhusuan_tpu import bijectors
 from zhusuan_tpu.bijectors import transform_log_joint  # noqa: F401
 from zhusuan_tpu import diagnostics
 from zhusuan_tpu.diagnostics import *  # noqa: F401,F403
+from zhusuan_tpu import testing
 from zhusuan_tpu import utils
 from zhusuan_tpu.utils import *  # noqa: F401,F403
 from zhusuan_tpu import legacy

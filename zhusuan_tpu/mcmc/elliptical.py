@@ -143,10 +143,14 @@ class EllipticalSlice:
         :return: ``(new_state, EllipticalSliceInfo)``.
         """
         log_lik_fn = make_log_joint_fn(meta_bn, observed)
+        # Cache was typed from the first latent leaf at init; align it to
+        # the likelihood dtype (mixed-dtype models) so the branches agree.
+        ll_dtype = jax.eval_shape(log_lik_fn, state.f).dtype
+        cached_ll = state.log_lik.astype(ll_dtype)
         ll0 = jax.lax.cond(
-            jnp.any(jnp.isnan(state.log_lik)),
+            jnp.any(jnp.isnan(cached_ll)),
             lambda: log_lik_fn(state.f),
-            lambda: state.log_lik,
+            lambda: cached_ll,
         )
         chain_shape = ll0.shape
 
@@ -241,6 +245,13 @@ class EllipticalSlice:
         :return: ``(final_state, {"samples", "log_lik", "n_shrinks"}
             or None)``.
         """
+
+        # Carry type stability for mixed-dtype models: the cache dtype
+        # follows the likelihood (matching cast in sample()).
+        ll_dtype = jax.eval_shape(
+            make_log_joint_fn(meta_bn, observed), state.f
+        ).dtype
+        state = state._replace(log_lik=state.log_lik.astype(ll_dtype))
 
         def body(carry, _):
             st, k = carry

@@ -161,10 +161,16 @@ class _MetropolisBase:
         # is present — first iteration, or after invalidate_cache(). A
         # live cache is never NaN (bad proposals are rejected below), so
         # this gate cannot misfire mid-run.
+        # init() typed the cache from the first latent leaf; a
+        # mixed-dtype model's log-joint may differ (e.g. f32 latent, f64
+        # likelihood) — align the cached value to the density dtype so
+        # the cond branches agree.
+        lp_dtype = jax.eval_shape(log_posterior, state.q).dtype
+        cached_lp = state.log_prob.astype(lp_dtype)
         lp0, g0 = jax.lax.cond(
-            jnp.any(jnp.isnan(state.log_prob)),
+            jnp.any(jnp.isnan(cached_lp)),
             lambda: self._eval(log_posterior, state.q),
-            lambda: (state.log_prob, state.grad),
+            lambda: (cached_lp, state.grad),
         )
         state = state._replace(log_prob=lp0, grad=g0)
 
@@ -210,6 +216,16 @@ class _MetropolisBase:
             gamma=self._gamma,
             t0=self._t0,
             kappa=self._kappa,
+        )
+        # The update's dtype follows mean(accept_rate) (the density
+        # dtype); pin the carried tuner scalars to their init dtype so
+        # the scan carry stays type-stable under mixed-dtype models.
+        ss_dtype = state.step_size.dtype
+        step_size, da_step, h_bar, log_eps_bar = (
+            step_size.astype(ss_dtype),
+            da_step.astype(state.da_step.dtype),
+            h_bar.astype(ss_dtype),
+            log_eps_bar.astype(ss_dtype),
         )
         new_state = MHState(
             q=q,
@@ -273,6 +289,13 @@ class _MetropolisBase:
         if int(thinning) < 1:
             raise ValueError("thinning must be >= 1.")
         thinning = int(thinning)
+        # Keep the scan carry type-stable for mixed-dtype models: the
+        # cache dtype follows the density, not the first latent leaf
+        # (see the matching cast in sample()).
+        lp_dtype = jax.eval_shape(
+            make_log_joint_fn(meta_bn, observed), state.q
+        ).dtype
+        state = state._replace(log_prob=state.log_prob.astype(lp_dtype))
 
         def pick(info):
             full = {

@@ -46,6 +46,15 @@ class TestGewekeCorrectKernels:
             "mean[mu]", "m2[mu]", "cross[mu,y]"
         }
 
+    def test_nuts_passes(self):
+        res = geweke_test(
+            conjugate_model(),
+            zs.NUTS(step_size=0.4, max_tree_depth=5),
+            latent=["mu"], data=["y"], key=jax.random.fold_in(KEY, 7),
+            n_iters=2000, n_chains=64, n_mc=100_000,
+        )
+        assert res.max_abs_z < 5.0, res.z_scores
+
     def test_rwm_passes(self):
         res = geweke_test(
             conjugate_model(),

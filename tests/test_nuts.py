@@ -1,0 +1,203 @@
+"""NUTS sampler tests: moments, tree behavior, divergences, run contract.
+
+The exact detailed-balance validation lives in tests/test_geweke.py
+(Geweke joint-distribution test); here: statistical moments on known
+targets (the reference suite's style, tests/test_hmc.py), the
+tree-depth response to geometry, divergence flagging, and the
+``run``/thinning contract shared with HMC.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import zhusuan_tpu as zs
+
+KEY = jax.random.PRNGKey(31)
+
+
+def diag_gauss_log_joint(stds):
+    stds = jnp.asarray(stds)
+
+    def log_joint(obs):
+        return jnp.sum(-0.5 * (obs["w"] / stds) ** 2, axis=-1)
+
+    return log_joint
+
+
+class TestNUTSMoments:
+    def test_diag_gaussian_scales(self):
+        stds = [0.5, 1.0, 2.0, 4.0]
+        nuts = zs.NUTS(step_size=0.2, max_tree_depth=8,
+                       adapt_step_size=True)
+        st = nuts.init({"w": jnp.zeros((256, 4))}, n_chain_dims=1)
+        final, out = jax.jit(
+            lambda s, k: nuts.run(
+                diag_gauss_log_joint(stds), {}, s, k, 600, n_adapt=300
+            )
+        )(st, KEY)
+        post = np.asarray(out["samples"]["w"][300:]).reshape(-1, 4)
+        np.testing.assert_allclose(post.std(axis=0), stds, rtol=0.1)
+        np.testing.assert_allclose(
+            post.mean(axis=0), np.zeros(4), atol=0.15
+        )
+        acc = float(np.mean(np.asarray(out["acceptance_rate"][300:])))
+        assert 0.7 < acc < 0.95, acc
+
+    def test_multi_latent_dict(self):
+        """Two latents with different shapes exercise the flattener."""
+
+        def log_joint(obs):
+            lp_mu = -0.5 * (obs["mu"] / 2.0) ** 2
+            lp_v = jnp.sum(-0.5 * obs["v"] ** 2, axis=-1)
+            return lp_mu + lp_v
+
+        nuts = zs.NUTS(step_size=0.3, adapt_step_size=True)
+        st = nuts.init(
+            {"mu": jnp.zeros(192), "v": jnp.zeros((192, 3))},
+            n_chain_dims=1,
+        )
+        _, out = jax.jit(
+            lambda s, k: nuts.run(log_joint, {}, s, k, 500, n_adapt=250)
+        )(st, jax.random.fold_in(KEY, 1))
+        mu = np.asarray(out["samples"]["mu"][250:]).ravel()
+        v = np.asarray(out["samples"]["v"][250:]).reshape(-1, 3)
+        assert abs(mu.std() - 2.0) < 0.2, mu.std()
+        np.testing.assert_allclose(v.std(axis=0), np.ones(3), rtol=0.1)
+
+    def test_bayesian_net_model_and_chain_inference(self):
+        @zs.meta_bayesian_net()
+        def model():
+            bn = zs.BayesianNet()
+            bn.normal("x", 1.0, std=0.7)
+            return bn
+
+        nuts = zs.NUTS(step_size=0.4, adapt_step_size=True)
+        # n_chain_dims inferred by tracing the log joint.
+        st = nuts.init({"x": jnp.zeros(128)}, log_joint=model())
+        _, out = jax.jit(
+            lambda s, k: nuts.run(model(), {}, s, k, 500, n_adapt=250)
+        )(st, jax.random.fold_in(KEY, 2))
+        x = np.asarray(out["samples"]["x"][250:]).ravel()
+        assert abs(x.mean() - 1.0) < 0.1 and abs(x.std() - 0.7) < 0.1
+
+
+class TestTreeBehavior:
+    def test_depth_tracks_geometry(self):
+        """An ill-conditioned Gaussian (scale ratio 100) needs longer
+        trajectories than an isotropic one at the SAME adapted step
+        size regime — NUTS discovers this; fixed-length HMC cannot."""
+
+        def run_depth(stds, key):
+            nuts = zs.NUTS(step_size=0.1, max_tree_depth=10,
+                           adapt_step_size=True)
+            st = nuts.init({"w": jnp.zeros((64, 2))}, n_chain_dims=1)
+            _, out = jax.jit(
+                lambda s, k: nuts.run(
+                    diag_gauss_log_joint(stds), {}, s, k, 300,
+                    n_adapt=150,
+                )
+            )(st, key)
+            return float(np.mean(np.asarray(out["depth"][150:])))
+
+        d_iso = run_depth([1.0, 1.0], jax.random.fold_in(KEY, 3))
+        d_ill = run_depth([0.1, 10.0], jax.random.fold_in(KEY, 4))
+        assert d_ill > d_iso + 1.0, (d_iso, d_ill)
+
+    def test_divergences_flagged(self):
+        """A grossly oversized step on a tight target must produce
+        divergent transitions, flagged per chain."""
+        nuts = zs.NUTS(step_size=50.0)  # no adaptation
+        st = nuts.init({"w": jnp.zeros((32, 2))}, n_chain_dims=1)
+        _, out = jax.jit(
+            lambda s, k: nuts.run(
+                diag_gauss_log_joint([0.1, 0.1]), {}, s, k, 50
+            )
+        )(st, jax.random.fold_in(KEY, 5))
+        assert np.asarray(out["divergent"]).mean() > 0.5
+        # Divergent-at-depth-0 chains keep their position (multinomial
+        # draw over {initial point} only).
+        assert np.allclose(np.asarray(out["samples"]["w"][0]), 0.0)
+
+    def test_max_depth_respected(self):
+        nuts = zs.NUTS(step_size=1e-4, max_tree_depth=4)
+        st = nuts.init({"w": jnp.zeros((8, 2))}, n_chain_dims=1)
+        _, out = jax.jit(
+            lambda s, k: nuts.run(
+                diag_gauss_log_joint([1.0, 1.0]), {}, s, k, 5,
+                collect_fields=("depth", "n_leapfrogs", "turning"),
+            )
+        )(st, jax.random.fold_in(KEY, 6))
+        depth = np.asarray(out["depth"])
+        nl = np.asarray(out["n_leapfrogs"])
+        assert depth.max() <= 4
+        # A depth-4 tree has exactly 2^4 - 1 = 15 new leaves.
+        assert nl.max() <= 15
+        # Tiny steps never U-turn: every chain runs to max depth.
+        assert (depth == 4).all() and not np.asarray(out["turning"]).any()
+
+
+class TestMassAdaptation:
+    @pytest.mark.slow
+    def test_adapted_mass_matches_inverse_variance(self):
+        stds = jnp.asarray([0.2, 5.0])
+        nuts = zs.NUTS(step_size=0.2, adapt_step_size=True,
+                       adapt_mass=True, mass_collect_iters=50)
+        st = nuts.init({"w": jnp.zeros((256, 2))}, n_chain_dims=1)
+        final, out = jax.jit(
+            lambda s, k: nuts.run(
+                diag_gauss_log_joint(stds), {}, s, k, 800, n_adapt=400
+            )
+        )(st, jax.random.fold_in(KEY, 7))
+        mass = np.asarray(final.mass["w"]).ravel()
+        np.testing.assert_allclose(
+            mass, 1.0 / np.asarray(stds) ** 2, rtol=0.35
+        )
+        post = np.asarray(out["samples"]["w"][400:]).reshape(-1, 2)
+        np.testing.assert_allclose(post.std(axis=0), stds, rtol=0.1)
+
+
+class TestRunContract:
+    def test_thinning_bit_exact_vs_sliced_full_run(self):
+        lj = diag_gauss_log_joint([1.0, 2.0])
+        nuts = zs.NUTS(step_size=0.5, adapt_step_size=True)
+        st = nuts.init({"w": jnp.zeros((16, 2))}, n_chain_dims=1)
+        k = jax.random.fold_in(KEY, 8)
+        full_final, full = jax.jit(
+            lambda s, kk: nuts.run(lj, {}, s, kk, 30, n_adapt=10)
+        )(st, k)
+        thin_final, thin = jax.jit(
+            lambda s, kk: nuts.run(
+                lj, {}, s, kk, 30, n_adapt=10, thinning=4
+            )
+        )(st, k)
+        np.testing.assert_array_equal(
+            np.asarray(thin["samples"]["w"]),
+            np.asarray(full["samples"]["w"][3::4]),
+        )
+        # Remainder (30 = 7*4 + 2) still advances the final state
+        # identically to the unthinned run.
+        np.testing.assert_array_equal(
+            np.asarray(thin_final.q["w"]), np.asarray(full_final.q["w"])
+        )
+
+    def test_collect_fields_and_validation(self):
+        lj = diag_gauss_log_joint([1.0])
+        nuts = zs.NUTS(step_size=0.5)
+        st = nuts.init({"w": jnp.zeros((4, 1))}, n_chain_dims=1)
+        _, out = nuts.run(
+            lj, {}, st, KEY, 3,
+            collect_fields=("samples", "energy", "n_leapfrogs"),
+        )
+        assert set(out) == {"samples", "energy", "n_leapfrogs"}
+        with pytest.raises(ValueError, match="collect field"):
+            nuts.run(lj, {}, st, KEY, 3, collect_fields=("bogus",))
+
+    def test_constructor_validation(self):
+        with pytest.raises(ValueError, match="step_size"):
+            zs.NUTS(step_size=0.0)
+        with pytest.raises(ValueError, match="max_tree_depth"):
+            zs.NUTS(max_tree_depth=0)
+        with pytest.raises(ValueError, match="adapt_mass requires"):
+            zs.NUTS(adapt_mass=True)

@@ -7,6 +7,7 @@ trajectory lengths — the vectorized/TPU-idiomatic alternative to NUTS).
 
 from zhusuan_tpu.mcmc.chees import ChEESHMC, ChEESInfo, ChEESState
 from zhusuan_tpu.mcmc.hmc import HMC, HMCInfo, HMCState
+from zhusuan_tpu.mcmc.nuts import NUTS, NUTSInfo
 from zhusuan_tpu.mcmc.precondition import (
     fit_dense_preconditioner,
     whiten_log_joint,
@@ -32,6 +33,8 @@ __all__ = [
     "HMC",
     "HMCInfo",
     "HMCState",
+    "NUTS",
+    "NUTSInfo",
     "ChEESHMC",
     "ChEESInfo",
     "ChEESState",

@@ -27,6 +27,7 @@ __all__ = [
     "get_acceptance_rate",
     "get_acceptance_rate_cached",
     "dual_averaging_update",
+    "ewmv_update",
 ]
 
 Latent = Dict[str, jnp.ndarray]
@@ -139,6 +140,32 @@ def dual_averaging_update(
         jnp.where(gate, new_h_bar, h_bar),
         jnp.where(gate, new_log_eps_bar, log_eps_bar),
     )
+
+
+def ewmv_update(q, ewmv_t, ewmv_mean, ewmv_var, gate, n_chain_dims, decay):
+    """One EW moving-variance accumulator update over the chain axes
+    (reference hmc.py:115-159), gated by the traced bool ``gate``.
+    Shared by :class:`~zhusuan_tpu.mcmc.hmc.HMC` and
+    :class:`~zhusuan_tpu.mcmc.nuts.NUTS` mass adaptation.
+
+    :return: ``(new_t, new_mean, new_var)`` — held when ``gate`` is False.
+    """
+    chain_axes = tuple(range(n_chain_dims))
+    new_t = ewmv_t + jnp.where(gate, 1.0, 0.0)
+    safe_t = jnp.maximum(new_t, 1.0)
+    weight = (1.0 - decay) / (1.0 - decay ** safe_t)
+    new_mean, new_var = {}, {}
+    for k, x in q.items():
+        incr = weight * (x - ewmv_mean[k])
+        mean_k = ewmv_mean[k] + jnp.mean(
+            incr, axis=chain_axes, keepdims=True
+        )
+        var_k = (1.0 - weight) * ewmv_var[k] + jnp.mean(
+            incr * (x - mean_k), axis=chain_axes, keepdims=True
+        )
+        new_mean[k] = jnp.where(gate, mean_k, ewmv_mean[k])
+        new_var[k] = jnp.where(gate, var_k, ewmv_var[k])
+    return new_t, new_mean, new_var
 
 
 def kinetic_energy(

@@ -247,23 +247,14 @@ class HMC:
     # ------------------------------------------------------------------ #
     def _ewmv_update(self, state: HMCState, gate, n_chain_dims):
         """EW moving variance update over chain axes (reference
-        hmc.py:115-159), gated by ``gate`` (traced bool)."""
-        chain_axes = tuple(range(n_chain_dims))
-        new_t = state.ewmv_t + jnp.where(gate, 1.0, 0.0)
-        safe_t = jnp.maximum(new_t, 1.0)
-        weight = (1.0 - self.mass_decay) / (1.0 - self.mass_decay ** safe_t)
-        new_mean, new_var = {}, {}
-        for k, x in state.q.items():
-            incr = weight * (x - state.ewmv_mean[k])
-            mean_k = state.ewmv_mean[k] + jnp.mean(
-                incr, axis=chain_axes, keepdims=True
-            )
-            var_k = (1.0 - weight) * state.ewmv_var[k] + jnp.mean(
-                incr * (x - mean_k), axis=chain_axes, keepdims=True
-            )
-            new_mean[k] = jnp.where(gate, mean_k, state.ewmv_mean[k])
-            new_var[k] = jnp.where(gate, var_k, state.ewmv_var[k])
-        return new_t, new_mean, new_var
+        hmc.py:115-159), gated by ``gate`` (traced bool) — delegates to
+        the shared :func:`~zhusuan_tpu.mcmc.base.ewmv_update`."""
+        from zhusuan_tpu.mcmc.base import ewmv_update
+
+        return ewmv_update(
+            state.q, state.ewmv_t, state.ewmv_mean, state.ewmv_var,
+            gate, n_chain_dims, self.mass_decay,
+        )
 
     def _init_step_size_search(
         self, q, p, mass, grad_fn, log_post, n_chain_dims, current_step_size

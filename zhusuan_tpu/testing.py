@@ -46,6 +46,7 @@ import numpy as np
 
 from zhusuan_tpu.framework.bn import StochasticTensor
 from zhusuan_tpu.mcmc.hmc import HMC
+from zhusuan_tpu.mcmc.nuts import NUTS
 from zhusuan_tpu.mcmc.rwm import _MetropolisBase
 
 __all__ = ["geweke_test", "GewekeResult"]
@@ -110,6 +111,21 @@ def _make_transition(kernel):
                 meta_bn, observed, carry, key,
                 adapt_step_size=adapt_ss, adapt_mass=adapt_m,
                 init_step_size_search=False,
+            )
+            return carry.q, carry
+
+        return init, step
+    if isinstance(kernel, NUTS):
+        def init(latent):
+            return kernel.init(latent, n_chain_dims=1)
+
+        def step(meta_bn, observed, latent, carry, key):
+            # NUTS recomputes the density each iteration (no carried
+            # cache), so the fresh data draw needs no invalidation.
+            carry = carry._replace(q=latent)
+            carry, _ = kernel.sample(
+                meta_bn, observed, carry, key,
+                adapt_step_size=False, adapt_mass=False,
             )
             return carry.q, carry
 

@@ -38,6 +38,7 @@ MODULES = [
     ("zhusuan_tpu.checkpoint", "Checkpoint / resume (beyond reference; SURVEY.md §5)"),
     ("zhusuan_tpu.profiling", "Profiling meters (SURVEY.md §5)"),
     ("zhusuan_tpu.ops", "Numerics guards and Pallas kernels"),
+    ("zhusuan_tpu.testing", "Sampler validation: Geweke joint-distribution test (beyond reference)"),
     ("zhusuan_tpu.legacy", "Deprecated compat wrappers (reference zhusuan/legacy)"),
 ]
 

@@ -730,6 +730,20 @@ class TestHierarchical:
         post = theta.reshape(-1, 8).mean(0)
         assert np.all(np.abs(post - mu_q) <= np.abs(es.Y - mu_q) + 0.5)
 
+    def test_eight_schools_funnel_diagnosis(self):
+        # The canonical NUTS workflow: the centered parameterization's
+        # funnel produces divergences clustered at small tau; the
+        # non-centered fix removes (nearly) all of them.
+        from examples.hierarchical import eight_schools as es
+
+        c_rate, nc_rate, small_frac = es.funnel_diagnosis(
+            n_chains=32, n_iters=800, n_adapt=400, verbose=False
+        )
+        assert c_rate > 0.01, c_rate  # the funnel bites
+        assert nc_rate < c_rate / 3, (c_rate, nc_rate)
+        # Divergences are informative: they live in the neck.
+        assert small_frac > 0.8, small_frac
+
 
 class TestDirichletVAE:
     def test_pathwise_dirichlet_training_recovers_topics(self):

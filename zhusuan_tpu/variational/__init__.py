@@ -14,6 +14,7 @@ from zhusuan_tpu.variational.monte_carlo import (
     iw_objective,
 )
 from zhusuan_tpu.variational.inclusive_kl import InclusiveKLObjective, klpq
+from zhusuan_tpu.variational.autoguide import FullRankGuide, MeanFieldGuide
 from zhusuan_tpu.variational.svgd import SVGD, SVGDInfo, SVGDState
 from zhusuan_tpu.variational.laplace import (
     LaplaceResult,
@@ -34,4 +35,6 @@ __all__ = [
     "iw_objective",
     "InclusiveKLObjective",
     "klpq",
+    "MeanFieldGuide",
+    "FullRankGuide",
 ]

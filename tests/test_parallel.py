@@ -187,6 +187,37 @@ class TestShardedHMCEquivalence:
             rtol=1e-8,
         )
 
+    def test_nuts_sharded_chains_match_unsharded(self):
+        """Chain-sharded NUTS == unsharded NUTS: the vmapped while-loop
+        trees are per-chain local (no cross-chain collectives), so
+        sharding the chain axis is layout-only."""
+        dim, n_chains = 4, 64
+        std = jnp.linspace(0.5, 2.0, dim, dtype=jnp.float64)
+
+        def lj(obs):
+            return jnp.sum(-0.5 * (obs["x"] / std) ** 2, -1)
+
+        nuts = zs.NUTS(step_size=0.4, max_tree_depth=5,
+                       adapt_step_size=True)
+        state0 = nuts.init(
+            {"x": jnp.zeros((n_chains, dim), jnp.float64)}, log_joint=lj
+        )
+        run = jax.jit(
+            lambda s, k: nuts.run(lj, {}, s, k, 60, n_adapt=30)
+        )
+        key = jax.random.PRNGKey(5)
+        final_u, out_u = run(state0, key)
+        mesh = chain_mesh(8)
+        final_s, out_s = run(shard_chains(mesh, state0), key)
+        np.testing.assert_allclose(
+            np.asarray(out_s["samples"]["x"]),
+            np.asarray(out_u["samples"]["x"]),
+            rtol=1e-8, atol=1e-10,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_s["depth"]), np.asarray(out_u["depth"])
+        )
+
     def test_remc_rungs_sharded_over_devices(self):
         """Replica exchange with the TEMPERATURE ladder sharded across the
         8-device mesh: per-rung transitions are embarrassingly parallel

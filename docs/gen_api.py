@@ -29,6 +29,7 @@ MODULES = [
     ("zhusuan_tpu.mcmc", "HMC and SGMCMC samplers (reference zhusuan/hmc.py, zhusuan/sgmcmc.py)"),
     ("zhusuan_tpu.evaluation", "IS marginal likelihood and AIS (reference zhusuan/evaluation.py)"),
     ("zhusuan_tpu.smc", "Annealed sequential Monte Carlo (beyond reference)"),
+    ("zhusuan_tpu.ssm", "State-space models: particle filter/smoother + Kalman (beyond reference)"),
     ("zhusuan_tpu.bijectors", "Constrained-latent sampling maps (beyond reference)"),
     ("zhusuan_tpu.diagnostics", "ESS and R-hat diagnostics (reference zhusuan/diagnostics.py)"),
     ("zhusuan_tpu.transform", "Normalizing flows (reference zhusuan/transform.py)"),

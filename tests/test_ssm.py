@@ -1,0 +1,262 @@
+"""State-space module tests: particle filter/smoother vs exact Kalman.
+
+The linear-Gaussian SSM gives CLOSED-FORM filtering/smoothing/evidence, so
+every particle estimate here is checked against an exact value (and
+``zhusuan_tpu.ssm.kalman_filter`` itself is checked against an
+independently hand-rolled NumPy implementation) — the strongest test the
+sequential family admits. Beyond-reference module: upstream ZhuSuan has no
+sequential inference (its closest tool is AIS, evaluation.py:57-172).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import zhusuan_tpu as zs
+
+# -- fixed LGSSM ----------------------------------------------------------
+
+A = np.array([[0.9, 0.1], [0.0, 0.8]])
+Q_SCALE = 0.1  # Q = Q_SCALE * I
+Q = Q_SCALE * np.eye(2)
+H = np.array([[1.0, 0.5]])
+R_SCALE = 0.5  # R = [[R_SCALE]]
+R = np.array([[R_SCALE]])
+M0 = np.zeros(2)
+P0 = np.eye(2)
+T = 50
+D = 2
+
+
+def simulate(seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.multivariate_normal(M0, P0)
+    ys = np.empty((T, 1))
+    for t in range(T):
+        if t > 0:
+            x = A @ x + rng.multivariate_normal(np.zeros(D), Q)
+        ys[t] = H @ x + rng.multivariate_normal(np.zeros(1), R)
+    return ys
+
+
+YS = simulate()
+
+
+def numpy_kalman(ys):
+    """Independent hand-rolled reference filter + RTS smoother."""
+    m, P, ll = M0.copy(), P0.copy(), 0.0
+    ms_f, Ps_f, ms_p, Ps_p = [], [], [], []
+    for t in range(T):
+        if t > 0:
+            m, P = A @ m, A @ P @ A.T + Q
+        ms_p.append(m.copy())
+        Ps_p.append(P.copy())
+        S = H @ P @ H.T + R
+        innov = ys[t] - H @ m
+        ll += float(
+            -0.5 * innov @ np.linalg.solve(S, innov)
+            - 0.5 * np.log(np.linalg.det(S))
+            - 0.5 * len(innov) * np.log(2 * np.pi)
+        )
+        K = P @ H.T @ np.linalg.inv(S)
+        m = m + K @ innov
+        P = P - K @ S @ K.T
+        ms_f.append(m.copy())
+        Ps_f.append(P.copy())
+    # RTS backward.
+    ms_s, Ps_s = [ms_f[-1]], [Ps_f[-1]]
+    for t in range(T - 2, -1, -1):
+        G = Ps_f[t] @ A.T @ np.linalg.inv(Ps_p[t + 1])
+        ms_s.insert(0, ms_f[t] + G @ (ms_s[0] - ms_p[t + 1]))
+        Ps_s.insert(0, Ps_f[t] + G @ (Ps_s[0] - Ps_p[t + 1]) @ G.T)
+    return (np.array(ms_f), np.array(Ps_f), ll,
+            np.array(ms_s), np.array(Ps_s))
+
+
+MS_F, PS_F, LL_EXACT, MS_S, PS_S = numpy_kalman(YS)
+
+
+# -- model callables for the particle filter ------------------------------
+
+Aj = jnp.asarray(A)
+Hj = jnp.asarray(H)
+CHOL_Q = jnp.asarray(np.linalg.cholesky(Q))
+
+
+def init_fn(key, n):
+    return jax.random.normal(key, (n, D), jnp.float64)  # P0 = I, m0 = 0
+
+
+def transition_fn(key, x, t):
+    eps = jax.random.normal(key, x.shape, x.dtype)
+    return x @ Aj.T + eps @ CHOL_Q.T
+
+
+def emission_log_prob(x, y, t):
+    mu = x @ Hj.T  # [n, 1]
+    return jnp.sum(
+        -0.5 * (y - mu) ** 2 / R_SCALE
+        - 0.5 * jnp.log(2.0 * jnp.pi * R_SCALE),
+        axis=-1,
+    )
+
+
+def transition_log_prob(x_new, x_old, t):
+    diff = x_new - x_old @ Aj.T
+    return (-0.5 * jnp.sum(diff ** 2, -1) / Q_SCALE
+            - 0.5 * D * jnp.log(2.0 * jnp.pi * Q_SCALE))
+
+
+def make_pf(n=4000, **kw):
+    return zs.ParticleFilter(
+        init_fn, transition_fn, emission_log_prob, n_particles=n, **kw
+    )
+
+
+class TestKalman:
+    def test_filter_matches_numpy(self):
+        res = zs.kalman_filter(YS, A, Q, H, R, M0, P0)
+        np.testing.assert_allclose(res.means, MS_F, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(res.covs, PS_F, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(float(res.log_likelihood), LL_EXACT,
+                                   rtol=1e-8)
+
+    def test_smoother_matches_numpy_rts(self):
+        res = zs.kalman_smoother(YS, A, Q, H, R, M0, P0)
+        np.testing.assert_allclose(res.means, MS_S, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(res.covs, PS_S, rtol=1e-8, atol=1e-10)
+        # Smoothing can only sharpen: diag covs <= filtering diag covs.
+        assert np.all(np.diagonal(res.covs, axis1=1, axis2=2)
+                      <= np.diagonal(PS_F, axis1=1, axis2=2) + 1e-12)
+
+
+class TestParticleFilter:
+    def test_bootstrap_log_z_and_means_match_kalman(self):
+        pf = make_pf()
+        res = pf.run(jax.random.PRNGKey(0), jnp.asarray(YS))
+        assert abs(float(res.log_z) - LL_EXACT) < 1.0
+        np.testing.assert_allclose(res.filter_means, MS_F, atol=0.15)
+        # Adaptive resampling fired at least once over 50 steps but not
+        # every step, and ESS stays within (1, n].
+        assert 0 < int(res.n_resamples) < T
+        assert float(jnp.min(res.ess)) > 1.0
+        assert float(jnp.max(res.ess)) <= pf._n + 1e-6
+
+    def test_jit_matches_eager(self):
+        pf = make_pf(n=512)
+        key = jax.random.PRNGKey(3)
+        eager = pf.run(key, jnp.asarray(YS))
+        jitted = jax.jit(lambda k, y: pf.run(k, y))(key, jnp.asarray(YS))
+        np.testing.assert_allclose(float(jitted.log_z),
+                                   float(eager.log_z), rtol=1e-12)
+
+    def test_guided_identity_proposal_is_bitwise_bootstrap(self):
+        """proposal == transition must reduce EXACTLY to the bootstrap
+        filter (the weight correction telescopes to zero) — a sharp test
+        of the guided-weight plumbing."""
+        key = jax.random.PRNGKey(1)
+        boot = make_pf(n=1024).run(key, jnp.asarray(YS))
+        guided = make_pf(
+            n=1024,
+            proposal_fn=lambda key, x, y, t: transition_fn(key, x, t),
+            proposal_log_prob=lambda xn, xo, y, t: transition_log_prob(
+                xn, xo, t),
+            transition_log_prob=transition_log_prob,
+        ).run(key, jnp.asarray(YS))
+        np.testing.assert_allclose(float(guided.log_z),
+                                   float(boot.log_z), rtol=1e-12)
+        np.testing.assert_allclose(guided.filter_means, boot.filter_means,
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_optimal_proposal_tightens_log_z(self):
+        """Locally-optimal Gaussian proposal p(x_t | x_{t-1}, y_t): the
+        guided filter's evidence estimate should sit close to exact."""
+        # Sigma = (Q^-1 + H' R^-1 H)^-1, shared across particles.
+        Sig = np.linalg.inv(np.linalg.inv(Q) + H.T @ H / R_SCALE)
+        chol_sig = jnp.asarray(np.linalg.cholesky(Sig))
+        Sigj = jnp.asarray(Sig)
+
+        def prop_mean(x_old, y):
+            m_pr = x_old @ Aj.T
+            return (m_pr / Q_SCALE + y * Hj / R_SCALE) @ Sigj.T
+
+        def proposal_fn(key, x, y, t):
+            eps = jax.random.normal(key, x.shape, x.dtype)
+            return prop_mean(x, y) + eps @ chol_sig.T
+
+        def proposal_log_prob(x_new, x_old, y, t):
+            diff = x_new - prop_mean(x_old, y)
+            z = jax.scipy.linalg.solve_triangular(
+                chol_sig, diff.T, lower=True).T
+            half_logdet = jnp.sum(jnp.log(jnp.diagonal(chol_sig)))
+            return (-0.5 * jnp.sum(z ** 2, -1) - half_logdet
+                    - 0.5 * D * jnp.log(2.0 * jnp.pi))
+
+        pf = make_pf(
+            n=4000,
+            proposal_fn=proposal_fn,
+            proposal_log_prob=proposal_log_prob,
+            transition_log_prob=transition_log_prob,
+        )
+        res = pf.run(jax.random.PRNGKey(2), jnp.asarray(YS))
+        assert abs(float(res.log_z) - LL_EXACT) < 0.5
+        # The informed proposal keeps the cloud healthy: fewer collapses
+        # than steps and a higher mean ESS than bootstrap.
+        boot = make_pf(n=4000).run(jax.random.PRNGKey(2),
+                                   jnp.asarray(YS))
+        assert float(jnp.mean(res.ess)) > float(jnp.mean(boot.ess))
+
+    def test_ffbs_smoother_matches_rts(self):
+        pf = make_pf(n=4000, transition_log_prob=transition_log_prob)
+        res = pf.run(jax.random.PRNGKey(4), jnp.asarray(YS),
+                     store_history=True)
+        paths = pf.smooth(jax.random.PRNGKey(5), res, n_paths=512)
+        assert paths.shape == (512, T, D)
+        np.testing.assert_allclose(np.mean(np.asarray(paths), 0), MS_S,
+                                   atol=0.15)
+        # Per-time marginal sds agree with the RTS smoothing covariances.
+        sd = np.std(np.asarray(paths), axis=0)
+        sd_exact = np.sqrt(np.diagonal(PS_S, axis1=1, axis2=2))
+        np.testing.assert_allclose(sd, sd_exact, rtol=0.35, atol=0.03)
+
+    def test_no_history_on_plain_run(self):
+        res = make_pf(n=256).run(jax.random.PRNGKey(0), jnp.asarray(YS))
+        assert res.history is None and res.log_w_history is None
+
+
+class TestValidation:
+    def test_proposal_requires_density(self):
+        with pytest.raises(ValueError, match="proposal_log_prob"):
+            make_pf(proposal_fn=lambda k, x, y, t: x)
+
+    def test_guided_requires_transition_density(self):
+        with pytest.raises(ValueError, match="transition_log_prob"):
+            make_pf(proposal_fn=lambda k, x, y, t: x,
+                    proposal_log_prob=lambda xn, xo, y, t: xn[..., 0])
+
+    def test_smooth_needs_history_and_density(self):
+        pf = make_pf(n=64, transition_log_prob=transition_log_prob)
+        res = pf.run(jax.random.PRNGKey(0), jnp.asarray(YS))
+        with pytest.raises(ValueError, match="store_history"):
+            pf.smooth(jax.random.PRNGKey(1), res, 4)
+        pf2 = make_pf(n=64)
+        res2 = pf2.run(jax.random.PRNGKey(0), jnp.asarray(YS),
+                       store_history=True)
+        with pytest.raises(ValueError, match="transition_log_prob"):
+            pf2.smooth(jax.random.PRNGKey(1), res2, 4)
+
+    def test_emission_shape_contract(self):
+        pf = zs.ParticleFilter(
+            init_fn, transition_fn,
+            lambda x, y, t: jnp.zeros(()),  # wrong: scalar, not [n]
+            n_particles=64,
+        )
+        with pytest.raises(ValueError, match="n_particles"):
+            pf.run(jax.random.PRNGKey(0), jnp.asarray(YS))
+
+    def test_threshold_and_size_validation(self):
+        with pytest.raises(ValueError, match="n_particles"):
+            make_pf(n=1)
+        with pytest.raises(ValueError, match="resample_threshold"):
+            make_pf(resample_threshold=1.5)

@@ -1,0 +1,429 @@
+"""State-space models: particle filtering/smoothing + exact Kalman baseline.
+
+Beyond the reference: upstream ZhuSuan has no sequential inference at all —
+its SMC-shaped tool is AIS over a tempered bridge
+(``/root/reference/zhusuan/evaluation.py:57-172``), which anneals a STATIC
+target. This module adds the sequential family: a bootstrap/guided particle
+filter over time-series observations (unbiased marginal-likelihood
+estimate + filtering clouds), forward-filter backward-sampling (FFBS)
+trajectory smoothing, and an exact Kalman filter/smoother for the
+linear-Gaussian special case (closed-form baseline the particle estimates
+are tested against).
+
+TPU-native design: particles are the leading axis of every array; one time
+step is conditional systematic resampling (cumsum + searchsorted gather
+under ``lax.cond``) -> proposal propagation -> reweight (elementwise +
+logsumexp); the whole filter is ONE ``lax.scan`` over the observation
+sequence, so a [T, n_particles, d] run is a single XLA program with no
+host round-trips. The FFBS backward pass is a second ``lax.scan`` over the
+stored history, ``vmap``-ed over trajectories.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from zhusuan_tpu.smc import _systematic_resample
+
+__all__ = [
+    "ParticleFilter",
+    "PFResult",
+    "kalman_filter",
+    "kalman_smoother",
+    "KalmanResult",
+]
+
+
+class PFResult(NamedTuple):
+    """Output of :meth:`ParticleFilter.run`."""
+
+    particles: Any  # final-time particle cloud pytree, [n_particles, ...]
+    log_w: jnp.ndarray  # [n_particles] final log-weights (normalized)
+    log_z: jnp.ndarray  # scalar log p(y_{0:T-1}) estimate (unbiased in
+    #                     Z-space for the bootstrap filter)
+    filter_means: Any  # pytree of [T, ...] self-normalized filtering means
+    ess: jnp.ndarray  # [T] effective sample size after each reweight
+    n_resamples: jnp.ndarray  # scalar resampling-event count
+    history: Any  # ``store_history=True``: pytree of [T, n_particles, ...]
+    #               post-propagation clouds, else None
+    log_w_history: Optional[jnp.ndarray]  # [T, n_particles] matching
+    #               normalized log-weights, else None
+
+
+class ParticleFilter:
+    """Sequential Monte Carlo for state-space models.
+
+    The model is specified functionally (pure callables over vectorized
+    particle clouds — the idiomatic JAX contract, everything traced into
+    one program):
+
+    - ``init_fn(key, n_particles) -> particles``: draw the t=0 cloud from
+      the initial distribution p(x_0). ``particles`` is any pytree whose
+      leaves carry the particle axis first.
+    - ``transition_fn(key, particles, t) -> particles``: propagate the
+      whole cloud x_{t-1} -> x_t ~ p(x_t | x_{t-1}) (vectorized over the
+      leading axis; split ``key`` internally as needed).
+    - ``emission_log_prob(particles, y, t) -> [n_particles]``: per-particle
+      observation density log p(y_t | x_t).
+
+    With only these three the filter is the BOOTSTRAP filter (proposal =
+    transition prior; incremental weight = emission density). A guided
+    filter supplies in addition:
+
+    - ``proposal_fn(key, particles, y, t) -> particles``: propose x_t from
+      q(x_t | x_{t-1}, y_t) (sees the incoming observation), and
+    - ``proposal_log_prob(new, old, y, t) -> [n_particles]`` plus
+    - ``transition_log_prob(new, old, t) -> [n_particles]``,
+
+    so the incremental weight becomes emission + transition - proposal.
+    ``transition_log_prob`` alone (no proposal) also unlocks
+    :meth:`smooth` (FFBS needs transition densities, not samples).
+
+    Resampling is conditional systematic (shared with
+    :class:`~zhusuan_tpu.smc.AnnealedSMC`): triggered when
+    ESS < ``resample_threshold * n_particles``; set the threshold to 1.0
+    for always-resample, 0.0 for pure sequential importance sampling.
+
+    :param init_fn: initial-cloud sampler (see above).
+    :param transition_fn: transition sampler.
+    :param emission_log_prob: observation log-density.
+    :param n_particles: cloud size.
+    :param proposal_fn: optional guided proposal sampler.
+    :param proposal_log_prob: proposal log-density (required with
+        ``proposal_fn``).
+    :param transition_log_prob: transition log-density (required with
+        ``proposal_fn``; alone it enables :meth:`smooth`).
+    :param resample_threshold: ESS fraction triggering resampling.
+    """
+
+    def __init__(
+        self,
+        init_fn: Callable,
+        transition_fn: Callable,
+        emission_log_prob: Callable,
+        n_particles: int,
+        proposal_fn: Optional[Callable] = None,
+        proposal_log_prob: Optional[Callable] = None,
+        transition_log_prob: Optional[Callable] = None,
+        resample_threshold: float = 0.5,
+    ):
+        if int(n_particles) < 2:
+            raise ValueError("n_particles must be >= 2.")
+        if (proposal_fn is None) != (proposal_log_prob is None):
+            raise ValueError(
+                "proposal_fn and proposal_log_prob must be supplied "
+                "together (a guided proposal needs its density for the "
+                "weight correction)."
+            )
+        if proposal_fn is not None and transition_log_prob is None:
+            raise ValueError(
+                "a guided proposal additionally needs transition_log_prob "
+                "for the importance-weight correction."
+            )
+        if not 0.0 <= float(resample_threshold) <= 1.0:
+            raise ValueError("resample_threshold must be in [0, 1].")
+        self._init_fn = init_fn
+        self._transition_fn = transition_fn
+        self._emission_log_prob = emission_log_prob
+        self._proposal_fn = proposal_fn
+        self._proposal_log_prob = proposal_log_prob
+        self._transition_log_prob = transition_log_prob
+        self._n = int(n_particles)
+        self._resample_threshold = float(resample_threshold)
+
+    # -- one filter step ---------------------------------------------------
+
+    def _propagate(self, key, x_prev, y, t, dtype):
+        """Propose x_t and return (x_t, extra log-weight correction)."""
+        if self._proposal_fn is None:
+            x = self._transition_fn(key, x_prev, t)
+            corr = jnp.zeros((self._n,), dtype)
+            return x, corr
+        x = self._proposal_fn(key, x_prev, y, t)
+        corr = self._transition_log_prob(
+            x, x_prev, t
+        ) - self._proposal_log_prob(x, x_prev, y, t)
+        return x, corr.astype(dtype)
+
+    def _step(self, store_history, carry, inp):
+        x, log_w, log_z, n_resamples = carry
+        t, y, key = inp
+        k_res, k_prop = jax.random.split(key)
+        n = self._n
+        dtype = log_w.dtype
+        log_n = jnp.log(jnp.asarray(float(n), dtype))
+
+        # 1. Conditional resampling on the INCOMING weights (skipped at
+        # t=0 where they are uniform and ESS == n).
+        lw_n = log_w - jax.scipy.special.logsumexp(log_w)
+        ess_in = jnp.exp(-jax.scipy.special.logsumexp(2.0 * lw_n))
+
+        def do_resample(args):
+            x, lw_n, n_resamples = args
+            idx = _systematic_resample(k_res, lw_n)
+            x_r = jax.tree.map(lambda a: a[idx], x)
+            return x_r, jnp.full((n,), -log_n, dtype), n_resamples + 1
+
+        x, lw_n, n_resamples = jax.lax.cond(
+            ess_in < self._resample_threshold * n,
+            do_resample,
+            lambda args: args,
+            (x, lw_n, n_resamples),
+        )
+
+        # 2. Propagate x_{t-1} -> x_t (identity at t=0: init_fn already
+        # drew the time-0 cloud; both cond branches are traced, the
+        # identity branch is free at run time).
+        x, corr = jax.lax.cond(
+            t > 0,
+            lambda op: self._propagate(k_prop, op[0], op[1], t, dtype),
+            lambda op: (op[0], jnp.zeros((n,), dtype)),
+            (x, y),
+        )
+
+        # 3. Reweight with the incremental weight; update the evidence
+        # with the previous NORMALIZED weights (AnnealedSMC discipline —
+        # exact for both always- and adaptive-resampling regimes).
+        lw_inc = self._emission_log_prob(x, y, t) + corr
+        log_z = log_z + jax.scipy.special.logsumexp(lw_n + lw_inc)
+        log_w = lw_n + lw_inc
+
+        lw_out = log_w - jax.scipy.special.logsumexp(log_w)
+        ess = jnp.exp(-jax.scipy.special.logsumexp(2.0 * lw_out))
+        w = jnp.exp(lw_out)
+        means = jax.tree.map(
+            lambda a: jnp.tensordot(w, a, axes=(0, 0)), x
+        )
+        # Only stack the full cloud when smoothing needs it — scan outputs
+        # materialize as [T, ...] buffers, so an unconditional history
+        # would cost T*n_particles HBM on every plain filter run.
+        out = (ess, means) + ((x, lw_out) if store_history else ())
+        return (x, log_w, log_z, n_resamples), out
+
+    # -- drivers -----------------------------------------------------------
+
+    def run(self, key, ys, store_history: bool = False) -> PFResult:
+        """Run the filter over ``ys`` (pytree, leading axis = time) as one
+        ``lax.scan`` program.
+
+        :param key: PRNG key.
+        :param ys: observations; every leaf has shape ``[T, ...]``.
+        :param store_history: keep the per-step clouds + weights
+            (``[T, n_particles, ...]`` — the memory cost of smoothing;
+            required by :meth:`smooth`).
+        """
+        leaves = jax.tree.leaves(ys)
+        if not leaves:
+            raise ValueError("ys must contain at least one observation "
+                             "array.")
+        T = leaves[0].shape[0]
+        k_init, k_scan = jax.random.split(key)
+        x0 = self._init_fn(k_init, self._n)
+
+        # Dtype/shape contract probe without spending density FLOPs
+        # (evaluation.py pattern).
+        y0 = jax.tree.map(lambda a: a[0], ys)
+        lw_probe = jax.eval_shape(
+            lambda x: self._emission_log_prob(x, y0, 0), x0
+        )
+        if lw_probe.shape != (self._n,):
+            raise ValueError(
+                "emission_log_prob must return [n_particles]={} log-"
+                "densities, got shape {}.".format((self._n,),
+                                                  lw_probe.shape)
+            )
+        dtype = lw_probe.dtype
+        log_n = jnp.log(jnp.asarray(float(self._n), dtype))
+
+        init = (
+            x0,
+            jnp.full((self._n,), -log_n, dtype),
+            jnp.zeros((), dtype),
+            jnp.zeros((), jnp.int32),
+        )
+        inputs = (jnp.arange(T), ys, jax.random.split(k_scan, T))
+        carry, outs = jax.lax.scan(
+            lambda c, i: self._step(store_history, c, i), init, inputs
+        )
+        x, log_w, log_z, n_resamples = carry
+        if store_history:
+            ess_t, means_t, hist, lw_hist = outs
+        else:
+            (ess_t, means_t), hist, lw_hist = outs, None, None
+        return PFResult(
+            particles=x,
+            log_w=log_w - jax.scipy.special.logsumexp(log_w),
+            log_z=log_z,
+            filter_means=means_t,
+            ess=ess_t,
+            n_resamples=n_resamples,
+            history=hist,
+            log_w_history=lw_hist,
+        )
+
+    def smooth(self, key, result: PFResult, n_paths: int):
+        """Forward-filter backward-sampling (Godsill, Doucet & West 2004):
+        draw ``n_paths`` joint smoothing trajectories
+        x_{0:T-1} ~ p(x_{0:T-1} | y_{0:T-1}) from the stored filter
+        history.
+
+        Backward pass per path: pick the final state from the final
+        filtering weights, then for t = T-2..0 reweight the time-t cloud
+        by the transition density into the chosen x_{t+1} and sample.
+        One ``lax.scan`` over reversed time, ``vmap`` over paths —
+        O(T * n_paths * n_particles) transition-density evaluations, all
+        on device.
+
+        :param key: PRNG key.
+        :param result: a :meth:`run` output with ``store_history=True``.
+        :param n_paths: number of smoothing trajectories.
+        :return: pytree of ``[n_paths, T, ...]`` trajectories.
+        """
+        if self._transition_log_prob is None:
+            raise ValueError(
+                "smooth() needs transition_log_prob (FFBS reweights by "
+                "transition densities)."
+            )
+        if result.history is None:
+            raise ValueError(
+                "smooth() needs the filter history: re-run with "
+                "store_history=True."
+            )
+        xs, lws = result.history, result.log_w_history
+        T = lws.shape[0]
+
+        def one_path(k):
+            k_last, k_back = jax.random.split(k)
+            idx_last = jax.random.categorical(k_last, lws[T - 1])
+            x_last = jax.tree.map(lambda a: a[T - 1, idx_last], xs)
+
+            def back(x_next, inp):
+                t, kk = inp
+                x_t_all = jax.tree.map(lambda a: a[t], xs)
+                lw_b = lws[t] + self._transition_log_prob(
+                    x_next, x_t_all, t + 1
+                )
+                idx = jax.random.categorical(kk, lw_b)
+                x_t = jax.tree.map(lambda a: a[idx], x_t_all)
+                return x_t, x_t
+
+            ts = jnp.arange(T - 2, -1, -1)
+            _, traj_rev = jax.lax.scan(
+                back, x_last, (ts, jax.random.split(k_back, T - 1))
+            )
+            # traj_rev is [T-1, ...] in reverse order; flip and append the
+            # final state.
+            return jax.tree.map(
+                lambda rev, last: jnp.concatenate(
+                    [jnp.flip(rev, axis=0), last[None]], axis=0
+                ),
+                traj_rev,
+                x_last,
+            )
+
+        return jax.vmap(one_path)(jax.random.split(key, int(n_paths)))
+
+
+# -- exact linear-Gaussian baseline ---------------------------------------
+
+
+class KalmanResult(NamedTuple):
+    """Output of :func:`kalman_filter` / :func:`kalman_smoother`."""
+
+    means: jnp.ndarray  # [T, d] filtering (or smoothing) means
+    covs: jnp.ndarray  # [T, d, d] matching covariances
+    log_likelihood: jnp.ndarray  # scalar log p(y_{0:T-1}) (exact)
+
+
+def _mvn_logpdf(y, mean, cov):
+    d = y.shape[-1]
+    chol = jnp.linalg.cholesky(cov)
+    z = jax.scipy.linalg.solve_triangular(chol, y - mean, lower=True)
+    half_log_det = jnp.sum(jnp.log(jnp.diagonal(chol)))
+    return (-0.5 * jnp.sum(z ** 2) - half_log_det
+            - 0.5 * d * jnp.log(2.0 * jnp.asarray(jnp.pi, y.dtype)))
+
+
+def kalman_filter(ys, A, Q, H, R, m0, P0) -> KalmanResult:
+    """Exact filter for the linear-Gaussian SSM
+
+    .. math::
+        x_0 \\sim N(m_0, P_0), \\quad
+        x_t = A x_{t-1} + N(0, Q), \\quad
+        y_t = H x_t + N(0, R).
+
+    One ``lax.scan`` over time; Cholesky-based innovations (no explicit
+    inverses). Returns filtering means/covariances and the EXACT
+    log-marginal-likelihood — the closed-form baseline the particle
+    filter's ``log_z`` is validated against (tests/test_ssm.py).
+
+    :param ys: ``[T, p]`` observations.
+    :param A: ``[d, d]`` transition matrix.
+    :param Q: ``[d, d]`` transition noise covariance.
+    :param H: ``[p, d]`` emission matrix.
+    :param R: ``[p, p]`` emission noise covariance.
+    :param m0: ``[d]`` initial mean.
+    :param P0: ``[d, d]`` initial covariance.
+    """
+    ys, A, Q, H, R, m0, P0 = map(jnp.asarray, (ys, A, Q, H, R, m0, P0))
+    T = ys.shape[0]
+
+    def step(carry, inp):
+        m, P, ll = carry
+        t, y = inp
+        # Predict (identity at t=0: m0/P0 already describe x_0).
+        m_pred = jnp.where(t > 0, A @ m, m)
+        P_pred = jnp.where(t > 0, A @ P @ A.T + Q, P)
+        # Update.
+        S = H @ P_pred @ H.T + R
+        chol_s = jnp.linalg.cholesky(S)
+        innov = y - H @ m_pred
+        # K = P_pred H' S^{-1} via two triangular solves.
+        K = jax.scipy.linalg.cho_solve((chol_s, True),
+                                       H @ P_pred.T).T
+        m_new = m_pred + K @ innov
+        P_new = P_pred - K @ S @ K.T
+        ll = ll + _mvn_logpdf(y, H @ m_pred, S)
+        return (m_new, P_new, ll), (m_new, P_new, m_pred, P_pred)
+
+    init = (m0, P0, jnp.zeros((), ys.dtype))
+    (_, _, ll), (ms, Ps, _, _) = jax.lax.scan(
+        step, init, (jnp.arange(T), ys)
+    )
+    return KalmanResult(means=ms, covs=Ps, log_likelihood=ll)
+
+
+def kalman_smoother(ys, A, Q, H, R, m0, P0) -> KalmanResult:
+    """Rauch–Tung–Striebel smoother for the same LGSSM as
+    :func:`kalman_filter`: a forward filter pass then one backward
+    ``lax.scan``. Returns smoothing means/covariances (and the filter's
+    exact log-likelihood)."""
+    ys, A, Q, H, R, m0, P0 = map(jnp.asarray, (ys, A, Q, H, R, m0, P0))
+    filt = kalman_filter(ys, A, Q, H, R, m0, P0)
+    ms, Ps = filt.means, filt.covs
+    T = ys.shape[0]
+
+    def back(carry, inp):
+        m_next_s, P_next_s = carry
+        m_f, P_f = inp
+        m_pred = A @ m_f
+        P_pred = A @ P_f @ A.T + Q
+        chol_p = jnp.linalg.cholesky(P_pred)
+        # G = P_f A' P_pred^{-1}
+        G = jax.scipy.linalg.cho_solve((chol_p, True), A @ P_f.T).T
+        m_s = m_f + G @ (m_next_s - m_pred)
+        P_s = P_f + G @ (P_next_s - P_pred) @ G.T
+        return (m_s, P_s), (m_s, P_s)
+
+    init = (ms[T - 1], Ps[T - 1])
+    # Backward over t = T-2..0 (reverse the stacked filter results).
+    _, (ms_rev, Ps_rev) = jax.lax.scan(
+        back, init, (jnp.flip(ms[:-1], 0), jnp.flip(Ps[:-1], 0))
+    )
+    ms_s = jnp.concatenate([jnp.flip(ms_rev, 0), ms[T - 1][None]], 0)
+    Ps_s = jnp.concatenate([jnp.flip(Ps_rev, 0), Ps[T - 1][None]], 0)
+    return KalmanResult(means=ms_s, covs=Ps_s,
+                        log_likelihood=filt.log_likelihood)

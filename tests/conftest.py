@@ -63,6 +63,7 @@ SLOW_MODULES = {
     "test_flow",            # flow-distribution change-of-variables (103s)
     "test_lkj",             # quadrature/importance normalizer checks (70s)
     "test_objectives",      # 1e6-sample estimator gradient checks (51s)
+    "test_ssm",             # PMMH chains + particle-vs-Kalman bounds (89s)
 }
 
 

@@ -16,6 +16,7 @@ MODULES = [
     "zhusuan_tpu.mcmc",
     "zhusuan_tpu.evaluation",
     "zhusuan_tpu.smc",
+    "zhusuan_tpu.ssm",
     "zhusuan_tpu.bijectors",
     "zhusuan_tpu.diagnostics",
     "zhusuan_tpu.transform",

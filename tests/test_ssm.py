@@ -225,6 +225,124 @@ class TestParticleFilter:
         assert res.history is None and res.log_w_history is None
 
 
+class TestPMMH:
+    """Pseudo-marginal MH on a scalar LGSSM with unknown transition
+    coefficient ``a`` — the exact parameter posterior is computable by
+    grid quadrature of the Kalman log-likelihood, so the PMMH chain is
+    checked against closed form."""
+
+    A_TRUE = 0.8
+    Q1 = 0.09
+    R1 = 0.16
+    T1 = 30
+    PRIOR_MU, PRIOR_SD = 0.5, 0.5
+
+    @classmethod
+    def _data(cls):
+        rng = np.random.default_rng(11)
+        x, ys = rng.standard_normal(), []
+        for t in range(cls.T1):
+            if t > 0:
+                x = cls.A_TRUE * x + np.sqrt(cls.Q1) * rng.standard_normal()
+            ys.append(x + np.sqrt(cls.R1) * rng.standard_normal())
+        return jnp.asarray(np.array(ys)[:, None])
+
+    @classmethod
+    def _exact_posterior(cls, ys):
+        def ll(a):
+            return zs.kalman_filter(
+                ys, a.reshape(1, 1), np.array([[cls.Q1]]),
+                np.array([[1.0]]), np.array([[cls.R1]]),
+                np.zeros(1), np.eye(1),
+            ).log_likelihood
+
+        grid = jnp.linspace(-0.2, 1.5, 401)
+        log_p = jax.vmap(ll)(grid) - 0.5 * (
+            (grid - cls.PRIOR_MU) / cls.PRIOR_SD) ** 2
+        w = np.exp(np.asarray(log_p) - np.max(np.asarray(log_p)))
+        w /= w.sum()
+        g = np.asarray(grid)
+        mean = float((w * g).sum())
+        sd = float(np.sqrt((w * (g - mean) ** 2).sum()))
+        return mean, sd
+
+    @classmethod
+    def _make_kernel(cls, ys, n_particles=256, **kw):
+        def log_z_fn(theta, key):
+            a = theta["a"]
+            pf = zs.ParticleFilter(
+                init_fn=lambda k, n: jax.random.normal(
+                    k, (n, 1), jnp.float64),
+                transition_fn=lambda k, x, t: a * x + jnp.sqrt(cls.Q1)
+                * jax.random.normal(k, x.shape, x.dtype),
+                emission_log_prob=lambda x, y, t: jnp.sum(
+                    -0.5 * (y - x) ** 2 / cls.R1
+                    - 0.5 * jnp.log(2 * jnp.pi * cls.R1), -1),
+                n_particles=n_particles,
+            )
+            return pf.run(key, ys).log_z
+
+        def log_prior(theta):
+            return -0.5 * ((theta["a"] - cls.PRIOR_MU)
+                           / cls.PRIOR_SD) ** 2
+
+        return zs.PseudoMarginalMH(log_z_fn, log_prior, **kw)
+
+    def test_posterior_matches_grid_quadrature(self):
+        ys = self._data()
+        mean_ex, sd_ex = self._exact_posterior(ys)
+        kern = self._make_kernel(ys, step_size=0.15)
+        state = kern.init(
+            {"a": jnp.linspace(0.4, 1.1, 8, dtype=jnp.float64)}
+        )
+        run = jax.jit(lambda s, k: kern.run(s, k, 1200))
+        final, out = run(state, jax.random.PRNGKey(0))
+        draws = np.asarray(out["samples"]["a"])[200:]  # burn-in off
+        assert abs(draws.mean() - mean_ex) < 0.05
+        assert 0.5 * sd_ex < draws.std() < 1.8 * sd_ex
+        # The chain actually moves, at a sane pseudo-marginal rate.
+        acc = float(np.asarray(out["acceptance_rate"]).mean())
+        assert 0.05 < acc < 0.9
+
+    def test_deterministic_and_retained_refill(self):
+        ys = self._data()
+        kern = self._make_kernel(ys, n_particles=64)
+        state = kern.init({"a": jnp.full((4,), 0.7, jnp.float64)})
+        key = jax.random.PRNGKey(1)
+        _, out1 = kern.run(state, key, 20)
+        _, out2 = kern.run(state, key, 20)
+        np.testing.assert_array_equal(np.asarray(out1["samples"]["a"]),
+                                      np.asarray(out2["samples"]["a"]))
+        # invalidate_cache marks the retained estimate; sample refills it
+        # to a finite value.
+        st2, _ = kern.sample(state, key)
+        st3 = st2.invalidate_cache()
+        assert np.all(np.isnan(np.asarray(st3.log_post)))
+        st4, _ = kern.sample(st3, jax.random.PRNGKey(2))
+        assert np.all(np.isfinite(np.asarray(st4.log_post)))
+
+    def test_adaptation_moves_step_size(self):
+        ys = self._data()
+        kern = self._make_kernel(ys, n_particles=64, step_size=2.0,
+                                 adapt_step_size=True,
+                                 target_acceptance_rate=0.2)
+        state = kern.init({"a": jnp.full((4,), 0.7, jnp.float64)})
+        final, out = kern.run(state, jax.random.PRNGKey(3), 150,
+                              n_adapt=150)
+        # A wildly-too-large proposal scale gets pulled down.
+        assert float(final.step_size) < 2.0
+
+    def test_validation(self):
+        ys = self._data()
+        with pytest.raises(ValueError, match="step_size"):
+            self._make_kernel(ys, step_size=0.0)
+        kern = self._make_kernel(ys, n_particles=64)
+        state = kern.init({"a": jnp.full((2,), 0.7, jnp.float64)})
+        with pytest.raises(ValueError, match="collect field"):
+            kern.run(state, jax.random.PRNGKey(0), 5,
+                     collect_fields=("samples", "bogus"))
+
+
 class TestValidation:
     def test_proposal_requires_density(self):
         with pytest.raises(ValueError, match="proposal_log_prob"):

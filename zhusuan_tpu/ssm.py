@@ -25,12 +25,17 @@ from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from zhusuan_tpu.mcmc.base import dual_averaging_update, tree_normal_like
 from zhusuan_tpu.smc import _systematic_resample
 
 __all__ = [
     "ParticleFilter",
     "PFResult",
+    "PseudoMarginalMH",
+    "PMMHState",
+    "PMMHInfo",
     "kalman_filter",
     "kalman_smoother",
     "KalmanResult",
@@ -325,6 +330,253 @@ class ParticleFilter:
             )
 
         return jax.vmap(one_path)(jax.random.split(key, int(n_paths)))
+
+
+# -- pseudo-marginal MH (PMMH) --------------------------------------------
+
+
+class PMMHState(NamedTuple):
+    """Pseudo-marginal Metropolis state (MHState conventions,
+    ``mcmc/rwm.py:39-66``): the RETAINED evidence estimate rides with the
+    parameters — the defining pseudo-marginal mechanic — and is filled
+    with a NaN sentinel at init (``sample`` re-evaluates on it; a live
+    retained value is never NaN because NaN proposals are rejected)."""
+
+    theta: Any  # parameter dict, leaves [n_chains, ...]
+    log_post: jnp.ndarray  # [n_chains] retained log_z_hat + log_prior
+    t: jnp.ndarray  # iteration counter (int32)
+    step_size: jnp.ndarray  # scalar
+    da_step: jnp.ndarray
+    h_bar: jnp.ndarray
+    log_epsilon_bar: jnp.ndarray
+
+    def invalidate_cache(self) -> "PMMHState":
+        """Mark the retained evidence stale (e.g. after re-targeting a
+        restored state); the next ``sample`` re-estimates it."""
+        return self._replace(log_post=jnp.full_like(self.log_post,
+                                                    float("nan")))
+
+
+class PMMHInfo(NamedTuple):
+    """Per-iteration statistics."""
+
+    samples: Any
+    acceptance_rate: jnp.ndarray  # [n_chains]
+    updated_step_size: jnp.ndarray
+    log_post: jnp.ndarray  # [n_chains] retained log-posterior estimate
+
+
+class PseudoMarginalMH:
+    """Particle-marginal / pseudo-marginal Metropolis–Hastings (Andrieu,
+    Doucet & Holenstein 2010): random-walk MH over model parameters where
+    the intractable likelihood is replaced by an UNBIASED stochastic
+    estimate — for state-space models, the particle filter's ``log_z``.
+    The retained-estimate construction targets the exact parameter
+    posterior despite the noise.
+
+    Beyond the reference: upstream ZhuSuan has no sequential models and
+    no pseudo-marginal machinery. TPU-native design: the estimator (a
+    full :meth:`ParticleFilter.run` scan) is traced INTO the MH step, so
+    ``run`` compiles to one nested-scan XLA program; chains are a leading
+    axis ``vmap``-ed over independent filters.
+
+    :param log_z_fn: ``(theta_single, key) -> scalar`` unbiased
+        log-evidence estimator for ONE parameter setting (no chain axis —
+        the kernel vmaps it). Typically
+        ``lambda th, k: make_filter(th).run(k, ys).log_z``.
+    :param log_prior: ``(theta_single) -> scalar`` parameter log-prior.
+    :param step_size: random-walk proposal scale (multiplies
+        ``proposal_scales``).
+    :param proposal_scales: optional dict of per-site scale arrays
+        (broadcast against each leaf) for anisotropic proposals.
+    :param adapt_step_size: dual-average the step size toward
+        ``target_acceptance_rate`` during ``run``'s ``n_adapt`` window.
+        Off by default: with a noisy estimator the optimal acceptance is
+        BELOW the 0.234 clean-likelihood value (Sherlock et al. 2015) —
+        set a lower target when the per-step evidence noise is large.
+    """
+
+    _VALID_FIELDS = ("samples", "acceptance_rate", "step_size", "log_post")
+
+    def __init__(
+        self,
+        log_z_fn: Callable,
+        log_prior: Callable,
+        step_size: float = 0.1,
+        proposal_scales: Optional[dict] = None,
+        adapt_step_size: bool = False,
+        target_acceptance_rate: float = 0.234,
+        gamma: float = 0.05,
+        t0: float = 100.0,
+        kappa: float = 0.75,
+    ):
+        if not float(step_size) > 0.0:
+            raise ValueError("step_size must be positive.")
+        if not 0.0 < float(target_acceptance_rate) < 1.0:
+            raise ValueError("target_acceptance_rate must be in (0, 1).")
+        self._log_z_fn = log_z_fn
+        self._log_prior = log_prior
+        self._step_size = float(step_size)
+        self._scales = dict(proposal_scales or {})
+        self._adapt = bool(adapt_step_size)
+        self._target = float(target_acceptance_rate)
+        self._gamma, self._t0, self._kappa = (float(gamma), float(t0),
+                                              float(kappa))
+
+    def init(self, theta: dict) -> PMMHState:
+        """State from initial parameters; every leaf carries the chain
+        axis first (``[n_chains, ...]``)."""
+        theta = {k: jnp.asarray(v) for k, v in theta.items()}
+        any_leaf = next(iter(theta.values()))
+        n_chains = any_leaf.shape[0]
+        dtype = any_leaf.dtype
+        zero = jnp.zeros((), dtype)
+        return PMMHState(
+            theta=theta,
+            log_post=jnp.full((n_chains,), float("nan"), dtype),
+            t=jnp.zeros((), jnp.int32),
+            step_size=jnp.asarray(self._step_size, dtype),
+            da_step=zero,
+            h_bar=zero,
+            log_epsilon_bar=zero,
+        )
+
+    def _estimate(self, theta, keys):
+        """[n_chains] log_z_hat + log_prior, vmapped over the chain axis."""
+
+        def one(th, k):
+            return self._log_z_fn(th, k) + self._log_prior(th)
+
+        return jax.vmap(one)(theta, keys)
+
+    def sample(self, state: PMMHState, key, adapt=None):
+        """One pseudo-marginal MH step over all chains. Pure; scan-safe.
+
+        Each call consumes ONE evidence estimate per chain (the
+        proposal's); the current position's estimate is RETAINED from the
+        step that accepted it — re-estimating it here would break the
+        pseudo-marginal exactness argument.
+        """
+        n_chains = state.log_post.shape[0]
+        k_fill, k_prop, k_z, k_mh = jax.random.split(key, 4)
+
+        # Refill the retained estimate when the NaN sentinel is present
+        # (first call / invalidate_cache) — scalar predicate so the
+        # (expensive: one full filter per chain) branch is skipped at run
+        # time on every later step.
+        log_post0 = jax.lax.cond(
+            jnp.any(jnp.isnan(state.log_post)),
+            lambda: self._estimate(
+                state.theta, jax.random.split(k_fill, n_chains)
+            ).astype(state.log_post.dtype),
+            lambda: state.log_post,
+        )
+
+        eps = tree_normal_like(k_prop, state.theta)
+        theta_prop = {
+            n: state.theta[n]
+            + state.step_size
+            * jnp.asarray(self._scales.get(n, 1.0),
+                          state.theta[n].dtype)
+            * eps[n]
+            for n in state.theta
+        }
+        log_post_prop = self._estimate(
+            theta_prop, jax.random.split(k_z, n_chains)
+        ).astype(log_post0.dtype)
+
+        # Symmetric proposal: log alpha is the posterior-estimate ratio.
+        # NaN/-inf proposals (zero-density prior region, filter
+        # breakdown) are rejected; +inf escapes from -inf stay accepts
+        # (rwm.py:184-191 semantics).
+        log_alpha = log_post_prop - log_post0
+        bad = jnp.logical_or(jnp.isnan(log_alpha),
+                             jnp.logical_not(jnp.isfinite(log_post_prop)))
+        log_alpha = jnp.where(bad, -jnp.inf, log_alpha)
+        accept_rate = jnp.minimum(1.0,
+                                  jnp.exp(jnp.minimum(log_alpha, 0.0)))
+        u = jax.random.uniform(k_mh, (n_chains,))
+        accept = jnp.log(u) < log_alpha
+
+        def pick(new, old):
+            mask = accept.reshape(accept.shape
+                                  + (1,) * (new.ndim - accept.ndim))
+            return jnp.where(mask, new, old)
+
+        theta = jax.tree.map(pick, theta_prop, state.theta)
+        log_post = jnp.where(accept, log_post_prop, log_post0)
+
+        gate = self._adapt if adapt is None else adapt
+        step_size, da_step, h_bar, log_eps_bar = dual_averaging_update(
+            state.da_step,
+            state.h_bar,
+            state.log_epsilon_bar,
+            state.step_size,
+            jnp.mean(accept_rate),
+            jnp.asarray(gate),
+            fresh_start=state.t == 0,
+            mu=float(np.log(10.0 * self._step_size)),
+            target=self._target,
+            gamma=self._gamma,
+            t0=self._t0,
+            kappa=self._kappa,
+        )
+        ss_dtype = state.step_size.dtype
+        new_state = PMMHState(
+            theta=theta,
+            log_post=log_post,
+            t=state.t + 1,
+            step_size=step_size.astype(ss_dtype),
+            da_step=da_step.astype(state.da_step.dtype),
+            h_bar=h_bar.astype(ss_dtype),
+            log_epsilon_bar=log_eps_bar.astype(ss_dtype),
+        )
+        info = PMMHInfo(
+            samples=theta,
+            acceptance_rate=accept_rate,
+            updated_step_size=new_state.step_size,
+            log_post=log_post,
+        )
+        return new_state, info
+
+    def run(
+        self,
+        state: PMMHState,
+        key,
+        n_iters: int,
+        n_adapt: int = 0,
+        collect_fields=("samples", "acceptance_rate", "step_size",
+                        "log_post"),
+    ):
+        """Run ``n_iters`` PMMH iterations as one ``lax.scan`` program
+        (each body step contains the vmapped particle filters).
+        Adaptation gates on the persisted ``state.t < n_adapt``
+        (``HMC.run`` convention — resumed states past the window never
+        re-adapt).
+
+        :return: ``(final_state, {field: [n_iters, ...] stacked})``.
+        """
+        for f in collect_fields:
+            if f not in self._VALID_FIELDS:
+                raise ValueError(
+                    "Unknown collect field {!r}; valid: {}.".format(
+                        f, self._VALID_FIELDS)
+                )
+        adapt_on = self._adapt and n_adapt > 0
+
+        def one(st, k):
+            gate = (st.t < n_adapt if adapt_on else jnp.asarray(False))
+            st2, info = self.sample(st, k, adapt=gate)
+            full = {
+                "samples": info.samples,
+                "acceptance_rate": info.acceptance_rate,
+                "step_size": info.updated_step_size,
+                "log_post": info.log_post,
+            }
+            return st2, {f: full[f] for f in collect_fields}
+
+        return jax.lax.scan(one, state,
+                            jax.random.split(key, int(n_iters)))
 
 
 # -- exact linear-Gaussian baseline ---------------------------------------

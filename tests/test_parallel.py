@@ -218,6 +218,43 @@ class TestShardedHMCEquivalence:
             np.asarray(out_s["depth"]), np.asarray(out_u["depth"])
         )
 
+    def test_particle_filter_sharded_particles_match_unsharded(self):
+        """Particle filter with the particle axis laid out over the
+        8-device mesh == unsharded run, bit-for-bit: the resampling
+        gather and logsumexp normalizations become cross-device
+        collectives but the program is deterministic given the key."""
+        mesh = Mesh(np.array(jax.devices()[:8]), ("particles",))
+        sharding = NamedSharding(mesh, P("particles"))
+        ys = jnp.asarray(
+            np.random.RandomState(2).randn(20, 1), jnp.float64
+        )
+
+        def make(shard):
+            def init_fn(key, n):
+                x = jax.random.normal(key, (n, 1), jnp.float64)
+                return jax.device_put(x, sharding) if shard else x
+
+            return zs.ParticleFilter(
+                init_fn,
+                lambda k, x, t: 0.9 * x
+                + 0.3 * jax.random.normal(k, x.shape, x.dtype),
+                lambda x, y, t: jnp.sum(-0.5 * (y - x) ** 2, -1),
+                n_particles=128,
+            )
+
+        key = jax.random.PRNGKey(6)
+        run = lambda pf: jax.jit(lambda k, y: pf.run(k, y))(key, ys)
+        res_u = run(make(False))
+        res_s = run(make(True))
+        np.testing.assert_allclose(float(res_s.log_z),
+                                   float(res_u.log_z), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(res_s.filter_means),
+            np.asarray(res_u.filter_means), rtol=1e-10, atol=1e-12,
+        )
+        np.testing.assert_array_equal(np.asarray(res_s.ess),
+                                      np.asarray(res_u.ess))
+
     def test_remc_rungs_sharded_over_devices(self):
         """Replica exchange with the TEMPERATURE ladder sharded across the
         8-device mesh: per-rung transitions are embarrassingly parallel

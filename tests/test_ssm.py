@@ -225,6 +225,103 @@ class TestParticleFilter:
         assert res.history is None and res.log_w_history is None
 
 
+class TestConditionalSMC:
+    """cSMC + particle Gibbs against exact smoothing/posterior values."""
+
+    def test_csmc_sweeps_target_smoothing_distribution(self):
+        """Iterated conditional-SMC trajectories (ancestor sampling, 256
+        particles) leave p(x_{0:T-1} | y) invariant: sweep means/sds
+        match the exact RTS smoother."""
+        pf = make_pf(n=256, transition_log_prob=transition_log_prob)
+        pg = zs.ParticleGibbs(lambda theta: pf)
+
+        ref0 = jnp.zeros((T, D), jnp.float64)
+        run = jax.jit(lambda k: pg.run(
+            k, jnp.asarray(YS), {}, ref0, 400,
+            collect_fields=("trajectory", "ancestor_moves")))
+        _, _, out = run(jax.random.PRNGKey(0))
+        trajs = np.asarray(out["trajectory"])[50:]  # [sweeps, T, D]
+        np.testing.assert_allclose(trajs.mean(0), MS_S, atol=0.15)
+        sd = trajs.std(0)
+        sd_exact = np.sqrt(np.diagonal(PS_S, axis1=1, axis2=2))
+        np.testing.assert_allclose(sd, sd_exact, rtol=0.4, atol=0.03)
+        # Ancestor sampling actually moves the reference's ancestry.
+        assert float(np.asarray(out["ancestor_moves"]).mean()) > 0.3 * T
+
+    def test_plain_csmc_runs_and_moves(self):
+        pf = make_pf(n=128)
+        ref0 = jnp.zeros((T, D), jnp.float64)
+        res = pf.conditional_run(jax.random.PRNGKey(1), jnp.asarray(YS),
+                                 ref0, ancestor_sampling=False)
+        assert res.trajectory.shape == (T, D)
+        assert np.isfinite(float(res.log_z))
+        assert int(res.ancestor_moves) == 0  # pinned without AS
+        res2 = pf.conditional_run(jax.random.PRNGKey(2),
+                                  jnp.asarray(YS), res.trajectory,
+                                  ancestor_sampling=False)
+        assert np.any(np.asarray(res2.trajectory)
+                      != np.asarray(res.trajectory))
+
+    def test_particle_gibbs_conjugate_param_posterior(self):
+        """Scalar LGSSM with unknown transition coefficient ``a`` and a
+        CONJUGATE Gibbs update given the trajectory: the PG posterior
+        matches grid quadrature of the exact Kalman likelihood (the same
+        ground truth as the PMMH test — the two exact methods must
+        agree)."""
+        c = TestPMMH
+        ys = c._data()
+        mean_ex, sd_ex = c._exact_posterior(ys)
+        prior_mu, prior_sd, q1 = c.PRIOR_MU, c.PRIOR_SD, c.Q1
+
+        def make_filter(theta):
+            a = theta["a"]
+            return zs.ParticleFilter(
+                init_fn=lambda k, n: jax.random.normal(
+                    k, (n,), jnp.float64),
+                transition_fn=lambda k, x, t: a * x + jnp.sqrt(q1)
+                * jax.random.normal(k, x.shape, x.dtype),
+                emission_log_prob=lambda x, y, t:
+                    -0.5 * (y[0] - x) ** 2 / c.R1
+                    - 0.5 * jnp.log(2 * jnp.pi * c.R1),
+                transition_log_prob=lambda xn, xo, t:
+                    -0.5 * (xn - a * xo) ** 2 / q1
+                    - 0.5 * jnp.log(2 * jnp.pi * q1),
+                n_particles=256,
+            )
+
+        def update_a(key, theta, traj):
+            # a | x_{0:T-1} ~ N: precision/mean from the AR(1) sufficient
+            # statistics (conjugate normal regression through origin).
+            xp, xn = traj[:-1], traj[1:]
+            prec = 1.0 / prior_sd ** 2 + jnp.sum(xp ** 2) / q1
+            mean = (prior_mu / prior_sd ** 2
+                    + jnp.sum(xp * xn) / q1) / prec
+            a_new = mean + jax.random.normal(key, (), traj.dtype) \
+                / jnp.sqrt(prec)
+            return {"a": a_new}
+
+        pg = zs.ParticleGibbs(make_filter, update_a)
+        run = jax.jit(lambda k: pg.run(
+            k, ys, {"a": jnp.asarray(0.3, jnp.float64)},
+            jnp.zeros((c.T1,), jnp.float64), 600,
+            collect_fields=("params",)))
+        _, _, out = run(jax.random.PRNGKey(3))
+        draws = np.asarray(out["params"]["a"])[100:]
+        assert abs(draws.mean() - mean_ex) < 0.05
+        assert 0.6 * sd_ex < draws.std() < 1.6 * sd_ex
+
+    def test_validation(self):
+        pf = make_pf(n=64)  # no transition_log_prob
+        ref0 = jnp.zeros((T, D), jnp.float64)
+        with pytest.raises(ValueError, match="transition_log_prob"):
+            pf.conditional_run(jax.random.PRNGKey(0), jnp.asarray(YS),
+                               ref0)
+        pg = zs.ParticleGibbs(lambda th: pf, ancestor_sampling=False)
+        with pytest.raises(ValueError, match="collect field"):
+            pg.run(jax.random.PRNGKey(0), jnp.asarray(YS), {}, ref0, 3,
+                   collect_fields=("bogus",))
+
+
 class TestPMMH:
     """Pseudo-marginal MH on a scalar LGSSM with unknown transition
     coefficient ``a`` — the exact parameter posterior is computable by

@@ -33,6 +33,8 @@ from zhusuan_tpu.smc import _systematic_resample
 __all__ = [
     "ParticleFilter",
     "PFResult",
+    "CSMCResult",
+    "ParticleGibbs",
     "PseudoMarginalMH",
     "PMMHState",
     "PMMHInfo",
@@ -40,6 +42,15 @@ __all__ = [
     "kalman_smoother",
     "KalmanResult",
 ]
+
+
+class CSMCResult(NamedTuple):
+    """Output of :meth:`ParticleFilter.conditional_run`."""
+
+    trajectory: Any  # pytree of [T, ...] — the selected path
+    log_z: jnp.ndarray  # scalar evidence estimate from this sweep
+    ancestor_moves: jnp.ndarray  # scalar: steps where ancestor sampling
+    #                              moved the reference off its own past
 
 
 class PFResult(NamedTuple):
@@ -330,6 +341,223 @@ class ParticleFilter:
             )
 
         return jax.vmap(one_path)(jax.random.split(key, int(n_paths)))
+
+
+    # -- conditional SMC (the particle-Gibbs kernel) -----------------------
+
+    def conditional_run(self, key, ys, ref,
+                        ancestor_sampling: bool = True) -> CSMCResult:
+        """Conditional SMC sweep (Andrieu, Doucet & Holenstein 2010) with
+        optional ancestor sampling (Lindsten, Jordan & Schön 2014): run
+        the filter with the reference trajectory ``ref`` forced into
+        particle slot 0, then sample ONE trajectory from the final
+        weights by ancestral trace-back. Iterating
+        ``ref -> conditional_run -> trajectory`` is a Markov kernel that
+        leaves the exact joint smoothing distribution
+        ``p(x_{0:T-1} | y_{0:T-1})`` invariant — the inner kernel of
+        particle Gibbs.
+
+        Resampling is multinomial at EVERY step (the cSMC-correct
+        scheme; the adaptive systematic scheme of :meth:`run` does not
+        apply here). Ancestor sampling re-draws the reference's ancestor
+        from ``w_{t-1} * p(ref_t | x_{t-1})`` each step — it needs
+        ``transition_log_prob`` and transforms the kernel's mixing from
+        path-degeneracy-limited to near-ideal; without it the reference
+        keeps its own past (plain cSMC, slower mixing; a warning-level
+        choice, not an error).
+
+        :param key: PRNG key.
+        :param ys: observations, leaves ``[T, ...]``.
+        :param ref: reference trajectory pytree, leaves ``[T, ...]``
+            (e.g. a previous sweep's ``trajectory``).
+        :param ancestor_sampling: use ancestor sampling (requires
+            ``transition_log_prob``).
+        :return: :class:`CSMCResult` (new trajectory, evidence estimate,
+            ancestor-move count).
+        """
+        if ancestor_sampling and self._transition_log_prob is None:
+            raise ValueError(
+                "ancestor_sampling=True needs transition_log_prob; pass "
+                "ancestor_sampling=False for plain (slower-mixing) cSMC."
+            )
+        leaves = jax.tree.leaves(ys)
+        if not leaves:
+            raise ValueError("ys must contain at least one observation "
+                             "array.")
+        T = leaves[0].shape[0]
+        n = self._n
+        k_init, k_scan, k_pick = jax.random.split(key, 3)
+
+        x0 = self._init_fn(k_init, n)
+        ref0 = jax.tree.map(lambda a: a[0], ref)
+        x0 = jax.tree.map(lambda a, r: a.at[0].set(r), x0, ref0)
+        y0 = jax.tree.map(lambda a: a[0], ys)
+        lw_probe = jax.eval_shape(
+            lambda x: self._emission_log_prob(x, y0, 0), x0
+        )
+        if lw_probe.shape != (n,):
+            raise ValueError(
+                "emission_log_prob must return [n_particles]={} log-"
+                "densities, got shape {}.".format((n,), lw_probe.shape)
+            )
+        dtype = lw_probe.dtype
+        log_n = jnp.log(jnp.asarray(float(n), dtype))
+
+        def step(carry, inp):
+            x, lw_n, log_z, as_moves = carry
+            t, y, kk = inp
+            k_anc, k_res, k_prop = jax.random.split(kk, 3)
+            ref_t = jax.tree.map(lambda a: a[t], ref)
+
+            def advance(x):
+                # Multinomial ancestors for the free slots; slot 0 =
+                # ancestor-sampled (or pinned to its own past).
+                idx = jax.random.categorical(
+                    k_res, lw_n, shape=(n,)).astype(jnp.int32)
+                if ancestor_sampling:
+                    lw_as = lw_n + self._transition_log_prob(ref_t, x, t)
+                    a0 = jax.random.categorical(k_anc, lw_as).astype(
+                        jnp.int32)
+                else:
+                    a0 = jnp.zeros((), jnp.int32)
+                idx = idx.at[0].set(a0)
+                x_prev = jax.tree.map(lambda a: a[idx], x)
+                if self._proposal_fn is None:
+                    x_new = self._transition_fn(k_prop, x_prev, t)
+                else:
+                    x_new = self._proposal_fn(k_prop, x_prev, y, t)
+                x_new = jax.tree.map(lambda a, r: a.at[0].set(r),
+                                     x_new, ref_t)
+                if self._proposal_fn is None:
+                    corr = jnp.zeros((n,), dtype)
+                else:
+                    # Elementwise [n]-vs-[n] density pairs; slot 0 gets
+                    # the REFERENCE's correction (its forced value, its
+                    # selected ancestor).
+                    corr = (self._transition_log_prob(x_new, x_prev, t)
+                            - self._proposal_log_prob(x_new, x_prev,
+                                                      y, t)).astype(dtype)
+                moved = (a0 != 0).astype(as_moves.dtype)
+                return x_new, idx, corr, moved
+
+            def start(x):
+                # t = 0: init cloud (reference already in slot 0),
+                # identity ancestors.
+                return (x, jnp.arange(n, dtype=jnp.int32),
+                        jnp.zeros((n,), dtype),
+                        jnp.zeros((), as_moves.dtype))
+
+            x, anc, corr, moved = jax.lax.cond(t > 0, advance, start, x)
+            lw_inc = self._emission_log_prob(x, y, t) + corr
+            # Multinomial resampling every step -> incoming weights are
+            # uniform; the evidence increment is the plain mean.
+            log_z = log_z + jax.scipy.special.logsumexp(lw_inc) - log_n
+            lw_n = lw_inc - jax.scipy.special.logsumexp(lw_inc)
+            return (x, lw_n, log_z, as_moves + moved), (x, anc)
+
+        init = (
+            x0,
+            jnp.full((n,), -log_n, dtype),
+            jnp.zeros((), dtype),
+            jnp.zeros((), jnp.int32),
+        )
+        inputs = (jnp.arange(T), ys, jax.random.split(k_scan, T))
+        (x, lw_n, log_z, as_moves), (hist, ancs) = jax.lax.scan(
+            step, init, inputs
+        )
+
+        # Ancestral trace-back from a final-weight draw (one scan over
+        # reversed time; anc_0 is the identity so the carry is uniform).
+        j0 = jax.random.categorical(k_pick, lw_n).astype(jnp.int32)
+
+        def back(j, inp):
+            x_t, anc_t = inp
+            out = jax.tree.map(lambda a: a[j], x_t)
+            return anc_t[j], out
+
+        rev = lambda a: jnp.flip(a, axis=0)
+        _, traj_rev = jax.lax.scan(
+            back, j0, (jax.tree.map(rev, hist), rev(ancs))
+        )
+        trajectory = jax.tree.map(rev, traj_rev)
+        return CSMCResult(trajectory=trajectory, log_z=log_z,
+                          ancestor_moves=as_moves)
+
+
+class ParticleGibbs:
+    """Particle Gibbs (Andrieu, Doucet & Holenstein 2010): alternate a
+    conditional-SMC trajectory refresh with a parameter update given the
+    full latent path — exact MCMC on the joint
+    ``p(theta, x_{0:T-1} | y_{0:T-1})``.
+
+    Complements :class:`PseudoMarginalMH`: PMMH needs only a black-box
+    evidence estimate but mixes through parameter space alone; particle
+    Gibbs exploits a tractable (often conjugate)
+    ``p(theta | x_{0:T-1}, y_{0:T-1})`` for much larger parameter moves.
+    With ancestor sampling the trajectory kernel mixes well even for
+    long series at modest particle counts (Lindsten et al. 2014).
+
+    TPU-native: one sweep (full cSMC scan + parameter draw) is one step
+    of an outer ``lax.scan`` — an ``n_sweeps`` run is a single XLA
+    program.
+
+    :param make_filter: ``theta -> ParticleFilter`` factory (traced; the
+        returned filter's callables may close over ``theta``).
+    :param update_params: ``(key, theta, trajectory) -> theta`` Gibbs /
+        MH-within-Gibbs parameter update given the latent path. ``None``
+        keeps ``theta`` fixed (pure cSMC trajectory sampling).
+    :param ancestor_sampling: passed to
+        :meth:`ParticleFilter.conditional_run`.
+    """
+
+    _VALID_FIELDS = ("params", "trajectory", "log_z", "ancestor_moves")
+
+    def __init__(self, make_filter: Callable,
+                 update_params: Optional[Callable] = None,
+                 ancestor_sampling: bool = True):
+        self._make_filter = make_filter
+        self._update = update_params
+        self._as = bool(ancestor_sampling)
+
+    def run(self, key, ys, theta0: dict, ref0,
+            n_sweeps: int,
+            collect_fields=("params", "trajectory", "log_z")):
+        """Run ``n_sweeps`` particle-Gibbs sweeps as one scan program.
+
+        :param theta0: initial parameter dict (any pytree).
+        :param ref0: initial reference trajectory, leaves ``[T, ...]``
+            (e.g. zeros, or a :meth:`ParticleFilter.run` +
+            :meth:`~ParticleFilter.smooth` draw).
+        :return: ``(final_theta, final_trajectory, {field: stacked})``.
+        """
+        for f in collect_fields:
+            if f not in self._VALID_FIELDS:
+                raise ValueError(
+                    "Unknown collect field {!r}; valid: {}.".format(
+                        f, self._VALID_FIELDS)
+                )
+
+        def sweep(carry, kk):
+            theta, ref = carry
+            k_traj, k_par = jax.random.split(kk)
+            pf = self._make_filter(theta)
+            res = pf.conditional_run(k_traj, ys, ref,
+                                     ancestor_sampling=self._as)
+            traj = res.trajectory
+            if self._update is not None:
+                theta = self._update(k_par, theta, traj)
+            full = {
+                "params": theta,
+                "trajectory": traj,
+                "log_z": res.log_z,
+                "ancestor_moves": res.ancestor_moves,
+            }
+            return (theta, traj), {f: full[f] for f in collect_fields}
+
+        (theta, traj), out = jax.lax.scan(
+            sweep, (theta0, ref0), jax.random.split(key, int(n_sweeps))
+        )
+        return theta, traj, out
 
 
 # -- pseudo-marginal MH (PMMH) --------------------------------------------

@@ -475,3 +475,103 @@ class TestValidation:
             make_pf(n=1)
         with pytest.raises(ValueError, match="resample_threshold"):
             make_pf(resample_threshold=1.5)
+
+
+class TestHMM:
+    """Discrete-state HMM algorithms vs brute-force path enumeration
+    (K=3, T=6: 729 paths — an independent exact ground truth, not a
+    second copy of the forward recursion)."""
+
+    K, T6 = 3, 6
+
+    @classmethod
+    def _model(cls):
+        rng = np.random.default_rng(7)
+        pi0 = rng.dirichlet(np.ones(cls.K))
+        trans = rng.dirichlet(np.ones(cls.K), size=cls.K)
+        log_obs = rng.normal(size=(cls.T6, cls.K))
+        return np.log(pi0), np.log(trans), log_obs
+
+    @classmethod
+    def _enumerate(cls, log_pi0, log_trans, log_obs, upto=None):
+        """Joint log p(x_{0:t}, y_{0:t}) for every path, by enumeration."""
+        import itertools
+        T = cls.T6 if upto is None else upto
+        paths = list(itertools.product(range(cls.K), repeat=T))
+        joints = []
+        for p in paths:
+            lp = log_pi0[p[0]] + log_obs[0, p[0]]
+            for t in range(1, T):
+                lp += log_trans[p[t - 1], p[t]] + log_obs[t, p[t]]
+            joints.append(lp)
+        return np.array(paths), np.array(joints)
+
+    def test_filter_and_log_z_vs_enumeration(self):
+        log_pi0, log_trans, log_obs = self._model()
+        log_alpha, log_z = zs.hmm_filter(log_pi0, log_trans, log_obs)
+        _, joints = self._enumerate(log_pi0, log_trans, log_obs)
+        from scipy.special import logsumexp
+        np.testing.assert_allclose(float(log_z), logsumexp(joints),
+                                   rtol=1e-10)
+        # Filtering marginal at each t from partial-path enumeration.
+        for t in range(self.T6):
+            paths, j = self._enumerate(log_pi0, log_trans, log_obs,
+                                       upto=t + 1)
+            w = np.exp(j - logsumexp(j))
+            marg = np.array([w[paths[:, t] == k].sum()
+                             for k in range(self.K)])
+            np.testing.assert_allclose(np.exp(np.asarray(log_alpha[t])),
+                                       marg, atol=1e-10)
+
+    def test_smoother_vs_enumeration(self):
+        log_pi0, log_trans, log_obs = self._model()
+        log_gamma, log_z = zs.hmm_smoother(log_pi0, log_trans, log_obs)
+        paths, joints = self._enumerate(log_pi0, log_trans, log_obs)
+        from scipy.special import logsumexp
+        w = np.exp(joints - logsumexp(joints))
+        for t in range(self.T6):
+            marg = np.array([w[paths[:, t] == k].sum()
+                             for k in range(self.K)])
+            np.testing.assert_allclose(np.exp(np.asarray(log_gamma[t])),
+                                       marg, atol=1e-10)
+
+    def test_viterbi_vs_enumeration(self):
+        log_pi0, log_trans, log_obs = self._model()
+        path, score = zs.hmm_viterbi(log_pi0, log_trans, log_obs)
+        paths, joints = self._enumerate(log_pi0, log_trans, log_obs)
+        best = paths[np.argmax(joints)]
+        np.testing.assert_array_equal(np.asarray(path), best)
+        np.testing.assert_allclose(float(score), joints.max(), rtol=1e-12)
+
+    def test_posterior_sample_frequencies(self):
+        log_pi0, log_trans, log_obs = self._model()
+        log_gamma, _ = zs.hmm_smoother(log_pi0, log_trans, log_obs)
+        samples = zs.hmm_posterior_sample(
+            jax.random.PRNGKey(0), log_pi0, log_trans, log_obs, 8000)
+        assert samples.shape == (8000, self.T6)
+        freq = np.stack([(np.asarray(samples) == k).mean(0)
+                         for k in range(self.K)], axis=1)
+        np.testing.assert_allclose(freq, np.exp(np.asarray(log_gamma)),
+                                   atol=0.02)
+
+    def test_jit_and_large_k_smoke(self):
+        rng = np.random.default_rng(1)
+        K, T = 64, 50
+        log_pi0 = np.log(rng.dirichlet(np.ones(K)))
+        log_trans = np.log(rng.dirichlet(np.ones(K), size=K))
+        log_obs = rng.normal(size=(T, K))
+        f = jax.jit(zs.hmm_filter)
+        log_alpha, log_z = f(log_pi0, log_trans, log_obs)
+        assert np.isfinite(float(log_z))
+        # Normalized filtering rows.
+        np.testing.assert_allclose(
+            np.exp(np.asarray(log_alpha)).sum(1), np.ones(T), atol=1e-8)
+        path, _ = zs.hmm_viterbi(log_pi0, log_trans, log_obs)
+        assert path.shape == (T,) and 0 <= int(path.min())
+
+    def test_shape_validation(self):
+        log_pi0, log_trans, log_obs = self._model()
+        with pytest.raises(ValueError, match="log_trans"):
+            zs.hmm_filter(log_pi0, log_trans[:2], log_obs)
+        with pytest.raises(ValueError, match="log_obs"):
+            zs.hmm_filter(log_pi0, log_trans, log_obs[:, :2])

@@ -41,6 +41,10 @@ __all__ = [
     "kalman_filter",
     "kalman_smoother",
     "KalmanResult",
+    "hmm_filter",
+    "hmm_smoother",
+    "hmm_posterior_sample",
+    "hmm_viterbi",
 ]
 
 
@@ -816,6 +820,145 @@ class KalmanResult(NamedTuple):
     means: jnp.ndarray  # [T, d] filtering (or smoothing) means
     covs: jnp.ndarray  # [T, d, d] matching covariances
     log_likelihood: jnp.ndarray  # scalar log p(y_{0:T-1}) (exact)
+
+
+# -- discrete-state HMMs (exact) ------------------------------------------
+#
+# Emissions enter as a precomputed [T, K] table of per-state observation
+# log-likelihoods, so ANY emission model plugs in (Gaussian, categorical,
+# neural — evaluate your density on a state grid once, vectorized). All
+# four algorithms are one `lax.scan` over time whose per-step work is
+# [K]/[K, K] dense algebra — MXU-shaped for large state counts.
+
+
+def _check_hmm(log_pi0, log_trans, log_obs):
+    log_pi0, log_trans, log_obs = map(jnp.asarray,
+                                      (log_pi0, log_trans, log_obs))
+    K = log_pi0.shape[-1]
+    if log_trans.shape != (K, K):
+        raise ValueError(
+            "log_trans must be [K, K]={}, got {}.".format(
+                (K, K), log_trans.shape))
+    if log_obs.ndim != 2 or log_obs.shape[1] != K:
+        raise ValueError(
+            "log_obs must be [T, K] with K={}, got {}.".format(
+                K, log_obs.shape))
+    return log_pi0, log_trans, log_obs
+
+
+def hmm_filter(log_pi0, log_trans, log_obs):
+    """Exact forward filtering for a discrete-state HMM.
+
+    Convention: ``log_trans[i, j] = log p(x_t = j | x_{t-1} = i)``;
+    ``log_obs[t, k] = log p(y_t | x_t = k)`` precomputed by the caller.
+
+    :return: ``(log_alpha, log_z)`` — normalized filtering log-marginals
+        ``[T, K]`` (``log p(x_t | y_{0:t})``) and the exact data
+        log-likelihood ``log p(y_{0:T-1})``.
+    """
+    log_pi0, log_trans, log_obs = _check_hmm(log_pi0, log_trans, log_obs)
+
+    def step(carry, lo):
+        log_a, log_z = carry
+        # Predict: logsumexp_i alpha_i + trans[i, j]  (log-space matvec).
+        pred = jax.scipy.special.logsumexp(
+            log_a[:, None] + log_trans, axis=0)
+        post = pred + lo
+        c = jax.scipy.special.logsumexp(post)
+        return (post - c, log_z + c), post - c
+
+    a0 = log_pi0 + log_obs[0]
+    c0 = jax.scipy.special.logsumexp(a0)
+    (_, log_z), rest = jax.lax.scan(step, (a0 - c0, c0), log_obs[1:])
+    log_alpha = jnp.concatenate([(a0 - c0)[None], rest], axis=0)
+    return log_alpha, log_z
+
+
+def hmm_smoother(log_pi0, log_trans, log_obs):
+    """Exact forward-backward smoothing.
+
+    :return: ``(log_gamma, log_z)`` — smoothing log-marginals ``[T, K]``
+        (``log p(x_t | y_{0:T-1})``, normalized) and the data
+        log-likelihood.
+    """
+    log_alpha, log_z = hmm_filter(log_pi0, log_trans, log_obs)
+    log_pi0, log_trans, log_obs = _check_hmm(log_pi0, log_trans, log_obs)
+
+    def back(log_b, lo):
+        # beta_i = logsumexp_j trans[i, j] + obs[j] + beta_j
+        new = jax.scipy.special.logsumexp(
+            log_trans + (lo + log_b)[None, :], axis=1)
+        return new, new
+
+    K = log_pi0.shape[-1]
+    zero = jnp.zeros((K,), log_obs.dtype)
+    _, betas_rev = jax.lax.scan(back, zero, jnp.flip(log_obs[1:], 0))
+    log_beta = jnp.concatenate(
+        [jnp.flip(betas_rev, 0), zero[None]], axis=0)
+    post = log_alpha + log_beta
+    log_gamma = post - jax.scipy.special.logsumexp(
+        post, axis=1, keepdims=True)
+    return log_gamma, log_z
+
+
+def hmm_posterior_sample(key, log_pi0, log_trans, log_obs, n_paths: int):
+    """Joint posterior state paths ``x_{0:T-1} ~ p(x | y)`` by forward
+    filtering / backward sampling (the discrete FFBS — exact, not
+    approximate).
+
+    :return: ``[n_paths, T]`` int32 state paths.
+    """
+    log_alpha, _ = hmm_filter(log_pi0, log_trans, log_obs)
+    log_pi0, log_trans, log_obs = _check_hmm(log_pi0, log_trans, log_obs)
+    T = log_obs.shape[0]
+
+    def one(k):
+        k_last, k_back = jax.random.split(k)
+        x_last = jax.random.categorical(k_last,
+                                        log_alpha[T - 1]).astype(jnp.int32)
+
+        def back(x_next, inp):
+            la_t, kk = inp
+            logits = la_t + log_trans[:, x_next]
+            x_t = jax.random.categorical(kk, logits).astype(jnp.int32)
+            return x_t, x_t
+
+        _, rest_rev = jax.lax.scan(
+            back, x_last,
+            (jnp.flip(log_alpha[:-1], 0),
+             jax.random.split(k_back, T - 1)),
+        )
+        return jnp.concatenate([jnp.flip(rest_rev, 0), x_last[None]])
+
+    return jax.vmap(one)(jax.random.split(key, int(n_paths)))
+
+
+def hmm_viterbi(log_pi0, log_trans, log_obs):
+    """Most probable state path (max-product dynamic programming).
+
+    :return: ``(path, score)`` — ``[T]`` int32 argmax path and its joint
+        log-probability ``log p(x*, y)``.
+    """
+    log_pi0, log_trans, log_obs = _check_hmm(log_pi0, log_trans, log_obs)
+
+    def step(delta, lo):
+        scores = delta[:, None] + log_trans  # [i, j]
+        best = jnp.max(scores, axis=0) + lo
+        arg = jnp.argmax(scores, axis=0).astype(jnp.int32)
+        return best, arg
+
+    d0 = log_pi0 + log_obs[0]
+    delta, args = jax.lax.scan(step, d0, log_obs[1:])
+    x_last = jnp.argmax(delta).astype(jnp.int32)
+    score = jnp.max(delta)
+
+    def back(x_next, arg_t):
+        x_t = arg_t[x_next]
+        return x_t, x_t
+
+    _, rest_rev = jax.lax.scan(back, x_last, jnp.flip(args, 0))
+    path = jnp.concatenate([jnp.flip(rest_rev, 0), x_last[None]])
+    return path, score
 
 
 def _mvn_logpdf(y, mean, cov):

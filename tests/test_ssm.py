@@ -575,3 +575,174 @@ class TestHMM:
             zs.hmm_filter(log_pi0, log_trans[:2], log_obs)
         with pytest.raises(ValueError, match="log_obs"):
             zs.hmm_filter(log_pi0, log_trans, log_obs[:, :2])
+
+
+class TestParallelScans:
+    """parallel=True (log-depth associative scans) must reproduce the
+    sequential recursions to float tolerance — filter, smoother, HMM,
+    gradients, and edge lengths."""
+
+    def test_parallel_kalman_filter_matches_sequential(self):
+        res = zs.kalman_filter(YS, A, Q, H, R, M0, P0, parallel=True)
+        np.testing.assert_allclose(res.means, MS_F, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(res.covs, PS_F, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(float(res.log_likelihood), LL_EXACT,
+                                   rtol=1e-8)
+
+    def test_parallel_kalman_smoother_matches_sequential(self):
+        res = zs.kalman_smoother(YS, A, Q, H, R, M0, P0, parallel=True)
+        np.testing.assert_allclose(res.means, MS_S, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(res.covs, PS_S, rtol=1e-8, atol=1e-10)
+
+    @pytest.mark.parametrize("t_len", [1, 2, 3])
+    def test_parallel_kalman_short_series(self, t_len):
+        for fn in (zs.kalman_filter, zs.kalman_smoother):
+            seq = fn(YS[:t_len], A, Q, H, R, M0, P0)
+            par = fn(YS[:t_len], A, Q, H, R, M0, P0, parallel=True)
+            np.testing.assert_allclose(par.means, seq.means, atol=1e-10)
+            np.testing.assert_allclose(par.covs, seq.covs, atol=1e-10)
+            np.testing.assert_allclose(float(par.log_likelihood),
+                                       float(seq.log_likelihood),
+                                       rtol=1e-10)
+
+    def test_parallel_kalman_gradients_match(self):
+        """d log_z / d(A, Q_scale) identical through both code paths —
+        the parallel filter is usable for ML parameter estimation."""
+        ys = jnp.asarray(YS[:20])
+
+        def ll(a_mat, q_scale, parallel):
+            return zs.kalman_filter(
+                ys, a_mat, q_scale * jnp.eye(2), H, R, M0, P0,
+                parallel=parallel).log_likelihood
+
+        ga_s, gq_s = jax.grad(ll, argnums=(0, 1))(
+            jnp.asarray(A), jnp.asarray(Q_SCALE), False)
+        ga_p, gq_p = jax.grad(ll, argnums=(0, 1))(
+            jnp.asarray(A), jnp.asarray(Q_SCALE), True)
+        np.testing.assert_allclose(ga_p, ga_s, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(float(gq_p), float(gq_s), rtol=1e-7)
+
+    def test_parallel_hmm_filter_smoother_match_sequential(self):
+        rng = np.random.default_rng(3)
+        K, T_len = 5, 40
+        log_pi0 = np.log(rng.dirichlet(np.ones(K)))
+        log_trans = np.log(rng.dirichlet(np.ones(K), size=K))
+        log_obs = rng.normal(size=(T_len, K))
+        la_s, lz_s = zs.hmm_filter(log_pi0, log_trans, log_obs)
+        la_p, lz_p = zs.hmm_filter(log_pi0, log_trans, log_obs,
+                                   parallel=True)
+        np.testing.assert_allclose(la_p, la_s, atol=1e-10)
+        np.testing.assert_allclose(float(lz_p), float(lz_s), rtol=1e-12)
+        lg_s, _ = zs.hmm_smoother(log_pi0, log_trans, log_obs)
+        lg_p, _ = zs.hmm_smoother(log_pi0, log_trans, log_obs,
+                                  parallel=True)
+        np.testing.assert_allclose(lg_p, lg_s, atol=1e-10)
+
+    def test_parallel_hmm_impossible_states_no_nan(self):
+        """-inf entries (structural zeros) must not produce NaNs in the
+        max-shifted log-matmul."""
+        K = 3
+        with np.errstate(divide="ignore"):
+            log_pi0 = np.log(np.array([0.5, 0.5, 0.0]))
+            trans = np.array([[0.9, 0.1, 0.0],
+                              [0.0, 0.9, 0.1],
+                              [0.1, 0.0, 0.9]])
+            log_trans = np.log(trans)
+        rng = np.random.default_rng(0)
+        log_obs = rng.normal(size=(12, K))
+        la_s, lz_s = zs.hmm_filter(log_pi0, log_trans, log_obs)
+        la_p, lz_p = zs.hmm_filter(log_pi0, log_trans, log_obs,
+                                   parallel=True)
+        assert np.all(np.isfinite(np.asarray(lz_p)))
+        np.testing.assert_allclose(float(lz_p), float(lz_s), rtol=1e-10)
+        mask = np.isfinite(np.asarray(la_s))
+        np.testing.assert_allclose(np.asarray(la_p)[mask],
+                                   np.asarray(la_s)[mask], atol=1e-10)
+
+    @pytest.mark.parametrize("t_len", [1, 2])
+    def test_parallel_hmm_short_series(self, t_len):
+        rng = np.random.default_rng(5)
+        K = 3
+        log_pi0 = np.log(rng.dirichlet(np.ones(K)))
+        log_trans = np.log(rng.dirichlet(np.ones(K), size=K))
+        log_obs = rng.normal(size=(t_len, K))
+        for fn in (zs.hmm_filter, zs.hmm_smoother):
+            a_s, z_s = fn(log_pi0, log_trans, log_obs)
+            a_p, z_p = fn(log_pi0, log_trans, log_obs, parallel=True)
+            np.testing.assert_allclose(a_p, a_s, atol=1e-12)
+            np.testing.assert_allclose(float(z_p), float(z_s), rtol=1e-12)
+
+    def test_parallel_jit_static_flag(self):
+        f = jax.jit(zs.kalman_filter, static_argnames=("parallel",))
+        res = f(YS, A, Q, H, R, M0, P0, parallel=True)
+        np.testing.assert_allclose(res.means, MS_F, rtol=1e-8, atol=1e-10)
+
+
+class TestBaumWelch:
+    def test_pairwise_marginals_vs_enumeration(self):
+        log_pi0, log_trans, log_obs = TestHMM._model()
+        stats = zs.hmm_expected_stats(log_pi0, log_trans, log_obs)
+        paths, joints = TestHMM._enumerate(log_pi0, log_trans, log_obs)
+        from scipy.special import logsumexp
+        w = np.exp(joints - logsumexp(joints))
+        K, T6 = TestHMM.K, TestHMM.T6
+        for t in range(T6 - 1):
+            pair = np.zeros((K, K))
+            for i in range(K):
+                for j in range(K):
+                    pair[i, j] = w[(paths[:, t] == i)
+                                   & (paths[:, t + 1] == j)].sum()
+            np.testing.assert_allclose(
+                np.exp(np.asarray(stats.log_xi[t])), pair, atol=1e-10)
+        # gamma must match the smoother's.
+        lg, _ = zs.hmm_smoother(log_pi0, log_trans, log_obs)
+        np.testing.assert_allclose(stats.log_gamma, lg, atol=1e-12)
+
+    def test_parallel_stats_match(self):
+        log_pi0, log_trans, log_obs = TestHMM._model()
+        s = zs.hmm_expected_stats(log_pi0, log_trans, log_obs)
+        p = zs.hmm_expected_stats(log_pi0, log_trans, log_obs,
+                                  parallel=True)
+        np.testing.assert_allclose(p.log_xi, s.log_xi, atol=1e-10)
+        np.testing.assert_allclose(p.log_gamma, s.log_gamma, atol=1e-10)
+
+    def test_baum_welch_em_monotone_and_recovers(self):
+        """Full EM (chain params via hmm_mstep + Gaussian emissions via
+        gamma-weighted MLE): monotone log-likelihood, recovers the
+        sticky transition structure."""
+        rng = np.random.default_rng(11)
+        K, T_len = 2, 2000
+        true_trans = np.array([[0.95, 0.05], [0.10, 0.90]])
+        true_means = np.array([-1.5, 1.5])
+        states = [0]
+        for _ in range(T_len - 1):
+            states.append(rng.choice(K, p=true_trans[states[-1]]))
+        states = np.array(states)
+        ys = rng.normal(true_means[states], 1.0)
+
+        def emission_table(means):
+            return -0.5 * (ys[:, None] - means[None, :]) ** 2 \
+                - 0.5 * np.log(2 * np.pi)
+
+        log_pi0 = np.log(np.ones(K) / K)
+        log_trans = np.log(np.full((K, K), 1.0 / K))
+        means = np.array([-0.1, 0.1])
+        lls = []
+        for _ in range(30):
+            stats = zs.hmm_expected_stats(log_pi0, log_trans,
+                                          emission_table(means))
+            lls.append(float(stats.log_z))
+            log_pi0, log_trans = zs.hmm_mstep(stats)
+            gamma = np.exp(np.asarray(stats.log_gamma))  # [T, K]
+            means = (gamma * ys[:, None]).sum(0) / gamma.sum(0)
+        lls = np.array(lls)
+        assert np.all(np.diff(lls) > -1e-8), "EM log-lik must be monotone"
+        order = np.argsort(means)
+        np.testing.assert_allclose(means[order], true_means, atol=0.15)
+        trans = np.exp(np.asarray(log_trans))[order][:, order]
+        np.testing.assert_allclose(trans, true_trans, atol=0.05)
+
+    def test_requires_two_steps(self):
+        log_pi0, log_trans, log_obs = TestHMM._model()
+        with pytest.raises(ValueError, match="T >= 2"):
+            zs.hmm_expected_stats(log_pi0, log_trans, log_obs[:1])

@@ -45,6 +45,9 @@ __all__ = [
     "hmm_smoother",
     "hmm_posterior_sample",
     "hmm_viterbi",
+    "hmm_expected_stats",
+    "hmm_mstep",
+    "HMMStats",
 ]
 
 
@@ -846,17 +849,67 @@ def _check_hmm(log_pi0, log_trans, log_obs):
     return log_pi0, log_trans, log_obs
 
 
-def hmm_filter(log_pi0, log_trans, log_obs):
+def _log_matmul(A, B):
+    """Batched log-space matmul ``C[.., i, j] = LSE_k A[.., i, k] + B[.., k, j]``.
+
+    Max-shifted so the inner product is a REAL matmul (MXU-eligible):
+    shift each A row / B column by its max, ``exp``, ``@``, ``log``,
+    unshift. ``-inf`` rows/columns (impossible states) are handled by
+    zeroing their shift so no ``inf - inf`` NaNs appear.
+    """
+    a = jnp.max(A, axis=-1, keepdims=True)
+    b = jnp.max(B, axis=-2, keepdims=True)
+    a = jnp.where(jnp.isfinite(a), a, 0.0)
+    b = jnp.where(jnp.isfinite(b), b, 0.0)
+    prod = jnp.exp(A - a) @ jnp.exp(B - b)
+    return jnp.log(prod) + a + b
+
+
+def _hmm_elems(log_pi0, log_trans, log_obs):
+    """Per-step transition operators ``M_t`` for prefix products:
+    ``M_0[i, j] = log pi0[j] + obs[0, j]`` (constant over ``i``),
+    ``M_t[i, j] = log_trans[i, j] + obs[t, j]``."""
+    K = log_pi0.shape[-1]
+    elems = log_trans[None] + log_obs[1:, None, :]
+    first = jnp.broadcast_to(log_pi0 + log_obs[0], (K, K))
+    return jnp.concatenate([first[None], elems], axis=0)
+
+
+def _suffix_scan(combine, elems):
+    """Suffix combinations ``s_t = e_t * e_{t+1} * ... * e_{T-1}`` with an
+    operator written for time order (left = earlier). Implemented as a
+    prefix associative scan over the flipped array with swapped operands —
+    log-depth, like the forward pass."""
+    flipped = jax.tree_util.tree_map(lambda x: jnp.flip(x, 0), elems)
+    out = jax.lax.associative_scan(lambda u, v: combine(v, u), flipped)
+    return jax.tree_util.tree_map(lambda x: jnp.flip(x, 0), out)
+
+
+def hmm_filter(log_pi0, log_trans, log_obs, parallel: bool = False):
     """Exact forward filtering for a discrete-state HMM.
 
     Convention: ``log_trans[i, j] = log p(x_t = j | x_{t-1} = i)``;
     ``log_obs[t, k] = log p(y_t | x_t = k)`` precomputed by the caller.
+
+    With ``parallel=True`` the forward recursion is replaced by a
+    log-depth ``jax.lax.associative_scan`` over per-step ``[K, K]``
+    transition operators combined by max-shifted log-matmul — O(T K^3)
+    work on the MXU instead of O(T K^2) sequential steps, the right
+    trade on TPU for long sequences (temporal parallelization; same
+    answer to float tolerance).
 
     :return: ``(log_alpha, log_z)`` — normalized filtering log-marginals
         ``[T, K]`` (``log p(x_t | y_{0:t})``) and the exact data
         log-likelihood ``log p(y_{0:T-1})``.
     """
     log_pi0, log_trans, log_obs = _check_hmm(log_pi0, log_trans, log_obs)
+
+    if parallel:
+        prefix = jax.lax.associative_scan(
+            _log_matmul, _hmm_elems(log_pi0, log_trans, log_obs))
+        raw = prefix[:, 0, :]  # row 0: M_0 is constant over i
+        c = jax.scipy.special.logsumexp(raw, axis=1)
+        return raw - c[:, None], c[-1]
 
     def step(carry, lo):
         log_a, log_z = carry
@@ -874,15 +927,41 @@ def hmm_filter(log_pi0, log_trans, log_obs):
     return log_alpha, log_z
 
 
-def hmm_smoother(log_pi0, log_trans, log_obs):
+def hmm_smoother(log_pi0, log_trans, log_obs, parallel: bool = False):
     """Exact forward-backward smoothing.
+
+    ``parallel=True`` runs both the forward and backward passes as
+    log-depth associative scans (see :func:`hmm_filter`).
 
     :return: ``(log_gamma, log_z)`` — smoothing log-marginals ``[T, K]``
         (``log p(x_t | y_{0:T-1})``, normalized) and the data
         log-likelihood.
     """
-    log_alpha, log_z = hmm_filter(log_pi0, log_trans, log_obs)
+    log_alpha, log_z = hmm_filter(log_pi0, log_trans, log_obs,
+                                  parallel=parallel)
     log_pi0, log_trans, log_obs = _check_hmm(log_pi0, log_trans, log_obs)
+    log_beta = _hmm_backward(log_trans, log_obs, parallel)
+    post = log_alpha + log_beta
+    log_gamma = post - jax.scipy.special.logsumexp(
+        post, axis=1, keepdims=True)
+    return log_gamma, log_z
+
+
+def _hmm_backward(log_trans, log_obs, parallel: bool = False):
+    """Backward messages ``log_beta[t, i] = log p(y_{t+1:T-1} | x_t=i)``
+    (unnormalized; ``log_beta[T-1] = 0``)."""
+    K = log_trans.shape[-1]
+    if log_obs.shape[0] == 1:
+        return jnp.zeros((1, K), log_obs.dtype)
+
+    if parallel:
+        # beta_t[i] = LSE_j (N_{t+1} * ... * N_{T-1})[i, j], suffix
+        # products of N_t[i, j] = trans[i, j] + obs[t, j].
+        elems = log_trans[None] + log_obs[1:, None, :]
+        suffix = _suffix_scan(_log_matmul, elems)
+        return jnp.concatenate(
+            [jax.scipy.special.logsumexp(suffix, axis=2),
+             jnp.zeros((1, K), log_obs.dtype)], axis=0)
 
     def back(log_b, lo):
         # beta_i = logsumexp_j trans[i, j] + obs[j] + beta_j
@@ -890,15 +969,58 @@ def hmm_smoother(log_pi0, log_trans, log_obs):
             log_trans + (lo + log_b)[None, :], axis=1)
         return new, new
 
-    K = log_pi0.shape[-1]
     zero = jnp.zeros((K,), log_obs.dtype)
     _, betas_rev = jax.lax.scan(back, zero, jnp.flip(log_obs[1:], 0))
-    log_beta = jnp.concatenate(
-        [jnp.flip(betas_rev, 0), zero[None]], axis=0)
+    return jnp.concatenate([jnp.flip(betas_rev, 0), zero[None]], axis=0)
+
+
+class HMMStats(NamedTuple):
+    """E-step sufficient statistics from :func:`hmm_expected_stats`."""
+
+    log_gamma: jnp.ndarray  # [T, K] smoothing log-marginals (normalized)
+    log_xi: jnp.ndarray  # [T-1, K, K] pairwise log p(x_t=i, x_{t+1}=j | y)
+    log_z: jnp.ndarray  # scalar data log-likelihood
+
+
+def hmm_expected_stats(log_pi0, log_trans, log_obs,
+                       parallel: bool = False) -> HMMStats:
+    """E-step of Baum-Welch: smoothing marginals, pairwise transition
+    marginals, and the data log-likelihood, in one forward + one backward
+    pass (both log-depth under ``parallel=True``).
+
+    Emission models stay caller-owned: fit them from ``exp(log_gamma)``
+    responsibilities (weighted MLE) alongside :func:`hmm_mstep` for the
+    chain parameters.
+    """
+    log_pi0, log_trans, log_obs = _check_hmm(log_pi0, log_trans, log_obs)
+    if log_obs.shape[0] < 2:
+        raise ValueError("hmm_expected_stats requires T >= 2.")
+    log_alpha, log_z = hmm_filter(log_pi0, log_trans, log_obs,
+                                  parallel=parallel)
+    log_beta = _hmm_backward(log_trans, log_obs, parallel)
     post = log_alpha + log_beta
     log_gamma = post - jax.scipy.special.logsumexp(
         post, axis=1, keepdims=True)
-    return log_gamma, log_z
+    # xi_t[i, j] ∝ alpha_t[i] + trans[i, j] + obs[t+1, j] + beta_{t+1}[j]
+    raw = (log_alpha[:-1, :, None] + log_trans[None]
+           + (log_obs[1:] + log_beta[1:])[:, None, :])
+    log_xi = raw - jax.scipy.special.logsumexp(
+        raw, axis=(1, 2), keepdims=True)
+    return HMMStats(log_gamma=log_gamma, log_xi=log_xi, log_z=log_z)
+
+
+def hmm_mstep(stats: HMMStats):
+    """Closed-form M-step for the chain parameters.
+
+    :return: ``(log_pi0, log_trans)`` — the EM update
+        ``pi0 = gamma_0``, ``trans[i, j] ∝ sum_t xi_t[i, j]``
+        (row-normalized).
+    """
+    log_pi0 = stats.log_gamma[0]
+    rows = jax.scipy.special.logsumexp(stats.log_xi, axis=0)
+    log_trans = rows - jax.scipy.special.logsumexp(
+        rows, axis=1, keepdims=True)
+    return log_pi0, log_trans
 
 
 def hmm_posterior_sample(key, log_pi0, log_trans, log_obs, n_paths: int):
@@ -970,7 +1092,93 @@ def _mvn_logpdf(y, mean, cov):
             - 0.5 * d * jnp.log(2.0 * jnp.asarray(jnp.pi, y.dtype)))
 
 
-def kalman_filter(ys, A, Q, H, R, m0, P0) -> KalmanResult:
+def _sym(M):
+    return 0.5 * (M + jnp.swapaxes(M, -1, -2))
+
+
+def _kalman_combine(ei, ej):
+    """Associative combination of two Kalman filtering elements
+    ``(A, b, C, eta, J)`` (earlier ``ei``, later ``ej``) — the
+    temporal-parallelization operator of Särkkä & García-Fernández
+    (IEEE TAC 2021, eq. 10). Batched over the leading axis as
+    ``associative_scan`` requires."""
+    Ai, bi, Ci, ni, Ji = ei
+    Aj, bj, Cj, nj, Jj = ej
+    d = Ai.shape[-1]
+    I = jnp.eye(d, dtype=Ai.dtype)
+    D = I + Ci @ Jj
+    Dt = I + Jj @ Ci
+    sol_A = jnp.linalg.solve(D, Ai)
+    sol_b = jnp.linalg.solve(
+        D, (bi + jnp.einsum("...ij,...j->...i", Ci, nj))[..., None]
+    )[..., 0]
+    sol_C = jnp.linalg.solve(D, Ci)
+    AiT = jnp.swapaxes(Ai, -1, -2)
+    sol_n = jnp.linalg.solve(
+        Dt, (nj - jnp.einsum("...ij,...j->...i", Jj, bi))[..., None]
+    )[..., 0]
+    sol_J = jnp.linalg.solve(Dt, Jj)
+    return (
+        Aj @ sol_A,
+        jnp.einsum("...ij,...j->...i", Aj, sol_b) + bj,
+        _sym(Aj @ sol_C @ jnp.swapaxes(Aj, -1, -2) + Cj),
+        jnp.einsum("...ij,...j->...i", AiT, sol_n) + ni,
+        _sym(AiT @ sol_J @ Ai + Ji),
+    )
+
+
+def _kalman_filter_parallel(ys, A, Q, H, R, m0, P0) -> KalmanResult:
+    """Log-depth Kalman filter: per-step conditional-density elements
+    combined with :func:`_kalman_combine` under one
+    ``jax.lax.associative_scan`` (Särkkä & García-Fernández 2021). The
+    prefix element's ``(b, C)`` IS the filtering ``(mean, cov)``; the
+    log-likelihood is recovered afterwards from the (vectorized)
+    one-step-ahead predictive densities."""
+    T, d = ys.shape[0], m0.shape[0]
+    I = jnp.eye(d, dtype=ys.dtype)
+
+    # Generic element (t >= 1): S, K and the squares are t-independent.
+    S = H @ Q @ H.T + R
+    chol_s = jnp.linalg.cholesky(S)
+    K = jax.scipy.linalg.cho_solve((chol_s, True), H @ Q.T).T
+    A_g = (I - K @ H) @ A
+    C_g = _sym((I - K @ H) @ Q)
+    W = jax.scipy.linalg.cho_solve((chol_s, True), H @ A)  # S^{-1} H A
+    eta_g = ys[1:] @ W  # [T-1, d]: eta_t = A' H' S^{-1} y_t
+    J_g = _sym(W.T @ (H @ A))  # A' H' S^{-1} H A
+
+    # First element uses the prior (x_0 ~ N(m0, P0), no transition).
+    S0 = H @ P0 @ H.T + R
+    chol0 = jnp.linalg.cholesky(S0)
+    K0 = jax.scipy.linalg.cho_solve((chol0, True), H @ P0.T).T
+    b0 = m0 + K0 @ (ys[0] - H @ m0)
+    C0 = _sym((I - K0 @ H) @ P0)
+
+    zeros_m = jnp.zeros((d, d), ys.dtype)
+    elems = (
+        jnp.concatenate([zeros_m[None],
+                         jnp.broadcast_to(A_g, (T - 1, d, d))], 0),
+        jnp.concatenate([b0[None], ys[1:] @ K.T], 0),
+        jnp.concatenate([C0[None],
+                         jnp.broadcast_to(C_g, (T - 1, d, d))], 0),
+        jnp.concatenate([jnp.zeros((1, d), ys.dtype), eta_g], 0),
+        jnp.concatenate([zeros_m[None],
+                         jnp.broadcast_to(J_g, (T - 1, d, d))], 0),
+    )
+    _, ms, Ps, _, _ = jax.lax.associative_scan(_kalman_combine, elems)
+
+    # Exact log-likelihood from one-step-ahead predictives, vectorized.
+    m_pred = jnp.concatenate([m0[None], ms[:-1] @ A.T], 0)
+    P_pred = jnp.concatenate(
+        [P0[None], _sym(A @ Ps[:-1] @ A.T + Q)], 0)
+    S_all = H @ P_pred @ H.T + R
+    ll = jnp.sum(jax.vmap(_mvn_logpdf)(
+        ys, m_pred @ H.T, S_all))
+    return KalmanResult(means=ms, covs=Ps, log_likelihood=ll)
+
+
+def kalman_filter(ys, A, Q, H, R, m0, P0,
+                  parallel: bool = False) -> KalmanResult:
     """Exact filter for the linear-Gaussian SSM
 
     .. math::
@@ -983,6 +1191,11 @@ def kalman_filter(ys, A, Q, H, R, m0, P0) -> KalmanResult:
     log-marginal-likelihood — the closed-form baseline the particle
     filter's ``log_z`` is validated against (tests/test_ssm.py).
 
+    With ``parallel=True`` the sequential recursion is replaced by the
+    temporal-parallelization associative scan (Särkkä &
+    García-Fernández, IEEE TAC 2021): O(log T) depth on device, same
+    result to float tolerance — the right choice for long series on TPU.
+
     :param ys: ``[T, p]`` observations.
     :param A: ``[d, d]`` transition matrix.
     :param Q: ``[d, d]`` transition noise covariance.
@@ -993,6 +1206,8 @@ def kalman_filter(ys, A, Q, H, R, m0, P0) -> KalmanResult:
     """
     ys, A, Q, H, R, m0, P0 = map(jnp.asarray, (ys, A, Q, H, R, m0, P0))
     T = ys.shape[0]
+    if parallel:
+        return _kalman_filter_parallel(ys, A, Q, H, R, m0, P0)
 
     def step(carry, inp):
         m, P, ll = carry
@@ -1019,15 +1234,49 @@ def kalman_filter(ys, A, Q, H, R, m0, P0) -> KalmanResult:
     return KalmanResult(means=ms, covs=Ps, log_likelihood=ll)
 
 
-def kalman_smoother(ys, A, Q, H, R, m0, P0) -> KalmanResult:
+def kalman_smoother(ys, A, Q, H, R, m0, P0,
+                    parallel: bool = False) -> KalmanResult:
     """Rauch–Tung–Striebel smoother for the same LGSSM as
     :func:`kalman_filter`: a forward filter pass then one backward
     ``lax.scan``. Returns smoothing means/covariances (and the filter's
-    exact log-likelihood)."""
+    exact log-likelihood).
+
+    ``parallel=True`` runs BOTH passes as log-depth associative scans
+    (Särkkä & García-Fernández 2021): backward elements
+    ``(E, g, L) = (G_t, m_t - G_t A m_t, P_t - G_t P^-_{t+1} G_t')``
+    combine as ``(E_i E_j, g_i + E_i g_j, L_i + E_i L_j E_i')``."""
     ys, A, Q, H, R, m0, P0 = map(jnp.asarray, (ys, A, Q, H, R, m0, P0))
-    filt = kalman_filter(ys, A, Q, H, R, m0, P0)
+    filt = kalman_filter(ys, A, Q, H, R, m0, P0, parallel=parallel)
     ms, Ps = filt.means, filt.covs
     T = ys.shape[0]
+
+    if parallel:
+        if T == 1:
+            return filt
+        P_pred = _sym(A @ Ps[:-1] @ A.T + Q)  # [T-1, d, d]
+        G = jnp.swapaxes(jnp.linalg.solve(
+            P_pred, A @ jnp.swapaxes(Ps[:-1], -1, -2)), -1, -2)
+        g = ms[:-1] - jnp.einsum("tij,tj->ti", G, ms[:-1] @ A.T)
+        L = _sym(Ps[:-1] - G @ P_pred @ jnp.swapaxes(G, -1, -2))
+        d = m0.shape[0]
+        elems = (
+            jnp.concatenate([G, jnp.zeros((1, d, d), ys.dtype)], 0),
+            jnp.concatenate([g, ms[-1][None]], 0),
+            jnp.concatenate([L, Ps[-1][None]], 0),
+        )
+
+        def combine(ei, ej):
+            Ei, gi, Li = ei
+            Ej, gj, Lj = ej
+            return (
+                Ei @ Ej,
+                gi + jnp.einsum("...ij,...j->...i", Ei, gj),
+                _sym(Li + Ei @ Lj @ jnp.swapaxes(Ei, -1, -2)),
+            )
+
+        _, ms_s, Ps_s = _suffix_scan(combine, elems)
+        return KalmanResult(means=ms_s, covs=Ps_s,
+                            log_likelihood=filt.log_likelihood)
 
     def back(carry, inp):
         m_next_s, P_next_s = carry

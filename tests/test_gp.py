@@ -1,0 +1,174 @@
+"""GP module tests: kernels vs sklearn's, exact regression vs a direct
+NumPy solve, differentiable type-II ML, and the Titsias SGPR bound's
+defining properties (lower-bounds the exact marginal, tight when Z = X).
+
+Beyond-reference module (the reference ships GPs only as an example,
+``/root/reference/examples/gaussian_process/svgp.py``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import zhusuan_tpu as zs
+from zhusuan_tpu.gp import (
+    RBF, Matern12, Matern32, Matern52, Linear, Constant,
+    gp_log_marginal, gp_regression, sgpr_elbo, sgpr_predict,
+)
+
+RNG = np.random.default_rng(0)
+X = RNG.normal(size=(40, 3))
+XS = RNG.normal(size=(15, 3))
+Y = np.sin(X[:, 0]) + 0.3 * X[:, 1] + 0.1 * RNG.normal(size=40)
+NOISE = 0.05
+
+
+class TestKernels:
+    @pytest.mark.parametrize("ours,theirs", [
+        (RBF(lengthscale=0.9, variance=1.3), ("rbf", 0.9, 1.3)),
+        (Matern12(lengthscale=1.1, variance=0.7), ("matern", 0.5, 1.1, 0.7)),
+        (Matern32(lengthscale=0.8, variance=2.0), ("matern", 1.5, 0.8, 2.0)),
+        (Matern52(lengthscale=1.4, variance=0.5), ("matern", 2.5, 1.4, 0.5)),
+    ])
+    def test_grams_match_sklearn(self, ours, theirs):
+        from sklearn.gaussian_process import kernels as skk
+        if theirs[0] == "rbf":
+            ref = theirs[2] * skk.RBF(length_scale=theirs[1])(X, XS)
+        else:
+            _, nu, ell, var = theirs
+            ref = var * skk.Matern(length_scale=ell, nu=nu)(X, XS)
+        np.testing.assert_allclose(np.asarray(ours(jnp.asarray(X),
+                                                   jnp.asarray(XS))),
+                                   ref, rtol=1e-8, atol=1e-10)
+
+    def test_ard_lengthscales(self):
+        ell = np.array([0.5, 1.0, 2.0])
+        k = RBF(lengthscale=ell, variance=1.0)
+        from sklearn.gaussian_process import kernels as skk
+        ref = skk.RBF(length_scale=ell)(X, XS)
+        np.testing.assert_allclose(np.asarray(k(jnp.asarray(X),
+                                                jnp.asarray(XS))),
+                                   ref, rtol=1e-8)
+
+    def test_kdiag_matches_gram_diagonal(self):
+        for k in (RBF(0.9, 1.3), Matern32(1.2, 0.6),
+                  Linear(variance=0.8, center=0.2), Constant(2.0),
+                  RBF(1.0) + Linear(0.5), RBF(1.0) * Constant(3.0)):
+            g = np.asarray(k(jnp.asarray(X), jnp.asarray(X)))
+            np.testing.assert_allclose(np.asarray(k.kdiag(jnp.asarray(X))),
+                                       np.diagonal(g), rtol=1e-7,
+                                       atol=1e-9)
+
+    def test_gram_psd(self):
+        for k in (RBF(0.7), Matern12(1.0), Matern52(1.3),
+                  RBF(1.0) + Matern32(0.5), RBF(1.0) * Matern32(0.5)):
+            g = np.asarray(k(jnp.asarray(X), jnp.asarray(X)))
+            w = np.linalg.eigvalsh(g)
+            assert w.min() > -1e-8
+
+
+class TestExactGP:
+    def _direct(self, k_mat, ks_mat, kss_diag, y, noise):
+        Kn = k_mat + noise * np.eye(len(y))
+        alpha = np.linalg.solve(Kn, y)
+        mean = ks_mat.T @ alpha
+        var = kss_diag - np.einsum("ij,ji->i", ks_mat.T,
+                                   np.linalg.solve(Kn, ks_mat))
+        _, logdet = np.linalg.slogdet(Kn)
+        lm = (-0.5 * y @ alpha - 0.5 * logdet
+              - 0.5 * len(y) * np.log(2 * np.pi))
+        return mean, var, lm
+
+    def test_posterior_matches_direct_solve(self):
+        k = RBF(lengthscale=1.2, variance=1.5)
+        post = gp_regression(k, X, Y, XS, NOISE, jitter=0.0)
+        km = np.asarray(k(jnp.asarray(X), jnp.asarray(X)))
+        ks = np.asarray(k(jnp.asarray(X), jnp.asarray(XS)))
+        kss = np.asarray(k.kdiag(jnp.asarray(XS)))
+        mean, var, lm = self._direct(km, ks, kss, Y, NOISE)
+        np.testing.assert_allclose(np.asarray(post.mean), mean, rtol=1e-7,
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(post.var), var, rtol=1e-6,
+                                   atol=1e-8)
+        np.testing.assert_allclose(float(post.log_marginal), lm, rtol=1e-9)
+        np.testing.assert_allclose(
+            float(gp_log_marginal(k, X, Y, NOISE, jitter=0.0)), lm,
+            rtol=1e-9)
+
+    def test_full_cov_consistent_with_marginals(self):
+        k = Matern52(lengthscale=1.0, variance=1.0)
+        m = gp_regression(k, X, Y, XS, NOISE)
+        f = gp_regression(k, X, Y, XS, NOISE, full_cov=True)
+        np.testing.assert_allclose(np.diagonal(np.asarray(f.var)),
+                                   np.asarray(m.var), rtol=1e-6,
+                                   atol=1e-8)
+        np.testing.assert_allclose(f.mean, m.mean, rtol=1e-10)
+
+    def test_type2_ml_gradient_ascent_improves(self):
+        """Hyperparameter fitting by jax.grad of the log-marginal: a few
+        ascent steps must increase it (the API's reason to exist)."""
+        def lm(log_ell, log_var, log_noise):
+            k = RBF(lengthscale=jnp.exp(log_ell),
+                    variance=jnp.exp(log_var))
+            return gp_log_marginal(k, X, Y, jnp.exp(log_noise))
+
+        import optax
+        params = (jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(-1.0))
+        v0 = float(lm(*params))
+        opt = optax.adam(0.1)
+        state = opt.init(params)
+        g_fn = jax.jit(jax.grad(lambda p: -lm(*p)))
+        for _ in range(60):
+            upd, state = opt.update(g_fn(params), state)
+            params = optax.apply_updates(params, upd)
+        assert float(lm(*params)) > v0 + 1.0
+
+    def test_interpolates_noise_free(self):
+        k = RBF(lengthscale=1.0, variance=1.0)
+        post = gp_regression(k, X, Y, X, 1e-10)
+        np.testing.assert_allclose(np.asarray(post.mean), Y, atol=1e-4)
+        assert float(jnp.max(post.var)) < 1e-4
+
+
+class TestSGPR:
+    def test_bound_below_exact_and_tight_at_full(self):
+        k = RBF(lengthscale=1.0, variance=1.0)
+        exact = float(gp_log_marginal(k, X, Y, NOISE, jitter=0.0))
+        z8 = X[:8]
+        lb8 = float(sgpr_elbo(k, X, Y, z8, NOISE))
+        lb20 = float(sgpr_elbo(k, X, Y, X[:20], NOISE))
+        lb_full = float(sgpr_elbo(k, X, Y, X, NOISE))
+        assert lb8 <= exact + 1e-6
+        assert lb20 <= exact + 1e-6
+        assert lb8 <= lb20 + 1e-6  # more inducing points: tighter
+        np.testing.assert_allclose(lb_full, exact, atol=2e-3)
+
+    def test_predictions_approach_exact(self):
+        k = RBF(lengthscale=1.0, variance=1.0)
+        ex = gp_regression(k, X, Y, XS, NOISE)
+        sp = sgpr_predict(k, X, Y, X, XS, NOISE)  # Z = X: near-exact
+        np.testing.assert_allclose(np.asarray(sp.mean),
+                                   np.asarray(ex.mean), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(sp.var),
+                                   np.asarray(ex.var), atol=5e-3)
+
+    def test_inducing_points_differentiable(self):
+        k = RBF(lengthscale=1.0, variance=1.0)
+
+        def obj(z):
+            return sgpr_elbo(k, X, Y, z, NOISE)
+
+        z0 = jnp.asarray(X[:6] + 0.3)
+        g = jax.grad(obj)(z0)
+        assert g.shape == z0.shape
+        assert np.all(np.isfinite(np.asarray(g)))
+        # One ascent step improves the bound.
+        assert float(obj(z0 + 0.05 * g / (jnp.abs(g).max() + 1e-9))) \
+            > float(obj(z0)) - 1e-9
+
+    def test_jit_clean(self):
+        k = Matern32(lengthscale=1.0, variance=1.0)
+        f = jax.jit(lambda zz: sgpr_elbo(k, X, Y, zz, NOISE))
+        v = float(f(jnp.asarray(X[:10])))
+        assert np.isfinite(v)

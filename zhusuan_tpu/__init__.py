@@ -33,6 +33,9 @@ from zhusuan_tpu import smc
 from zhusuan_tpu.smc import *  # noqa: F401,F403
 from zhusuan_tpu import ssm
 from zhusuan_tpu.ssm import *  # noqa: F401,F403
+from zhusuan_tpu import gp  # namespaced only: kernel names (RBF, Linear,
+#                             ...) would shadow nothing but read better
+#                             as zs.gp.RBF
 from zhusuan_tpu import bijectors
 from zhusuan_tpu.bijectors import transform_log_joint  # noqa: F401
 from zhusuan_tpu import diagnostics

@@ -30,6 +30,7 @@ MODULES = [
     ("zhusuan_tpu.evaluation", "IS marginal likelihood and AIS (reference zhusuan/evaluation.py)"),
     ("zhusuan_tpu.smc", "Annealed sequential Monte Carlo (beyond reference)"),
     ("zhusuan_tpu.ssm", "State-space models: particle filter/smoother + Kalman (beyond reference)"),
+    ("zhusuan_tpu.gp", "Gaussian processes: kernels, exact/SGPR/SVGP (library-level; reference examples/gaussian_process)"),
     ("zhusuan_tpu.bijectors", "Constrained-latent sampling maps (beyond reference)"),
     ("zhusuan_tpu.diagnostics", "ESS and R-hat diagnostics (reference zhusuan/diagnostics.py)"),
     ("zhusuan_tpu.transform", "Normalizing flows (reference zhusuan/transform.py)"),

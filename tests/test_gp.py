@@ -172,3 +172,125 @@ class TestSGPR:
         f = jax.jit(lambda zz: sgpr_elbo(k, X, Y, zz, NOISE))
         v = float(f(jnp.asarray(X[:10])))
         assert np.isfinite(v)
+
+
+class TestSVGP:
+    def test_prior_state_gives_prior_marginals(self):
+        """q(v) = N(0, I) whitened is exactly the prior: fmean = 0,
+        fvar = kdiag (the -A'A and +A'SA terms cancel)."""
+        from zhusuan_tpu.gp import svgp_init, svgp_marginals
+        k = RBF(lengthscale=0.8, variance=1.7)
+        st = svgp_init(X[:12])
+        fm, fv = svgp_marginals(k, st, XS)
+        np.testing.assert_allclose(np.asarray(fm), 0.0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(fv),
+                                   np.asarray(k.kdiag(jnp.asarray(XS))),
+                                   rtol=1e-5)
+
+    def test_gaussian_elbo_bounds_exact_and_tightens(self):
+        from zhusuan_tpu.gp import (GaussianLikelihood, svgp_init,
+                                    svgp_elbo)
+        import optax
+        k = RBF(lengthscale=1.0, variance=1.0)
+        lik = GaussianLikelihood(noise_var=jnp.asarray(NOISE))
+        exact = float(gp_log_marginal(k, X, Y, NOISE, jitter=0.0))
+        st = svgp_init(X)  # Z = X: optimum is (near) tight
+
+        neg = jax.jit(lambda s: -svgp_elbo(k, s, X, Y, lik))
+        v0 = -float(neg(st))
+        opt = optax.adam(0.05)
+        os_ = opt.init(st)
+        g = jax.jit(jax.grad(neg))
+        for _ in range(500):
+            upd, os_ = opt.update(g(st), os_)
+            st = optax.apply_updates(st, upd)
+        v1 = -float(neg(st))
+        assert v1 > v0 + 1.0  # optimization moved it
+        assert v1 <= exact + 1e-4  # still a lower bound
+        assert abs(v1 - exact) < 0.5  # near-tight at Z = X
+
+    def test_minibatch_elbo_is_unbiased(self):
+        """Partition the data into batches: the mean of scaled batch
+        ELBOs equals the full ELBO exactly (linearity of the data
+        term)."""
+        from zhusuan_tpu.gp import (GaussianLikelihood, svgp_init,
+                                    svgp_elbo)
+        k = Matern32(lengthscale=1.1, variance=0.9)
+        lik = GaussianLikelihood(noise_var=jnp.asarray(0.1))
+        st = svgp_init(X[:7])
+        st = st._replace(q_mu=jnp.asarray(RNG.normal(size=7)))
+        full = float(svgp_elbo(k, st, X, Y, lik))
+        parts = [
+            float(svgp_elbo(k, st, X[i:i + 10], Y[i:i + 10], lik,
+                            n_data=40))
+            for i in range(0, 40, 10)
+        ]
+        np.testing.assert_allclose(np.mean(parts), full, rtol=1e-6)
+
+    def test_gauss_hermite_matches_closed_form(self):
+        """GH quadrature of the Gaussian log-density must match the
+        closed-form variational expectation."""
+        from zhusuan_tpu.gp import _gauss_hermite, GaussianLikelihood
+        lik = GaussianLikelihood(noise_var=jnp.asarray(0.3))
+        y = jnp.asarray(RNG.normal(size=9))
+        mu = jnp.asarray(RNG.normal(size=9))
+        var = jnp.asarray(RNG.uniform(0.1, 2.0, size=9))
+        closed = lik.variational_expectations(y, mu, var)
+
+        def logp(f):
+            return (-0.5 * jnp.log(2 * jnp.pi * 0.3)
+                    - (y[..., None] - f) ** 2 / (2 * 0.3))
+
+        quad = _gauss_hermite(logp, mu, var, 30)
+        np.testing.assert_allclose(np.asarray(quad), np.asarray(closed),
+                                   rtol=1e-6)
+
+    def test_poisson_closed_form_matches_quadrature(self):
+        from zhusuan_tpu.gp import _gauss_hermite, PoissonLikelihood
+        lik = PoissonLikelihood()
+        y = jnp.asarray([0.0, 1.0, 3.0, 7.0])
+        mu = jnp.asarray([-0.5, 0.2, 1.0, 1.8])
+        var = jnp.asarray([0.4, 0.9, 0.2, 0.6])
+        closed = lik.variational_expectations(y, mu, var)
+
+        def logp(f):
+            return (y[..., None] * f - jnp.exp(f)
+                    - jax.lax.lgamma(y[..., None] + 1.0))
+
+        quad = _gauss_hermite(logp, mu, var, 60)
+        np.testing.assert_allclose(np.asarray(quad), np.asarray(closed),
+                                   rtol=1e-4)
+
+    def test_classification_end_to_end(self):
+        """SVGP + Bernoulli likelihood separates a 1-D step function."""
+        from zhusuan_tpu.gp import (BernoulliLikelihood, svgp_init,
+                                    svgp_elbo, svgp_predict)
+        import optax
+        rng = np.random.default_rng(3)
+        xt = rng.uniform(-2, 2, size=(120, 1))
+        yt = (xt[:, 0] > 0.0).astype(np.float64)
+        k = RBF(lengthscale=0.7, variance=2.0)
+        lik = BernoulliLikelihood()
+        st = svgp_init(np.linspace(-2, 2, 15)[:, None])
+
+        neg = jax.jit(lambda s: -svgp_elbo(k, s, xt, yt, lik))
+        opt = optax.adam(0.1)
+        os_ = opt.init(st)
+        g = jax.jit(jax.grad(neg))
+        for _ in range(300):
+            upd, os_ = opt.update(g(st), os_)
+            st = optax.apply_updates(st, upd)
+        xq = np.array([[-1.5], [-0.5], [0.5], [1.5]])
+        p = np.asarray(svgp_predict(k, st, xq, likelihood=lik).mean)
+        assert p[0] < 0.1 and p[1] < 0.5 and p[2] > 0.5 and p[3] > 0.9
+        # training accuracy
+        pt = np.asarray(svgp_predict(k, st, xt, likelihood=lik).mean)
+        assert np.mean((pt > 0.5) == (yt > 0.5)) > 0.95
+
+    def test_kl_zero_at_prior(self):
+        from zhusuan_tpu.gp import _kl_whitened
+        m = jnp.zeros(6)
+        s = jnp.eye(6)
+        assert abs(float(_kl_whitened(m, s))) < 1e-10
+        # and positive elsewhere
+        assert float(_kl_whitened(m + 0.5, 0.7 * s)) > 0.1

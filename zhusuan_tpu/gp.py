@@ -37,6 +37,14 @@ __all__ = [
     "gp_regression",
     "sgpr_elbo",
     "sgpr_predict",
+    "GaussianLikelihood",
+    "BernoulliLikelihood",
+    "PoissonLikelihood",
+    "SVGPState",
+    "svgp_init",
+    "svgp_marginals",
+    "svgp_elbo",
+    "svgp_predict",
 ]
 
 
@@ -301,3 +309,165 @@ def sgpr_predict(kernel, x, y, z, x_star, noise_var,
     elbo = sgpr_elbo(kernel, x, y, z, noise_var, jitter)
     return GPPosterior(mean=mean, var=jnp.maximum(var, 0.0),
                        log_marginal=elbo)
+
+
+# ---------------------------------------------------------------------------
+# Uncollapsed sparse variational GP (Hensman et al. 2013/2015): the
+# library-level, analytic complement of the MC-based parity example
+# (``examples/gaussian_process/svgp.py``, reference
+# ``examples/gaussian_process/svgp.py:49-139``). Minibatch-scalable:
+# the data term is a sum over points, so ``svgp_elbo`` on a batch scaled
+# by ``n_data / batch`` is an unbiased estimator of the full bound.
+# ---------------------------------------------------------------------------
+
+
+class GaussianLikelihood(NamedTuple):
+    """``p(y | f) = N(y; f, noise_var)``; closed-form variational
+    expectation (no quadrature)."""
+
+    noise_var: jnp.ndarray
+
+    def variational_expectations(self, y, fmean, fvar):
+        s2 = jnp.asarray(self.noise_var)
+        return (-0.5 * jnp.log(2.0 * jnp.pi * s2)
+                - ((y - fmean) ** 2 + fvar) / (2.0 * s2))
+
+    def predict(self, fmean, fvar):
+        """Predictive mean/variance of y given q(f) = N(fmean, fvar)."""
+        return fmean, fvar + jnp.asarray(self.noise_var)
+
+
+class BernoulliLikelihood(NamedTuple):
+    """``p(y=1 | f) = sigmoid(f)``, y in {0, 1}; expectations via
+    Gauss-Hermite quadrature (``n_quad`` static points)."""
+
+    n_quad: int = 20
+
+    def variational_expectations(self, y, fmean, fvar):
+        # sign = +1 for y=1, -1 for y=0: log p = -softplus(-sign * f).
+        sign = jnp.where(y > 0.5, 1.0, -1.0)[..., None]
+
+        def logp(f):
+            return -jax.nn.softplus(-sign * f)
+
+        return _gauss_hermite(logp, fmean, fvar, self.n_quad)
+
+    def predict(self, fmean, fvar):
+        p = _gauss_hermite(jax.nn.sigmoid, fmean, fvar, self.n_quad)
+        return p, p * (1.0 - p)
+
+
+class PoissonLikelihood(NamedTuple):
+    """``p(y | f) = Poisson(exp(f))``; closed-form expectation using
+    ``E[exp(f)] = exp(mu + var / 2)``."""
+
+    def variational_expectations(self, y, fmean, fvar):
+        return (y * fmean - jnp.exp(fmean + 0.5 * fvar)
+                - jax.lax.lgamma(y + 1.0))
+
+    def predict(self, fmean, fvar):
+        mean = jnp.exp(fmean + 0.5 * fvar)
+        var = mean + (jnp.exp(fvar) - 1.0) * mean ** 2
+        return mean, var
+
+
+def _gauss_hermite(g, mu, var, n_quad):
+    """``E_{N(mu, var)}[g(f)]`` by Gauss-Hermite quadrature, batched over
+    the leading axes of ``mu`` / ``var``. Nodes are compile-time
+    constants (numpy), so the whole expectation is one fused
+    broadcast-evaluate-reduce."""
+    import numpy as _np
+
+    xs, ws = _np.polynomial.hermite_e.hermegauss(int(n_quad))
+    # hermegauss: weight exp(-x^2/2); E[g] = sum w_i g(mu + sqrt(var) x_i)
+    #                                        / sqrt(2 pi)
+    xs = jnp.asarray(xs, dtype=jnp.result_type(mu))
+    ws = jnp.asarray(ws / _np.sqrt(2.0 * _np.pi),
+                     dtype=jnp.result_type(mu))
+    f = mu[..., None] + jnp.sqrt(jnp.maximum(var, 0.0))[..., None] * xs
+    return jnp.sum(g(f) * ws, axis=-1)
+
+
+class SVGPState(NamedTuple):
+    """Variational state of the whitened SVGP: ``q(v) = N(m, S)`` with
+    ``S = tril(q_sqrt) tril(q_sqrt)'`` and ``u = chol(Kzz) v`` (whitening
+    makes the KL target ``N(0, I)`` and decorrelates the optimization
+    geometry). A pytree — optimize it directly with optax alongside
+    kernel hyperparameters."""
+
+    z: jnp.ndarray  # [m, d] inducing inputs
+    q_mu: jnp.ndarray  # [m]
+    q_sqrt: jnp.ndarray  # [m, m]; lower triangle used
+
+
+def svgp_init(z, jitter_scale: float = 1.0):
+    """Initial :class:`SVGPState`: q(v) = N(0, I) at inducing inputs
+    ``z`` (the prior, so the initial ELBO equals the prior expected
+    log-likelihood)."""
+    z = jnp.asarray(z)
+    m = z.shape[0]
+    return SVGPState(z=z, q_mu=jnp.zeros((m,), z.dtype),
+                     q_sqrt=jitter_scale * jnp.eye(m, dtype=z.dtype))
+
+
+def _svgp_common(kernel, state, x, jitter):
+    z = state.z
+    Lz = _chol_jitter(kernel(z, z), jitter)
+    Kzx = kernel(z, x)
+    A = jax.scipy.linalg.solve_triangular(Lz, Kzx, lower=True)  # [m, n]
+    q_sqrt = jnp.tril(state.q_sqrt)
+    fmean = A.T @ state.q_mu
+    SA = q_sqrt.T @ A  # [m, n]
+    fvar = (kernel.kdiag(x) - jnp.sum(A * A, axis=0)
+            + jnp.sum(SA * SA, axis=0))
+    return fmean, jnp.maximum(fvar, 0.0), q_sqrt
+
+
+def svgp_marginals(kernel, state, x, jitter: float = 1e-6):
+    """Marginal ``q(f(x)) = N(fmean, fvar)`` under the whitened SVGP
+    posterior; ``[n]``-shaped mean and variance."""
+    fmean, fvar, _ = _svgp_common(kernel, state, jnp.asarray(x), jitter)
+    return fmean, fvar
+
+
+def _kl_whitened(q_mu, q_sqrt):
+    """KL(N(m, LL') || N(0, I)), L = tril(q_sqrt)."""
+    m = q_mu.shape[0]
+    diag = jnp.diagonal(q_sqrt)
+    return 0.5 * (jnp.sum(q_sqrt * q_sqrt) + jnp.sum(q_mu * q_mu)
+                  - m - 2.0 * jnp.sum(jnp.log(jnp.abs(diag) + 1e-300)))
+
+
+def svgp_elbo(kernel, state, x, y, likelihood, n_data: Optional[int] = None,
+              jitter: float = 1e-6):
+    """Uncollapsed SVGP bound (Hensman et al. 2013):
+
+    .. math::
+        \\frac{N}{|B|} \\sum_{i \\in B}
+        E_{q(f_i)}[\\log p(y_i | f_i)] - KL(q(v) \\| N(0, I)).
+
+    Works with any likelihood exposing ``variational_expectations``;
+    pass ``n_data`` when ``(x, y)`` is a minibatch so the data term is
+    rescaled to the full set. Differentiable in the kernel
+    hyperparameters, ``state`` (including inducing inputs) and any
+    likelihood parameters. O(n m^2) per batch; all matmul-shaped.
+    """
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    fmean, fvar, q_sqrt = _svgp_common(kernel, state, x, jitter)
+    ve = likelihood.variational_expectations(y, fmean, fvar)
+    scale = 1.0 if n_data is None else n_data / x.shape[0]
+    return scale * jnp.sum(ve) - _kl_whitened(state.q_mu, q_sqrt)
+
+
+def svgp_predict(kernel, state, x_star, likelihood=None,
+                 jitter: float = 1e-6) -> GPPosterior:
+    """Predictive posterior at ``x_star``: latent ``q(f*)`` marginals,
+    pushed through ``likelihood.predict`` when one is given (e.g.
+    class probabilities for :class:`BernoulliLikelihood`).
+    ``log_marginal`` is NaN — the uncollapsed bound needs targets; use
+    :func:`svgp_elbo`."""
+    fmean, fvar = svgp_marginals(kernel, state, x_star, jitter)
+    if likelihood is not None:
+        fmean, fvar = likelihood.predict(fmean, fvar)
+    return GPPosterior(mean=fmean, var=fvar,
+                       log_marginal=jnp.asarray(jnp.nan))

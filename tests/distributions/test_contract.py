@@ -106,6 +106,18 @@ def _cases():
              _f(np.zeros((2, 3, 2))), jnp.broadcast_to(eye3, (2, 3, 3)),
              jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (2, 2, 2))),
          (2,), (3, 2), lambda d, s: jnp.zeros(s, jnp.float32)),
+        ("Mixture",
+         lambda: zd.Mixture(
+             _f(np.zeros((4, 3))),
+             zd.Normal(_f(np.zeros((4, 3))), std=_f(np.ones((4, 3))))),
+         (4,), (), lambda d, s: jnp.zeros(s, jnp.float32)),
+        ("MixtureMVN",
+         lambda: zd.Mixture(
+             _f(np.zeros((2,))),
+             zd.MultivariateNormalCholesky(
+                 _f(np.zeros((5, 2, 3))),
+                 jnp.broadcast_to(eye3, (5, 2, 3, 3)))),
+         (5,), (3,), lambda d, s: jnp.zeros(s, jnp.float32)),
     ]
     return cases
 

@@ -722,3 +722,15 @@ class BayesianNet(Context):
             group_ndims=group_ndims, **kwargs,
         )
         return self.stochastic(name, dist)
+
+    def mixture(
+        self, name, logits, components, group_ndims=0, n_samples=None,
+        **kwargs,
+    ):
+        """Add a finite Mixture node (beyond the reference): ``logits``
+        over the last batch axis of the K-batched ``components``
+        distribution; the assignment is marginalized in ``log_prob``."""
+        dist = distributions.Mixture(
+            logits, components, group_ndims=group_ndims, **kwargs
+        )
+        return self.stochastic(name, dist, n_samples=n_samples)

@@ -106,6 +106,13 @@ def _cases():
              _f(np.zeros((2, 3, 2))), jnp.broadcast_to(eye3, (2, 3, 3)),
              jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (2, 2, 2))),
          (2,), (3, 2), lambda d, s: jnp.zeros(s, jnp.float32)),
+        ("NegativeBinomial",
+         lambda: zd.NegativeBinomial(_f(np.zeros((3, 2))), _f(4.0)),
+         (3, 2), (), lambda d, s: 2 * jnp.ones(s, jnp.int32)),
+        ("TruncatedNormal",
+         lambda: zd.TruncatedNormal(_f(np.zeros((4,))), _f(1.0),
+                                    _f(-2.0), _f(2.0)),
+         (4,), (), lambda d, s: jnp.zeros(s, jnp.float32)),
         ("Mixture",
          lambda: zd.Mixture(
              _f(np.zeros((4, 3))),

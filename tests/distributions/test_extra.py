@@ -184,3 +184,136 @@ class TestDtypeContract:
         x = d.sample(KEY, n_samples=3)
         assert x.dtype == jnp.float64
         assert d.log_prob(x).dtype == jnp.float64
+
+
+class TestNegativeBinomial:
+    from zhusuan_tpu.distributions import NegativeBinomial as _NB
+
+    def test_log_prob_matches_scipy(self):
+        from zhusuan_tpu.distributions import NegativeBinomial
+        r, p = 3.5, 0.6  # p = success prob = sigmoid(logits)
+        d = NegativeBinomial(
+            jnp.float64(np.log(p / (1 - p))), jnp.float64(r)
+        )
+        x = np.arange(0, 25)
+        # scipy nbinom(n, q): pmf(k) = C(k+n-1, k) q^n (1-q)^k -> q = 1-p
+        np.testing.assert_allclose(
+            np.asarray(d.log_prob(x)),
+            stats.nbinom.logpmf(x, r, 1 - p), rtol=1e-10,
+        )
+
+    def test_sampler_moments(self):
+        from zhusuan_tpu.distributions import NegativeBinomial
+        r, p = 5.0, 0.4
+        d = NegativeBinomial(
+            jnp.float64(np.log(p / (1 - p))), jnp.float64(r)
+        )
+        s = np.asarray(d.sample(KEY, 200_000))
+        mean = r * p / (1 - p)
+        var = r * p / (1 - p) ** 2
+        assert abs(s.mean() - mean) < 0.05
+        assert abs(s.var() / var - 1.0) < 0.05
+
+    def test_poisson_limit(self):
+        """r -> inf with mean fixed approaches Poisson."""
+        from zhusuan_tpu.distributions import NegativeBinomial
+        mean = 4.0
+        r = 1e5
+        p = mean / (mean + r)
+        d = NegativeBinomial(
+            jnp.float64(np.log(p / (1 - p))), jnp.float64(r)
+        )
+        x = np.arange(0, 15)
+        np.testing.assert_allclose(
+            np.asarray(d.log_prob(x)), stats.poisson.logpmf(x, mean),
+            atol=2e-3,
+        )
+
+    def test_batched_and_not_reparameterized(self):
+        from zhusuan_tpu.distributions import NegativeBinomial
+        d = NegativeBinomial(jnp.zeros((4, 3), jnp.float32), jnp.float32(2.0))
+        assert d.batch_shape == (4, 3)
+        assert not d.is_reparameterized
+        assert d.sample(KEY, 5).shape == (5, 4, 3)
+        assert d.sample(KEY, 5).dtype == jnp.int32
+
+
+class TestTruncatedNormal:
+    def _make(self, loc=1.0, scale=2.0, low=-1.0, high=4.0):
+        from zhusuan_tpu.distributions import TruncatedNormal
+        return TruncatedNormal(
+            jnp.float64(loc), jnp.float64(scale), jnp.float64(low),
+            jnp.float64(high),
+        ), stats.truncnorm(
+            (low - loc) / scale, (high - loc) / scale, loc=loc, scale=scale
+        )
+
+    def test_log_prob_matches_scipy(self):
+        d, sp = self._make()
+        xs = np.linspace(-0.99, 3.99, 21)
+        np.testing.assert_allclose(
+            np.asarray(d.log_prob(xs)), sp.logpdf(xs), rtol=1e-10
+        )
+
+    def test_right_tail_stable(self):
+        """Interval far in the right tail: log_ndtr reflection keeps the
+        normalizer finite where naive Phi(b) - Phi(a) underflows."""
+        d, sp = self._make(loc=0.0, scale=1.0, low=8.0, high=9.0)
+        xs = np.asarray([8.1, 8.5])
+        np.testing.assert_allclose(
+            np.asarray(d.log_prob(xs)), sp.logpdf(xs), rtol=1e-8
+        )
+
+    def test_outside_support_neg_inf(self):
+        d, _ = self._make()
+        lp = np.asarray(d.log_prob(np.asarray([-1.5, 4.5])))
+        assert np.all(np.isneginf(lp))
+
+    def test_sampler_ks(self):
+        d, sp = self._make()
+        s = np.asarray(d.sample(KEY, 100_000))
+        assert s.min() >= -1.0 and s.max() <= 4.0
+        _, pval = stats.kstest(s[:5000], sp.cdf)
+        assert pval > 1e-3
+
+    def test_reparameterized_gradients_match_finite_diff(self):
+        """Pathwise gradient of E[x] wrt loc/scale/bounds vs central
+        finite differences of the analytic truncated-normal mean."""
+        from zhusuan_tpu.distributions import TruncatedNormal
+
+        def mean_est(params, key):
+            d = TruncatedNormal(params[0], params[1], params[2], params[3])
+            return jnp.mean(d.sample(key, 4096))
+
+        params = jnp.asarray([1.0, 2.0, -1.0, 4.0], jnp.float64)
+        key = jax.random.PRNGKey(11)
+        g = np.asarray(jax.grad(mean_est)(params, key))
+
+        def true_mean(v):
+            loc, scale, low, high = v
+            return stats.truncnorm.mean(
+                (low - loc) / scale, (high - loc) / scale,
+                loc=loc, scale=scale,
+            )
+
+        eps = 1e-5
+        for i in range(4):
+            vp = np.asarray(params).copy(); vp[i] += eps
+            vm = np.asarray(params).copy(); vm[i] -= eps
+            fd = (true_mean(vp) - true_mean(vm)) / (2 * eps)
+            assert abs(g[i] - fd) < 0.05, (i, g[i], fd)
+
+    def test_sugar_methods(self):
+        import zhusuan_tpu as zs
+        bn = zs.BayesianNet(key=KEY)
+        t = bn.truncated_normal(
+            "t", jnp.float32(0.0), jnp.float32(1.0), jnp.float32(-1.0),
+            jnp.float32(1.0), n_samples=16,
+        )
+        assert t.tensor.shape == (16,)
+        assert float(jnp.max(jnp.abs(t.tensor))) <= 1.0
+        nb = bn.negative_binomial(
+            "nb", jnp.float32(0.0), jnp.float32(3.0), n_samples=16
+        )
+        assert nb.tensor.shape == (16,)
+        assert np.asarray(bn.cond_log_prob("nb")).shape == (16,)

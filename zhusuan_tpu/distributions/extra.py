@@ -1,5 +1,5 @@
 """Beyond-reference univariate heads: StudentT, Exponential, Cauchy,
-HalfCauchy, LogNormal.
+HalfCauchy, LogNormal, NegativeBinomial, TruncatedNormal.
 
 The reference zoo (``zhusuan/distributions/univariate.py``, 14 classes)
 lacks several heads that are standard in contemporary PPLs — heavy-tailed
@@ -29,7 +29,15 @@ from zhusuan_tpu.distributions.utils import (
 )
 from zhusuan_tpu.ops.checks import check_numerics
 
-__all__ = ["StudentT", "Exponential", "Cauchy", "HalfCauchy", "LogNormal"]
+__all__ = [
+    "StudentT",
+    "Exponential",
+    "Cauchy",
+    "HalfCauchy",
+    "LogNormal",
+    "NegativeBinomial",
+    "TruncatedNormal",
+]
 
 _HALF_LOG_2PI = 0.5 * float(np.log(2.0 * np.pi))
 
@@ -314,4 +322,173 @@ class LogNormal(_LocScaleContinuous):
         lp = -_HALF_LOG_2PI - self._log_scale() - log_x - 0.5 * z * z
         return jnp.where(
             given > 0, lp, jnp.asarray(-jnp.inf, self.param_dtype)
+        )
+
+
+class NegativeBinomial(Distribution):
+    """Negative binomial: counts with overdispersion (Gamma-Poisson).
+
+    Beyond reference (the reference's only count heads are Poisson and
+    Binomial, ``univariate.py:857,939`` — neither models overdispersed
+    counts). Convention: number of "successes" ``x`` observed before
+    ``total_count`` failures, success probability ``sigmoid(logits)``::
+
+        pmf(x) = C(x + r - 1, x) * (1-p)^r * p^x,   mean = r p / (1-p)
+
+    Sampler: the Gamma-Poisson mixture ``x ~ Poisson(lam)``,
+    ``lam ~ Gamma(r, rate=e^{-logits})`` (exact; both draws native JAX).
+    Density via lgamma in the logit parameterization —
+    ``log sigmoid(±logits)`` terms use softplus for stability.
+
+    :param logits: log-odds of success, any float shape.
+    :param total_count: positive float ``r`` (need not be an integer),
+        broadcastable against logits.
+    """
+
+    def __init__(self, logits, total_count, dtype=jnp.int32,
+                 group_ndims: int = 0, check_numerics=False, **kwargs):
+        param_dtype = assert_same_float_dtype(
+            [(logits, "logits"), (total_count, "total_count")]
+        )
+        self._logits = jnp.asarray(logits, param_dtype)
+        self._total_count = jnp.asarray(total_count, param_dtype)
+        self._check_numerics = check_numerics
+        broadcast_shapes(
+            jnp.shape(self._logits), jnp.shape(self._total_count)
+        )
+        super().__init__(
+            dtype=np.dtype(dtype),
+            param_dtype=param_dtype,
+            is_continuous=False,
+            is_reparameterized=False,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    logits = property(lambda self: self._logits)
+    total_count = property(lambda self: self._total_count)
+
+    def _batch_shape(self):
+        return broadcast_shapes(
+            jnp.shape(self._logits), jnp.shape(self._total_count)
+        )
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        logits = jax.lax.stop_gradient(self._logits)
+        r = jax.lax.stop_gradient(self._total_count)
+        shape = (n_samples,) + self.batch_shape
+        kg, kp = jax.random.split(key)
+        # lam ~ Gamma(r, rate = (1-p)/p = e^{-logits}) => mean r e^{logits}
+        lam = jax.random.gamma(
+            kg, jnp.broadcast_to(r, shape), dtype=self.param_dtype
+        ) * jnp.exp(logits)
+        return jax.random.poisson(kp, lam).astype(self.dtype)
+
+    def _log_prob(self, given):
+        x = jnp.asarray(given, self.param_dtype)
+        r = self._total_count
+        logits = self._logits
+        log_p = -jax.nn.softplus(-logits)  # log sigmoid(logits)
+        log_1mp = -jax.nn.softplus(logits)
+        log_comb = (
+            jax.lax.lgamma(x + r)
+            - jax.lax.lgamma(r)
+            - jax.lax.lgamma(x + 1.0)
+        )
+        if self._check_numerics:
+            log_comb = check_numerics(log_comb, "log_combination")
+        return log_comb + r * log_1mp + x * log_p
+
+
+class TruncatedNormal(_LocScaleContinuous):
+    """Normal truncated to ``[low, high]``.
+
+    Beyond reference. Fully reparameterized: the sampler is
+    ``loc + scale * tn(a, b)`` with standardized bounds
+    ``a = (low - loc)/scale``, ``b = (high - loc)/scale`` and
+    ``jax.random.truncated_normal`` (inverse-CDF — differentiable in the
+    bounds, so gradients flow into loc/scale AND low/high). Density:
+    standard normal logpdf minus ``log(Phi(b) - Phi(a))``, computed from
+    ``log_ndtr`` for tail stability; ``-inf`` outside the support.
+
+    :param low: lower bound (may be ``-inf``).
+    :param high: upper bound (may be ``+inf``); must exceed ``low``.
+    """
+
+    def __init__(self, loc, scale, low, high, group_ndims=0,
+                 is_reparameterized=True, use_path_derivative=False,
+                 check_numerics=False, **kwargs):
+        dtype = assert_same_float_dtype(
+            [(loc, "loc"), (scale, "scale"), (low, "low"), (high, "high")]
+        )
+        self._low = jnp.asarray(low, dtype)
+        self._high = jnp.asarray(high, dtype)
+        super().__init__(
+            loc, scale, group_ndims=group_ndims,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
+            check_numerics=check_numerics, dtype=dtype, **kwargs,
+        )
+        broadcast_shapes(
+            jnp.shape(self._low), jnp.shape(self._high), self.batch_shape
+        )
+
+    low = property(lambda self: self._low)
+    high = property(lambda self: self._high)
+
+    def _batch_shape(self):
+        return broadcast_shapes(
+            jnp.shape(self._loc), jnp.shape(self._scale),
+            jnp.shape(self._low), jnp.shape(self._high),
+        )
+
+    def _standardized_bounds(self, loc, scale):
+        return (self._low - loc) / scale, (self._high - loc) / scale
+
+    def _sample(self, key, n_samples):
+        loc, scale, low, high = _maybe_stop(
+            (self._loc, self._scale, self._low, self._high),
+            self.is_reparameterized,
+        )
+        a = (low - loc) / scale
+        b = (high - loc) / scale
+        shape = (n_samples,) + self.batch_shape
+        tn = jax.random.truncated_normal(
+            key, jnp.broadcast_to(a, shape), jnp.broadcast_to(b, shape),
+            shape, self.dtype,
+        )
+        # Clamp: inverse-CDF can graze the bounds in float.
+        return jnp.clip(loc + scale * tn, low, high)
+
+    def _log_norm_const(self, a, b):
+        """log(Phi(b) - Phi(a)), stable in both tails: reflect so the
+        larger-mass side anchors the log1p(-exp(.)) expansion."""
+        log_ndtr = jax.scipy.special.log_ndtr
+        # Work on the side where |mass| computations are well-conditioned:
+        # if the interval sits in the right tail (a > 0), reflect.
+        reflect = a > -b
+        lo = jnp.where(reflect, -b, a)
+        hi = jnp.where(reflect, -a, b)
+        big, small = log_ndtr(hi), log_ndtr(lo)
+        return big + jnp.log1p(-jnp.exp(small - big))
+
+    def _log_prob(self, given):
+        loc = self.path_param(self._loc)
+        scale = self.path_param(self._scale)
+        low = self.path_param(self._low)
+        high = self.path_param(self._high)
+        z = (given - loc) / scale
+        a = (low - loc) / scale
+        b = (high - loc) / scale
+        log_norm = self._log_norm_const(a, b)
+        if self._check_numerics:
+            log_norm = check_numerics(log_norm, "log_normalizer")
+        lp = (-_HALF_LOG_2PI - 0.5 * z * z - self._log_scale()
+              - log_norm)
+        in_support = (given >= low) & (given <= high)
+        return jnp.where(
+            in_support, lp, jnp.asarray(-jnp.inf, self.param_dtype)
         )

@@ -655,6 +655,34 @@ class BayesianNet(Context):
         )
         return self.stochastic(name, dist, n_samples=n_samples)
 
+    def negative_binomial(
+        self, name, logits, total_count, dtype=None, group_ndims=0,
+        n_samples=None, check_numerics=False, **kwargs,
+    ):
+        """Add a NegativeBinomial node (beyond reference)."""
+        import jax.numpy as _jnp
+        dist = distributions.NegativeBinomial(
+            logits, total_count,
+            dtype=_jnp.int32 if dtype is None else dtype,
+            group_ndims=group_ndims, check_numerics=check_numerics,
+            **kwargs,
+        )
+        return self.stochastic(name, dist, n_samples=n_samples)
+
+    def truncated_normal(
+        self, name, loc, scale, low, high, group_ndims=0, n_samples=None,
+        is_reparameterized=True, use_path_derivative=False,
+        check_numerics=False, **kwargs,
+    ):
+        """Add a TruncatedNormal node (beyond reference)."""
+        dist = distributions.TruncatedNormal(
+            loc, scale, low, high, group_ndims=group_ndims,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
+            check_numerics=check_numerics, **kwargs,
+        )
+        return self.stochastic(name, dist, n_samples=n_samples)
+
     def bin_concrete(
         self, name, temperature, logits, group_ndims=0, n_samples=None,
         is_reparameterized=True, use_path_derivative=False,

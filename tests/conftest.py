@@ -64,6 +64,8 @@ SLOW_MODULES = {
     "test_lkj",             # quadrature/importance normalizer checks (70s)
     "test_objectives",      # 1e6-sample estimator gradient checks (51s)
     "test_ssm",             # PMMH chains + particle-vs-Kalman bounds (89s)
+    "test_sbc",             # 256-sim calibration studies
+    "test_gp",              # SVGP optimization loops
 }
 
 

@@ -812,3 +812,19 @@ class TestStochasticVolatility:
         assert -2.2 < draws["mu"].mean() < 0.2
         assert 0.85 < np.tanh(draws["phi_u"]).mean() < 0.995
         assert 0.12 < np.exp(draws["log_sigma"]).mean() < 0.45
+
+
+class TestMixtureModels:
+    def test_gmm_recovers_components(self):
+        # Full Bayesian GMM by HMC on the marginalized Mixture density:
+        # sorted posterior component parameters must recover the truth,
+        # and posterior-mean responsibilities must cluster the data.
+        from examples.mixture_models import gmm
+
+        (w, mu, sd), acc, stats = gmm.main(
+            n_chains=8, n_iters=800, n_adapt=600, verbose=False
+        )
+        np.testing.assert_allclose(mu, gmm.TRUE_MU, atol=0.3)
+        np.testing.assert_allclose(w, gmm.TRUE_W, atol=0.07)
+        np.testing.assert_allclose(sd, gmm.TRUE_SD, atol=0.25)
+        assert acc > 0.95

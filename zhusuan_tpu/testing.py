@@ -1,4 +1,5 @@
-"""Sampler validation: the Geweke (2004) "getting it right" test.
+"""Sampler validation: Geweke (2004) joint tests + simulation-based
+calibration (Talts et al. 2018).
 
 Beyond the reference (whose sampler tests compare moments against known
 targets, e.g. tests/test_hmc.py — necessary but weak: subtle detailed-
@@ -49,7 +50,7 @@ from zhusuan_tpu.mcmc.hmc import HMC
 from zhusuan_tpu.mcmc.nuts import NUTS
 from zhusuan_tpu.mcmc.rwm import _MetropolisBase
 
-__all__ = ["geweke_test", "GewekeResult"]
+__all__ = ["geweke_test", "GewekeResult", "sbc_test", "SBCResult"]
 
 
 class GewekeResult(NamedTuple):
@@ -284,4 +285,155 @@ def geweke_test(
         n_mc=int(n_mc),
         n_chains=int(n_chains),
         n_iters=int(n_iters),
+    )
+
+
+class SBCResult(NamedTuple):
+    """Output of :func:`sbc_test`."""
+
+    ranks: Dict[str, np.ndarray]  # per-statistic ranks in {0..n_draws}
+    histograms: Dict[str, np.ndarray]  # binned rank counts [n_bins]
+    p_values: Dict[str, float]  # chi-square uniformity p per statistic
+    min_p_value: float  # the headline: tiny => miscalibrated inference
+    n_sims: int
+    n_draws: int  # posterior draws ranked against (L)
+    expected_per_bin: float
+
+
+def sbc_test(
+    meta_bn,
+    kernel,
+    latent: List[str],
+    data: List[str],
+    key,
+    n_sims: int = 256,
+    n_draws: int = 63,
+    thinning: int = 10,
+    n_warmup: int = 300,
+    n_bins: int = 16,
+    statistics: Optional[Dict[str, Callable]] = None,
+) -> SBCResult:
+    """Simulation-based calibration (Talts et al. 2018): rank-uniformity
+    validation of a full inference procedure.
+
+    For each of ``n_sims`` simulations, a joint draw
+    ``(theta_s, y_s) ~ p(theta, data)`` gives a dataset and — because the
+    pair is a joint draw — an EXACT posterior sample ``theta_s`` of
+    ``p(theta | y_s)``. The sampler then produces ``n_draws`` more
+    posterior draws for the same ``y_s``; if it is calibrated, the rank
+    of ``g(theta_s)`` among ``{g(theta'_l)}`` is uniform on
+    ``{0..n_draws}`` for ANY scalar statistic ``g``. Non-uniformity
+    localizes the failure: a U-shaped histogram means the posterior is
+    too narrow, a hump too wide, a slope means bias.
+
+    TPU-native: all ``n_sims`` simulations run as ONE vectorized chain
+    axis (per-sim data rides the same leading axis through ``observed``),
+    so the whole calibration study is two ``lax.scan`` programs —
+    adaptation, then thinned collection.
+
+    Because chains START at the exact posterior draw ``theta_s`` (already
+    stationary), no burn-in is discarded: ``n_warmup`` exists only to
+    adapt the step size, and those iterations also keep the chain
+    stationary. ``thinning`` combats the autocorrelation that would
+    otherwise distort ranks (Talts et al. §5.1).
+
+    :param meta_bn: the model; ``latent`` + ``data`` must cover its
+        stochastic nodes (checked).
+    :param kernel: any sampler following the library ``init``/``run``
+        contract (HMC, NUTS, RandomWalkMetropolis, MALA, ChEESHMC...).
+    :param statistics: optional ``{name: fn(latent_dict) -> [S]}``
+        per-sim scalar statistics; default: flat mean and second moment
+        of every latent.
+    :return: :class:`SBCResult`; check ``min_p_value`` (with a
+        multiple-comparison margin) or plot ``histograms``.
+    """
+    from scipy import stats as _sps
+
+    latent = list(latent)
+    data = list(data)
+    names = latent + data
+    probe = meta_bn.observe(key=jax.random.PRNGKey(0))
+    stochastic = [
+        n for n, node in probe.nodes.items()
+        if isinstance(node, StochasticTensor)
+    ]
+    missing = sorted(set(stochastic) - set(names))
+    extra = sorted(set(names) - set(stochastic))
+    if missing or extra:
+        raise ValueError(
+            "latent + data must cover the model's stochastic nodes "
+            "exactly; missing {}, unknown {}.".format(missing, extra)
+        )
+    if (n_draws + 1) % n_bins != 0:
+        raise ValueError(
+            "n_draws + 1 ({}) must be divisible by n_bins ({}) so rank "
+            "bins have equal prior mass (Talts et al. recommend e.g. "
+            "n_draws=63, n_bins=16).".format(n_draws + 1, n_bins)
+        )
+
+    if statistics is None:
+        def flat_mean(x):
+            x = jnp.asarray(x)
+            axes = tuple(range(1, x.ndim))
+            return jnp.mean(x, axis=axes) if axes else x
+
+        statistics = {}
+        for name in latent:
+            statistics["mean[{}]".format(name)] = (
+                lambda v, n=name: flat_mean(v[n])
+            )
+            statistics["m2[{}]".format(name)] = (
+                lambda v, n=name: flat_mean(jnp.square(jnp.asarray(v[n])))
+            )
+
+    key_joint, key_warm, key_run = jax.random.split(jnp.asarray(key), 3)
+
+    # One vmapped sweep: (theta_s, y_s) joint draws, sims as chain axis.
+    def joint_draw(k):
+        bn = meta_bn.observe(key=k)
+        return {n: bn._node_value(bn.nodes[n]) for n in names}
+
+    vals = jax.vmap(joint_draw)(jax.random.split(key_joint, n_sims))
+    theta0 = {n: vals[n] for n in latent}
+    observed = {n: vals[n] for n in data}
+
+    state = kernel.init(theta0, n_chain_dims=1)
+    if n_warmup > 0:
+        state, _ = jax.jit(
+            lambda s, k: kernel.run(
+                meta_bn, observed, s, k, n_iters=n_warmup,
+                n_adapt=n_warmup, collect=False,
+            )
+        )(state, key_warm)
+    state, out = jax.jit(
+        lambda s, k: kernel.run(
+            meta_bn, observed, s, k, n_iters=n_draws * thinning,
+            n_adapt=0, collect_fields=("samples",), thinning=thinning,
+        )
+    )(state, key_run)
+    draws = out["samples"]  # {name: [n_draws, n_sims, ...]}
+
+    ranks, hists, pvals = {}, {}, {}
+    edges = np.arange(0, n_draws + 2, (n_draws + 1) // n_bins)
+    for sname, fn in statistics.items():
+        g0 = np.asarray(fn(theta0), np.float64)  # [S]
+        gd = np.asarray(
+            jax.vmap(fn)(draws), np.float64
+        )  # [n_draws, S]
+        r = np.sum(gd < g0[None, :], axis=0).astype(np.int64)  # [S]
+        hist = np.histogram(r, bins=edges)[0]
+        expected = n_sims / n_bins
+        chi2 = float(np.sum((hist - expected) ** 2 / expected))
+        pvals[sname] = float(_sps.chi2.sf(chi2, df=n_bins - 1))
+        ranks[sname] = r
+        hists[sname] = hist
+
+    return SBCResult(
+        ranks=ranks,
+        histograms=hists,
+        p_values=pvals,
+        min_p_value=float(np.min(list(pvals.values()))),
+        n_sims=int(n_sims),
+        n_draws=int(n_draws),
+        expected_per_bin=float(n_sims / n_bins),
     )

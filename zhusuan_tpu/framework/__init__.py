@@ -8,6 +8,7 @@ from zhusuan_tpu.framework.meta_bn import MetaBayesianNet, meta_bayesian_net
 from zhusuan_tpu.framework.utils import Context, Local, reuse_variables
 from zhusuan_tpu.framework.arith import TensorArithmeticMixin
 from zhusuan_tpu.framework.predictive import posterior_predictive
+from zhusuan_tpu.framework.marginalize import marginalize
 
 __all__ = [
     "BayesianNet",
@@ -19,4 +20,5 @@ __all__ = [
     "reuse_variables",
     "TensorArithmeticMixin",
     "posterior_predictive",
+    "marginalize",
 ]

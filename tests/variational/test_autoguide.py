@@ -247,3 +247,58 @@ class TestEndToEnd:
         # percent at this concentration.
         assert abs(draws.mean() - a / b) < 0.12 * a / b, draws.mean()
         assert abs(draws.std() - np.sqrt(a) / b) < 0.2 * np.sqrt(a) / b
+
+
+class TestADVIOneCall:
+    def test_advi_recovers_conjugate_posterior(self):
+        # Conjugate normal-mean model: ADVI's mean-field Gaussian IS the
+        # exact posterior family, so the fit must match the closed form.
+        import zhusuan_tpu as zs
+
+        sigma, tau = 1.0, 3.0
+        y = np.asarray([1.2, 2.1, 1.7, 2.5, 0.9, 1.4, 2.2, 1.8])
+
+        @zs.meta_bayesian_net()
+        def model():
+            bn = zs.BayesianNet()
+            mu = bn.normal("mu", jnp.asarray(0.0), std=jnp.asarray(tau))
+            mean = jnp.broadcast_to(
+                mu.tensor[..., None], mu.tensor.shape + (len(y),)
+            )
+            bn.normal("y", mean, std=jnp.asarray(sigma), group_ndims=1)
+            return bn
+
+        res = zs.variational.advi(
+            model(), {"y": jnp.asarray(y)}, jax.random.PRNGKey(0),
+            n_iters=2500, n_samples=64,
+        )
+        prec = 1 / tau**2 + len(y) / sigma**2
+        post_mean = (y.sum() / sigma**2) / prec
+        post_sd = 1 / np.sqrt(prec)
+        draws = res.guide.sample_posterior(
+            res.params, jax.random.PRNGKey(1), 8000
+        )["mu"]
+        assert abs(float(jnp.mean(draws)) - post_mean) < 0.05
+        assert abs(float(jnp.std(draws)) - post_sd) < 0.05
+        assert float(res.losses[-1]) < float(res.losses[0])
+        assert res.losses.shape == (2500,)
+
+    def test_advi_fullrank_and_validation(self):
+        import zhusuan_tpu as zs
+
+        @zs.meta_bayesian_net()
+        def model():
+            bn = zs.BayesianNet()
+            bn.normal("z", jnp.zeros(2), std=jnp.asarray(1.0),
+                      group_ndims=1)
+            return bn
+
+        res = zs.variational.advi(
+            model(), {}, jax.random.PRNGKey(0), guide="fullrank",
+            n_iters=1500, n_samples=64,
+        )
+        cov = res.guide.covariance(res.params)
+        np.testing.assert_allclose(np.asarray(cov), np.eye(2), atol=0.2)
+        with pytest.raises(ValueError, match="guide must be"):
+            zs.variational.advi(model(), {}, jax.random.PRNGKey(0),
+                                guide="banana")

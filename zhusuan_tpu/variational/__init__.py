@@ -15,6 +15,7 @@ from zhusuan_tpu.variational.monte_carlo import (
 )
 from zhusuan_tpu.variational.inclusive_kl import InclusiveKLObjective, klpq
 from zhusuan_tpu.variational.autoguide import FullRankGuide, MeanFieldGuide
+from zhusuan_tpu.variational.advi import advi, ADVIResult
 from zhusuan_tpu.variational.svgd import SVGD, SVGDInfo, SVGDState
 from zhusuan_tpu.variational.laplace import (
     LaplaceResult,
@@ -36,5 +37,7 @@ __all__ = [
     "InclusiveKLObjective",
     "klpq",
     "MeanFieldGuide",
+    "advi",
+    "ADVIResult",
     "FullRankGuide",
 ]

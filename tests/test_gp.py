@@ -294,3 +294,18 @@ class TestSVGP:
         assert abs(float(_kl_whitened(m, s))) < 1e-10
         # and positive elsewhere
         assert float(_kl_whitened(m + 0.5, 0.7 * s)) > 0.1
+
+
+@pytest.mark.slow
+class TestDiabetesRealData:
+    def test_all_three_apis_match_on_real_data(self):
+        """Exact / SGPR / SVGP on the sklearn diabetes set: RMSE in the
+        published GP/linear band (54-58 scaled units) and the sparse
+        bounds within noise of the exact GP."""
+        from examples.gaussian_process.gp_regression_diabetes import main
+
+        (r_ex, r_sg, r_sv) = main(n_iters=400, verbose=False)
+        for rmse, nll in (r_ex, r_sg, r_sv):
+            assert 50.0 < rmse < 62.0, (rmse, nll)
+        assert abs(r_sg[0] - r_ex[0]) < 3.0
+        assert abs(r_sv[0] - r_ex[0]) < 3.0

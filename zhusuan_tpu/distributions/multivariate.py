@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from zhusuan_tpu.distributions.base import Distribution
+from zhusuan_tpu.distributions.univariate import _DIRECT_SAMPLE_MAX_N
 from zhusuan_tpu.distributions.utils import (
     assert_same_float_dtype,
     broadcast_shapes,
@@ -147,6 +148,14 @@ class Multinomial(Distribution):
     ``given`` at scoring time (multivariate.py:207-213,327-330).
     ``normalize_logits`` subtracts the logsumexp (multivariate.py:324-326);
     density adds ``log_combination`` (multivariate.py:331-333).
+
+    Beyond reference: ``n_experiments`` may also be a 0-D integer array /
+    traced scalar — both scoring and sampling work (the trial count only
+    affects sample *values*, so shapes stay static). Sampling with a
+    traced or large static ``n`` uses the conditional-binomial
+    decomposition (``jax.random.multinomial``: K sequential binomial
+    splits, each a stateless inversion/BTRS rejection draw) instead of
+    materializing the O(n) per-trial categorical buffer.
     """
 
     def __init__(
@@ -163,13 +172,30 @@ class Multinomial(Distribution):
         if self._logits.ndim < 1:
             raise ValueError("logits must be at least 1-D (..., n_categories).")
         self._n_categories = self._logits.shape[-1]
-        if n_experiments is not None:
-            if not isinstance(n_experiments, (int, np.integer)) or n_experiments < 1:
+        if n_experiments is None:
+            pass
+        elif isinstance(n_experiments, (int, np.integer)) and not isinstance(
+            n_experiments, bool
+        ):
+            if n_experiments < 1:
                 raise ValueError(
                     "n_experiments must be None or a positive int; got "
                     "{!r}.".format(n_experiments)
                 )
             n_experiments = int(n_experiments)
+        elif hasattr(n_experiments, "ndim") and hasattr(n_experiments, "dtype"):
+            if n_experiments.ndim != 0:
+                raise ValueError(
+                    "n_experiments should be a scalar (0-D array)."
+                )
+            if not jnp.issubdtype(n_experiments.dtype, jnp.integer):
+                raise ValueError("n_experiments must be an int scalar.")
+            # Tensor mode: positivity can't be checked at trace time.
+        else:
+            raise ValueError(
+                "n_experiments must be None, a positive int, or a 0-D int "
+                "array; got {!r}.".format(n_experiments)
+            )
         self._n_experiments = n_experiments
         self._normalize_logits = normalize_logits
         super().__init__(
@@ -198,11 +224,27 @@ class Multinomial(Distribution):
                 "reference multivariate.py:327-330)."
             )
         logits = jax.lax.stop_gradient(self._logits)
-        draw_shape = (n_samples, self._n_experiments) + self.batch_shape
-        cats = jax.random.categorical(key, logits, axis=-1, shape=draw_shape)
-        counts = jnp.sum(
-            jax.nn.one_hot(cats, self._n_categories, dtype=self.param_dtype),
-            axis=1,
+        n = self._n_experiments
+        if isinstance(n, int) and n <= _DIRECT_SAMPLE_MAX_N:
+            draw_shape = (n_samples, n) + self.batch_shape
+            cats = jax.random.categorical(
+                key, logits, axis=-1, shape=draw_shape
+            )
+            counts = jnp.sum(
+                jax.nn.one_hot(
+                    cats, self._n_categories, dtype=self.param_dtype
+                ),
+                axis=1,
+            )
+            return counts.astype(self.dtype)
+        # Traced 0-D n, or large static n: conditional-binomial splits —
+        # O(K) memory instead of O(n) (see class docstring).
+        counts = jax.random.multinomial(
+            key,
+            jnp.asarray(n, self.param_dtype),
+            jax.nn.softmax(logits, axis=-1),
+            shape=(n_samples,) + self.batch_shape + (self._n_categories,),
+            dtype=self.param_dtype,
         )
         return counts.astype(self.dtype)
 

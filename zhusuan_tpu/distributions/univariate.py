@@ -591,18 +591,29 @@ class Poisson(Distribution):
         return x * log_rate - rate - lgamma_x_plus_1
 
 
+# Above this trial count the O(n)-memory Bernoulli-sum sampler switches to
+# the O(1)-memory rejection sampler (different PRNG stream, same law).
+_DIRECT_SAMPLE_MAX_N = 64
+
+
 class Binomial(Distribution):
     """Binomial: number of successes in ``n_experiments`` Bernoulli trials.
 
     Parity: reference ``univariate.py:939-1067``. ``n_experiments`` is a
     positive Python int, or — matching the reference's scalar-tensor mode
-    (univariate.py:975-992) — a 0-D integer array / traced scalar, in which
-    case ``log_prob`` works but ``sample`` raises ([TPU] divergence: XLA
-    shapes are static, so the sample count cannot be data-dependent; the
-    reference sampled with a dynamic ``n``). Sampler: sum of
-    ``n_experiments`` vectorized Bernoulli draws (reference used
-    n*n_samples two-class categorical draws, univariate.py:1025-1045 — same
-    distribution, one fused uniform-compare + reduction here). Density:
+    (univariate.py:975-992) — a 0-D integer array / traced scalar. Both
+    modes support ``log_prob`` AND ``sample``: a data-dependent trial
+    count only affects sample *values*, never shapes, so a traced ``n``
+    jits fine through the stateless rejection sampler.
+
+    Samplers: for small static ``n`` (≤ ``_DIRECT_SAMPLE_MAX_N``), the sum
+    of ``n`` vectorized Bernoulli draws (reference used n*n_samples
+    two-class categorical draws, univariate.py:1025-1045 — same
+    distribution, one fused uniform-compare + reduction here). For large
+    or traced ``n``, ``jax.random.binomial`` — CDF inversion for small
+    mean, Hörmann's BTRS transformed rejection otherwise, running under
+    ``lax.while_loop`` with O(1) memory in ``n`` (the Bernoulli-sum buffer
+    is O(n) and would OOM at n ~ 1e5 × many chains). Density:
     ``log C(n, x) + x*logits - n*softplus(logits)`` (univariate.py:1047-1064).
     """
 
@@ -636,13 +647,13 @@ class Binomial(Distribution):
                 )
             if not jnp.issubdtype(n_experiments.dtype, jnp.integer):
                 raise ValueError("n_experiments must be an int scalar.")
-            # Scoring-only tensor mode (positivity can't be checked at
-            # trace time; non-positive n gives NaN log-probs downstream).
+            # Tensor mode (positivity can't be checked at trace time;
+            # non-positive n gives NaN log-probs/samples downstream).
             self._n_experiments = n_experiments
         else:
             raise ValueError(
-                "n_experiments must be a positive int (or a 0-D int array "
-                "for scoring-only mode); got {!r}.".format(n_experiments)
+                "n_experiments must be a positive int or a 0-D int array; "
+                "got {!r}.".format(n_experiments)
             )
         self._check_numerics = check_numerics
         super().__init__(
@@ -664,16 +675,22 @@ class Binomial(Distribution):
         return ()
 
     def _sample(self, key, n_samples):
-        if not isinstance(self._n_experiments, int):
-            raise ValueError(
-                "Cannot sample a Binomial with a tensor n_experiments "
-                "(scoring-only mode; XLA shapes are static). Pass a Python "
-                "int to sample."
-            )
         p = jax.nn.sigmoid(jax.lax.stop_gradient(self._logits))
-        shape = (n_samples, self._n_experiments) + self.batch_shape
-        u = jax.random.uniform(key, shape, dtype=self.param_dtype)
-        return jnp.sum(u < p, axis=1).astype(self.dtype)
+        n = self._n_experiments
+        if isinstance(n, int) and n <= _DIRECT_SAMPLE_MAX_N:
+            shape = (n_samples, n) + self.batch_shape
+            u = jax.random.uniform(key, shape, dtype=self.param_dtype)
+            return jnp.sum(u < p, axis=1).astype(self.dtype)
+        # Traced 0-D n, or large static n: stateless inversion/BTRS
+        # rejection — O(1) memory in n, static shapes (see class docstring).
+        draw = jax.random.binomial(
+            key,
+            jnp.asarray(n, self.param_dtype),
+            p,
+            shape=(n_samples,) + self.batch_shape,
+            dtype=self.param_dtype,
+        )
+        return draw.astype(self.dtype)
 
     def _log_prob(self, given):
         x = jnp.asarray(given, self.param_dtype)

@@ -66,6 +66,7 @@ SLOW_MODULES = {
     "test_ssm",             # PMMH chains + particle-vs-Kalman bounds (89s)
     "test_sbc",             # 256-sim calibration studies
     "test_gp",              # SVGP optimization loops
+    "test_slice",           # slice-sampler moment checks (27s)
 }
 
 

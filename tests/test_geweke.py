@@ -64,6 +64,15 @@ class TestGewekeCorrectKernels:
         )
         assert res.max_abs_z < 5.0, res.z_scores
 
+    def test_slice_passes(self):
+        res = geweke_test(
+            conjugate_model(),
+            zs.SliceSampler(width=2.0),
+            latent=["mu"], data=["y"], key=jax.random.fold_in(KEY, 11),
+            n_iters=2000, n_chains=64, n_mc=100_000,
+        )
+        assert res.max_abs_z < 5.0, res.z_scores
+
     def test_mala_passes(self):
         res = geweke_test(
             conjugate_model(),

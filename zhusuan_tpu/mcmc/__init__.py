@@ -19,6 +19,11 @@ from zhusuan_tpu.mcmc.elliptical import (
 )
 from zhusuan_tpu.mcmc.remc import REMCInfo, REMCState, ReplicaExchangeHMC
 from zhusuan_tpu.mcmc.rwm import MALA, MHInfo, MHState, RandomWalkMetropolis
+from zhusuan_tpu.mcmc.slice_sampler import (
+    SliceInfo,
+    SliceSampler,
+    SliceState,
+)
 from zhusuan_tpu.mcmc.sgmcmc import (
     SGMCMC,
     SGMCMCInfo,
@@ -57,4 +62,7 @@ __all__ = [
     "EllipticalSlice",
     "EllipticalSliceState",
     "EllipticalSliceInfo",
+    "SliceSampler",
+    "SliceState",
+    "SliceInfo",
 ]

@@ -28,6 +28,7 @@ __all__ = [
     "get_acceptance_rate_cached",
     "dual_averaging_update",
     "ewmv_update",
+    "scan_run_driver",
 ]
 
 Latent = Dict[str, jnp.ndarray]
@@ -233,6 +234,72 @@ def get_acceptance_rate_cached(
     return _finish_acceptance(
         old_h, old_log_prob, new_q, new_p, log_posterior, mass, n_chain_dims
     )
+
+
+def scan_run_driver(one, pick, state, key, n_iters, collect, thinning):
+    """Generic on-device run loop shared by the Metropolis-family and
+    slice samplers: a ``lax.scan`` over iterations with optional
+    memory-bounded thinning (inner ``fori_loop``, scanned remainder on
+    the SAME key thread — the ``SGMCMC.run`` recipe, sgmcmc.py:160-180).
+    Key threading is identical whether thinned or not, so the stacked
+    output IS the full trajectory sliced ``thinning-1::thinning``
+    bit-for-bit, and the final state matches the unthinned run for any
+    ``n_iters``.
+
+    :param one: ``(state, key) -> (state, key, info)`` — one transition
+        (the caller bakes adaptation gating into it).
+    :param pick: ``info -> {field: value}`` — which outputs to stack.
+    :param collect: stack per-iteration outputs when True; otherwise only
+        the final state is returned (burn-in at zero memory cost).
+    :param thinning: stack every ``thinning``-th iteration only.
+    :return: ``(final_state, outs_or_None)``.
+    """
+    if int(thinning) < 1:
+        raise ValueError("thinning must be >= 1.")
+    thinning = int(thinning)
+
+    if collect and thinning > 1:
+        n_out = n_iters // thinning
+
+        # fori_loop needs a uniform carry; run the first inner step
+        # outside to seed an info structure.
+        def outer(carry, _):
+            st, k = carry
+            st, k, info = one(st, k)
+
+            def inner(t, c):
+                st, k, _ = c
+                return one(st, k)
+
+            st, k, info = jax.lax.fori_loop(
+                1, thinning, inner, (st, k, info)
+            )
+            return (st, k), pick(info)
+
+        (final_state, key), outs = jax.lax.scan(
+            outer, (state, key), None, length=n_out
+        )
+        rem = n_iters - n_out * thinning
+        if rem:
+            def tail(carry, _):
+                st, k = carry
+                st, k, _ = one(st, k)
+                return (st, k), None
+
+            (final_state, _), _ = jax.lax.scan(
+                tail, (final_state, key), None, length=rem
+            )
+        return final_state, outs
+
+    def body(carry, _):
+        st, k = carry
+        st2, k, info = one(st, k)
+        return (st2, k), (pick(info) if collect else None)
+
+    (final_state, _), outs = jax.lax.scan(
+        body, (state, key), None, length=n_iters
+    )
+    return final_state, outs
 
 
 def _finish_acceptance(

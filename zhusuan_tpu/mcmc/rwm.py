@@ -28,6 +28,7 @@ import numpy as np
 from zhusuan_tpu.mcmc.base import (
     dual_averaging_update,
     make_log_joint_fn,
+    scan_run_driver,
     tree_normal_like,
 )
 
@@ -286,9 +287,6 @@ class _MetropolisBase:
                     "Unknown collect field {!r}; valid: {}.".format(
                         f, self._VALID_FIELDS)
                 )
-        if int(thinning) < 1:
-            raise ValueError("thinning must be >= 1.")
-        thinning = int(thinning)
         # Keep the scan carry type-stable for mixed-dtype models: the
         # cache dtype follows the density, not the first latent leaf
         # (see the matching cast in sample()).
@@ -319,51 +317,9 @@ class _MetropolisBase:
             st2, info = self.sample(meta_bn, observed, st, sub, adapt=gate)
             return st2, k, info
 
-        if collect and thinning > 1:
-            n_out = n_iters // thinning
-
-            # fori_loop needs a uniform carry; run the first inner step
-            # outside to seed an info structure.
-            def outer(carry, _):
-                st, k = carry
-                st, k, info = one(st, k)
-
-                def inner(t, c):
-                    st, k, _ = c
-                    return one(st, k)
-
-                st, k, info = jax.lax.fori_loop(
-                    1, thinning, inner, (st, k, info)
-                )
-                return (st, k), pick(info)
-
-            (final_state, key), outs = jax.lax.scan(
-                outer, (state, key), None, length=n_out
-            )
-            rem = n_iters - n_out * thinning
-            if rem:
-                # Scanned remainder continuing the SAME key thread (the
-                # sgmcmc.py recipe) — no eager per-op dispatch, and the
-                # final state matches the unthinned run bit-for-bit.
-                def tail(carry, _):
-                    st, k = carry
-                    st, k, _ = one(st, k)
-                    return (st, k), None
-
-                (final_state, _), _ = jax.lax.scan(
-                    tail, (final_state, key), None, length=rem
-                )
-            return final_state, outs
-
-        def body(carry, _):
-            st, k = carry
-            st2, k, info = one(st, k)
-            return (st2, k), (pick(info) if collect else None)
-
-        (final_state, _), outs = jax.lax.scan(
-            body, (state, key), None, length=n_iters
+        return scan_run_driver(
+            one, pick, state, key, n_iters, collect, thinning
         )
-        return final_state, outs
 
 
 class RandomWalkMetropolis(_MetropolisBase):

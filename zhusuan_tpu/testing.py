@@ -49,6 +49,7 @@ from zhusuan_tpu.framework.bn import StochasticTensor
 from zhusuan_tpu.mcmc.hmc import HMC
 from zhusuan_tpu.mcmc.nuts import NUTS
 from zhusuan_tpu.mcmc.rwm import _MetropolisBase
+from zhusuan_tpu.mcmc.slice_sampler import SliceSampler
 
 __all__ = ["geweke_test", "GewekeResult", "sbc_test", "SBCResult"]
 
@@ -146,6 +147,20 @@ def _make_transition(kernel):
             return carry.q, carry
 
         return init, step
+    if isinstance(kernel, SliceSampler):
+        def init(latent):
+            return kernel.init(latent, n_chain_dims=1)
+
+        def step(meta_bn, observed, latent, carry, key):
+            # Same staleness rule as the Metropolis family: the cached
+            # density was computed under the previous data draw.
+            carry = carry._replace(q=latent).invalidate_cache()
+            carry, _ = kernel.sample(
+                meta_bn, observed, carry, key, adapt=False
+            )
+            return carry.q, carry
+
+        return init, step
     if callable(kernel):
         # Raw transition: latent' = kernel(meta_bn, observed, latent, key)
         # (stateless — how the sensitivity test injects a broken kernel).
@@ -158,7 +173,8 @@ def _make_transition(kernel):
         return init, step
     raise TypeError(
         "kernel must be an HMC instance, a Metropolis-family sampler "
-        "(RandomWalkMetropolis/MALA), or a callable transition "
+        "(RandomWalkMetropolis/MALA), a SliceSampler, or a callable "
+        "transition "
         "``(meta_bn, observed, latent_dict, key) -> latent_dict``; got "
         "{!r}.".format(type(kernel))
     )

@@ -67,6 +67,7 @@ SLOW_MODULES = {
     "test_sbc",             # 256-sim calibration studies
     "test_gp",              # SVGP optimization loops
     "test_slice",           # slice-sampler moment checks (27s)
+    "test_gibbs",           # compound-kernel moment + Geweke checks (35s)
 }
 
 

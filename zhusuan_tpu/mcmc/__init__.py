@@ -18,6 +18,7 @@ from zhusuan_tpu.mcmc.elliptical import (
     EllipticalSliceState,
 )
 from zhusuan_tpu.mcmc.remc import REMCInfo, REMCState, ReplicaExchangeHMC
+from zhusuan_tpu.mcmc.gibbs import Gibbs, GibbsInfo, GibbsState
 from zhusuan_tpu.mcmc.rwm import MALA, MHInfo, MHState, RandomWalkMetropolis
 from zhusuan_tpu.mcmc.slice_sampler import (
     SliceInfo,
@@ -65,4 +66,7 @@ __all__ = [
     "SliceSampler",
     "SliceState",
     "SliceInfo",
+    "Gibbs",
+    "GibbsState",
+    "GibbsInfo",
 ]

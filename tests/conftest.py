@@ -68,6 +68,7 @@ SLOW_MODULES = {
     "test_gp",              # SVGP optimization loops
     "test_slice",           # slice-sampler moment checks (27s)
     "test_gibbs",           # compound-kernel moment + Geweke checks (35s)
+    "test_pathfinder",      # L-BFGS path VI moment recovery (40s)
 }
 
 

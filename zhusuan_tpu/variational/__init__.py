@@ -21,6 +21,12 @@ from zhusuan_tpu.variational.laplace import (
     LaplaceResult,
     laplace_approximation,
 )
+from zhusuan_tpu.variational.pathfinder import (
+    MultiPathfinderResult,
+    PathfinderResult,
+    multipath_pathfinder,
+    pathfinder,
+)
 
 __all__ = [
     "SVGD",
@@ -40,4 +46,8 @@ __all__ = [
     "advi",
     "ADVIResult",
     "FullRankGuide",
+    "pathfinder",
+    "PathfinderResult",
+    "multipath_pathfinder",
+    "MultiPathfinderResult",
 ]

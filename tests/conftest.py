@@ -69,6 +69,7 @@ SLOW_MODULES = {
     "test_slice",           # slice-sampler moment checks (27s)
     "test_gibbs",           # compound-kernel moment + Geweke checks (35s)
     "test_pathfinder",      # L-BFGS path VI moment recovery (40s)
+    "test_discrete_gibbs",  # exact-enumeration GMM + Geweke (18s)
 }
 
 

@@ -18,6 +18,11 @@ from zhusuan_tpu.mcmc.elliptical import (
     EllipticalSliceState,
 )
 from zhusuan_tpu.mcmc.remc import REMCInfo, REMCState, ReplicaExchangeHMC
+from zhusuan_tpu.mcmc.discrete import (
+    DiscreteGibbs,
+    DiscreteGibbsInfo,
+    DiscreteGibbsState,
+)
 from zhusuan_tpu.mcmc.gibbs import Gibbs, GibbsInfo, GibbsState
 from zhusuan_tpu.mcmc.rwm import MALA, MHInfo, MHState, RandomWalkMetropolis
 from zhusuan_tpu.mcmc.slice_sampler import (
@@ -69,4 +74,7 @@ __all__ = [
     "Gibbs",
     "GibbsState",
     "GibbsInfo",
+    "DiscreteGibbs",
+    "DiscreteGibbsState",
+    "DiscreteGibbsInfo",
 ]

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from zhusuan_tpu.mcmc.base import make_log_joint_fn, scan_run_driver
+from zhusuan_tpu.mcmc.discrete import DiscreteGibbs
 from zhusuan_tpu.mcmc.hmc import HMC
 from zhusuan_tpu.mcmc.nuts import NUTS
 from zhusuan_tpu.mcmc.rwm import _MetropolisBase
@@ -80,21 +81,23 @@ def _component_step(kernel):
             return kernel.sample(meta_bn, observed, sub, key, **kw)
 
         return step
-    if isinstance(kernel, (_MetropolisBase, SliceSampler)):
+    if isinstance(kernel, (_MetropolisBase, SliceSampler, DiscreteGibbs)):
         def step(meta_bn, observed, sub, key, gate):
             # The cached density was computed under the PREVIOUS values
             # of the other blocks — stale; the NaN sentinel forces a
-            # re-evaluation against the fresh conditional.
+            # re-evaluation against the fresh conditional (a no-op for
+            # DiscreteGibbs, which carries no cache).
             sub = sub.invalidate_cache()
             return kernel.sample(meta_bn, observed, sub, key, adapt=gate)
 
         return step
     raise TypeError(
         "Unsupported Gibbs component kernel {!r}. Supported: HMC, NUTS, "
-        "RandomWalkMetropolis, MALA, SliceSampler. (EllipticalSlice is "
-        "excluded on purpose: it consumes the LIKELIHOOD factor only, "
-        "not the model's full log-joint, so composing it requires the "
-        "prior-free conditional — run it standalone.)".format(type(kernel))
+        "RandomWalkMetropolis, MALA, SliceSampler, DiscreteGibbs. "
+        "(EllipticalSlice is excluded on purpose: it consumes the "
+        "LIKELIHOOD factor only, not the model's full log-joint, so "
+        "composing it requires the prior-free conditional — run it "
+        "standalone.)".format(type(kernel))
     )
 
 

@@ -48,6 +48,7 @@ import numpy as np
 from zhusuan_tpu.framework.bn import StochasticTensor
 from zhusuan_tpu.mcmc.hmc import HMC
 from zhusuan_tpu.mcmc.nuts import NUTS
+from zhusuan_tpu.mcmc.discrete import DiscreteGibbs
 from zhusuan_tpu.mcmc.rwm import _MetropolisBase
 from zhusuan_tpu.mcmc.slice_sampler import SliceSampler
 
@@ -147,7 +148,7 @@ def _make_transition(kernel):
             return carry.q, carry
 
         return init, step
-    if isinstance(kernel, SliceSampler):
+    if isinstance(kernel, (SliceSampler, DiscreteGibbs)):
         def init(latent):
             return kernel.init(latent, n_chain_dims=1)
 

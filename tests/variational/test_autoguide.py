@@ -137,7 +137,9 @@ class TestValidation:
         with pytest.raises(ValueError, match="discrete"):
             MeanFieldGuide(m(), observed={"x": 0.0})
 
-    def test_structured_support_raises(self):
+    def test_simplex_support_uses_stick_breaking(self):
+        # Dirichlet latents are auto-mapped to K-1 stick-breaking
+        # coordinates (round-3 upgrade; previously raised).
         @zs.meta_bayesian_net()
         def m():
             bn = zs.BayesianNet()
@@ -145,7 +147,23 @@ class TestValidation:
             bn.categorical("c", jnp.log(w.tensor), observed=1)
             return bn
 
-        with pytest.raises(ValueError, match="structured support"):
+        g = MeanFieldGuide(m(), observed={"c": jnp.asarray(1)})
+        assert g.init_params()["loc"]["w"].shape == (2,)
+        draws, _ = g.sample(g.init_params(), jax.random.PRNGKey(0), 16)
+        w = np.asarray(draws["w"])
+        assert w.shape == (16, 3)
+        np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-10)
+        assert (w > 0).all()
+
+    def test_pd_matrix_support_raises(self):
+        @zs.meta_bayesian_net()
+        def m():
+            bn = zs.BayesianNet()
+            from zhusuan_tpu.distributions import Wishart
+            bn.stochastic("S", Wishart(5.0, jnp.eye(2)))
+            return bn
+
+        with pytest.raises(ValueError, match="PD-matrix"):
             MeanFieldGuide(m())
 
     def test_no_free_latents_raises(self):

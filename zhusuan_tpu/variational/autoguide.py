@@ -5,10 +5,13 @@ a variational :class:`BayesianNet` per model (every VAE/BNN example
 builds its own q net). Automatic differentiation variational inference
 (Kucukelbir et al. 2017) instead DERIVES the family from the model: each
 free latent is mapped to an unconstrained space by a support-matching
-bijector (positive -> softplus, interval -> sigmoid; the
-:mod:`zhusuan_tpu.bijectors` used for MCMC reuse), a Gaussian is fit
+bijector (positive -> softplus, interval -> sigmoid, simplex ->
+stick-breaking, correlation Cholesky -> canonical partial correlations;
+the :mod:`zhusuan_tpu.bijectors` used for MCMC reuse), a Gaussian is fit
 there, and samples are pushed back through the bijector with the
-log-det correction.
+log-det correction. Vector bijectors change the trailing shape, so the
+guide's parameter shapes come from ``bijector.unconstrained_shape``
+(e.g. a K-simplex latent gets K-1 free coordinates).
 
 TPU-native design: a guide is a pure function of an explicit parameter
 pytree — ``guide.sample(params, key, n_samples)`` traces to one fused
@@ -90,17 +93,19 @@ def _default_bijector(d):
             "Uniform latent with non-scalar bounds needs an explicit "
             "bijector (pass bijectors={name: ...})."
         )
-    simplex_like = tuple(
-        getattr(dist_mod, n)
-        for n in ("Dirichlet", "LKJCholesky", "Wishart")
-        if getattr(dist_mod, n, None) is not None
-    )
-    if isinstance(d, simplex_like):
+    if isinstance(d, dist_mod.Dirichlet):
+        return bij.StickBreaking()
+    if getattr(dist_mod, "LKJCholesky", None) is not None and isinstance(
+        d, dist_mod.LKJCholesky
+    ):
+        return bij.CorrelationCholesky()
+    if getattr(dist_mod, "Wishart", None) is not None and isinstance(
+        d, dist_mod.Wishart
+    ):
         raise ValueError(
-            "Latent '{}' has a structured support (simplex / Cholesky / "
-            "PD matrix) with no generic ADVI bijector; pass an explicit "
-            "bijector for it, fix it via `observed`, or marginalize "
-            "it.".format(type(d).__name__)
+            "Latent '{}' is a PD-matrix support with no generic ADVI "
+            "bijector; pass an explicit bijector for it, fix it via "
+            "`observed`, or marginalize it.".format(type(d).__name__)
         )
     return _Identity()
 
@@ -137,12 +142,16 @@ class _AutoGuideBase:
                     "hand-written variational net.".format(name, d.dtype)
                 )
             self._names.append(name)
-            self._shapes[name] = tuple(jnp.shape(node.tensor))
-            self._dtypes[name] = node.tensor.dtype
-            self._bijectors[name] = (
-                overrides[name] if name in overrides
-                else _default_bijector(d)
+            b = (overrides[name] if name in overrides
+                 else _default_bijector(d))
+            self._bijectors[name] = b
+            # The guide lives in the UNCONSTRAINED space; vector
+            # bijectors (StickBreaking, CorrelationCholesky) change the
+            # trailing shape, so parameter shapes come from the bijector.
+            self._shapes[name] = tuple(
+                b.unconstrained_shape(tuple(jnp.shape(node.tensor)))
             )
+            self._dtypes[name] = node.tensor.dtype
         if not self._names:
             raise ValueError(
                 "The model has no free latents under the given "

@@ -828,3 +828,23 @@ class TestMixtureModels:
         np.testing.assert_allclose(w, gmm.TRUE_W, atol=0.07)
         np.testing.assert_allclose(sd, gmm.TRUE_SD, atol=0.25)
         assert acc > 0.95
+
+
+class TestChangepoint:
+    def test_gibbs_recovers_changepoint(self):
+        """Poisson change-point by Gibbs (DiscreteGibbs tau + HMC rates):
+        the posterior mode of tau must hit the true change point and the
+        rate ordering must be recovered (CPU scale: T=60, 64 chains x
+        1200 sweeps)."""
+        from examples.state_space import changepoint as cp
+
+        res = cp.run(t=60, n_chains=64, n_iters=1200, burnin=400, seed=0)
+        assert res["synthetic"]
+        assert res["tau_mode"] == cp.TRUE["tau"]
+        assert abs(res["tau_mean"] - cp.TRUE["tau"]) < 3.0
+        lam = res["lam_mean"]
+        assert lam[0] > 2.0 * lam[1]  # the drop is detected
+        # Posterior mass concentrates: >60% of draws within +-2 of truth.
+        tau = res["tau_draws"]
+        frac = float(np.mean(np.abs(tau - cp.TRUE["tau"]) <= 2))
+        assert frac > 0.6, frac

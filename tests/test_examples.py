@@ -848,3 +848,22 @@ class TestChangepoint:
         tau = res["tau_draws"]
         frac = float(np.mean(np.abs(tau - cp.TRUE["tau"]) <= 2))
         assert frac > 0.6, frac
+
+
+class TestOrdinalRegression:
+    def test_nuts_recovers_cutpoints_and_weights(self):
+        """Cumulative-logit ordinal regression: NUTS over Ordered
+        cutpoints + weights recovers the generating parameters within
+        posterior uncertainty (CPU scale: n=400, 32 chains x 1200)."""
+        from examples.robust_models import ordinal_regression as orx
+
+        res = orx.run(n=400, n_chains=16, n_iters=900, burnin=300, seed=1)
+        assert res["synthetic"]
+        # Every draw respects the ordering constraint.
+        assert (np.diff(res["cuts_draws"], axis=-1) > 0).all()
+        np.testing.assert_allclose(
+            res["beta_mean"], orx.TRUE_BETA, atol=4 * res["beta_sd"].max()
+        )
+        np.testing.assert_allclose(
+            res["cuts_mean"], orx.TRUE_CUTS, atol=4 * res["cuts_sd"].max()
+        )

@@ -197,6 +197,23 @@ class TestGibbsContract:
             rtol=1e-6,
         )
 
+    def test_adapt_gate_respects_component_switch(self):
+        # A component constructed WITHOUT adaptation must keep its fixed
+        # tuning under run(n_adapt>0); one constructed WITH it adapts.
+        fixed = SliceSampler(width=7.0)
+        tuned = RandomWalkMetropolis(step_size=0.5, adapt_step_size=True)
+        sampler = Gibbs([(fixed, ["a"]), (tuned, ["b"])])
+        s0 = sampler.init(
+            {"a": jnp.zeros(32), "b": jnp.zeros(32)}, n_chain_dims=1
+        )
+        s1, _ = sampler.run(
+            _corr_gauss, {}, s0, jax.random.PRNGKey(0), n_iters=60,
+            n_adapt=60, collect=False,
+        )
+        slice_state, rwm_state = s1.sub_states
+        np.testing.assert_array_equal(np.asarray(slice_state.width), 7.0)
+        assert float(rwm_state.step_size) != 0.5  # dual averaging ran
+
     def test_validation_errors(self):
         slc = SliceSampler()
         with pytest.raises(ValueError, match="at least one"):

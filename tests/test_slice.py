@@ -192,6 +192,8 @@ class TestSliceContract:
     def test_validation_errors(self):
         with pytest.raises(ValueError, match="width"):
             SliceSampler(width=0.0)
+        with pytest.raises(ValueError, match="positive everywhere"):
+            SliceSampler(width={"a": 1.0, "b": 0.0})
         with pytest.raises(ValueError, match="max_stepouts"):
             SliceSampler(max_stepouts=0)
         sampler = SliceSampler()

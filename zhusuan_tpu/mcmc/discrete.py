@@ -92,7 +92,6 @@ class DiscreteGibbs:
                 "support for {}, unused support {}.".format(
                     sorted(missing), sorted(extra))
             )
-        self._n_chain_dims = int(n_chain_dims)  # layout hint only
         return DiscreteGibbsState(q=q, t=jnp.zeros((), jnp.int32))
 
     # ------------------------------------------------------------------ #

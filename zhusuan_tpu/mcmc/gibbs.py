@@ -82,13 +82,21 @@ def _component_step(kernel):
 
         return step
     if isinstance(kernel, (_MetropolisBase, SliceSampler, DiscreteGibbs)):
+        # Honor the sub-kernel's own adaptation switch: a component
+        # constructed with adaptation off must NOT be force-adapted by
+        # the sweep gate (mirrors the HMC/NUTS `is not None` guards).
+        adapts = bool(getattr(kernel, "_adapt", False))
+
         def step(meta_bn, observed, sub, key, gate):
             # The cached density was computed under the PREVIOUS values
             # of the other blocks — stale; the NaN sentinel forces a
             # re-evaluation against the fresh conditional (a no-op for
             # DiscreteGibbs, which carries no cache).
             sub = sub.invalidate_cache()
-            return kernel.sample(meta_bn, observed, sub, key, adapt=gate)
+            return kernel.sample(
+                meta_bn, observed, sub, key,
+                adapt=gate if adapts else jnp.asarray(False),
+            )
 
         return step
     raise TypeError(

@@ -122,7 +122,15 @@ class SliceSampler:
         width_decay: float = 0.99,
         width_mult: float = 2.0,
     ):
-        if not isinstance(width, dict) and not float(width) > 0.0:
+        if isinstance(width, dict):
+            for name, v in width.items():
+                if not np.all(np.asarray(v) > 0.0):
+                    raise ValueError(
+                        "width[{!r}] must be positive everywhere (a zero "
+                        "width silently freezes that coordinate)."
+                        .format(name)
+                    )
+        elif not float(width) > 0.0:
             raise ValueError("width must be positive.")
         self._width = width
         self._max_stepouts = int(max_stepouts)
@@ -256,26 +264,28 @@ class SliceSampler:
                 return jnp.logical_and(lp_at(
                     flat.at[..., j].set(bound)) > y, budget_left > 0)
 
+            # Carried active flags: the cond tests flags computed in the
+            # body (2 density evals/iteration, not 4 — lp_at dominates).
+            # Once a chain stops expanding an end it never resumes, so
+            # AND-ing with the previous flag preserves the semantics.
             def stepout(val):
-                left, right, jb, kb = val
-                go_l = still_out(left, jb)
-                go_r = still_out(right, kb)
+                left, right, jb, kb, go_l, go_r = val
                 left = jnp.where(go_l, left - w, left)
                 right = jnp.where(go_r, right + w, right)
-                return (
-                    left, right,
-                    jb - go_l.astype(jb.dtype),
-                    kb - go_r.astype(kb.dtype),
-                )
+                jb = jb - go_l.astype(jb.dtype)
+                kb = kb - go_r.astype(kb.dtype)
+                go_l = jnp.logical_and(go_l, still_out(left, jb))
+                go_r = jnp.logical_and(go_r, still_out(right, kb))
+                return left, right, jb, kb, go_l, go_r
 
             def stepout_cond(val):
-                left, right, jb, kb = val
-                return jnp.any(
-                    jnp.logical_or(still_out(left, jb), still_out(right, kb))
-                )
+                go_l, go_r = val[4], val[5]
+                return jnp.any(jnp.logical_or(go_l, go_r))
 
-            left, right, _, _ = jax.lax.while_loop(
-                stepout_cond, stepout, (left, right, j_budget, k_budget)
+            left, right, _, _, _, _ = jax.lax.while_loop(
+                stepout_cond, stepout,
+                (left, right, j_budget, k_budget,
+                 still_out(left, j_budget), still_out(right, k_budget)),
             )
 
             # Shrinkage: draw uniformly on (L, R); accept above the slice,

@@ -1,0 +1,138 @@
+"""Full-covariance estimation: LKJ correlation prior + scale decomposition.
+
+Beyond the reference: the standard modern covariance parameterization
+``Sigma = diag(s) L L^T diag(s)`` (scales times an LKJ-distributed
+correlation Cholesky factor) is not expressible in upstream ZhuSuan —
+it needs an ordered/structured support transform its HMC lacks. Here the
+scales ride :class:`zs.bijectors.Softplus`, the correlation factor
+:class:`zs.bijectors.CorrelationCholesky`, and NUTS samples both jointly
+in the unconstrained space:
+
+.. math::
+    s_j \\sim \\mathrm{HalfNormal}(1),\\quad
+    L \\sim \\mathrm{LKJCholesky}(K, \\eta=2),\\quad
+    x_i \\sim N(0, \\mathrm{diag}(s)\\, L L^T \\mathrm{diag}(s)).
+
+Zero-egress: synthetic draws from a known covariance (flagged
+``synthetic``) so posterior recovery is checkable against the truth and
+against the analytic large-n limit (the sample covariance).
+Run: ``python -m examples.hierarchical.covariance_estimation``.
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import zhusuan_tpu as zs
+from zhusuan_tpu.bijectors import (
+    CorrelationCholesky,
+    Softplus,
+    transform_log_joint,
+)
+from zhusuan_tpu.distributions import LKJCholesky
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--n", type=int, default=300)
+parser.add_argument("--k", type=int, default=3)
+parser.add_argument("--n-chains", type=int, default=16)
+parser.add_argument("--n-iters", type=int, default=1200)
+parser.add_argument("--burnin", type=int, default=400)
+
+TRUE_SCALES = np.asarray([1.0, 2.0, 0.5])
+TRUE_CORR = np.asarray([
+    [1.0, 0.6, -0.3],
+    [0.6, 1.0, 0.2],
+    [-0.3, 0.2, 1.0],
+])
+
+
+def make_data(n, key):
+    cov = np.diag(TRUE_SCALES) @ TRUE_CORR @ np.diag(TRUE_SCALES)
+    chol = np.linalg.cholesky(cov)
+    x = jax.random.normal(key, (n, 3)) @ jnp.asarray(chol).T
+    return np.asarray(x), True  # synthetic
+
+
+def build_log_joint(x):
+    xj = jnp.asarray(x)
+    n, k = xj.shape
+    lkj = LKJCholesky(k, 2.0)
+
+    def log_joint(obs):
+        s, L = obs["s"], obs["L"]  # [..., K], [..., K, K]
+        prior_s = jnp.sum(-0.5 * s**2, axis=-1)  # HalfNormal(1) kernel
+        prior_l = lkj.log_prob(L)
+        # N(0, diag(s) L L' diag(s)): solve the triangular system once.
+        # y_i = L^{-1} (x_i / s); log|Sigma|^{1/2} = sum log s + sum log
+        # diag L.
+        z = xj / s[..., None, :]  # [..., n, K]
+        y = _solve_batch(L, z)
+        half_logdet = (
+            jnp.sum(jnp.log(s), axis=-1)
+            + jnp.sum(
+                jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+            )
+        )
+        lik = -0.5 * jnp.sum(y * y, axis=(-1, -2)) - n * half_logdet
+        return prior_s + prior_l + lik
+
+    return log_joint
+
+
+def _solve_batch(L, z):
+    """solve L y = z for each row of z, broadcasting over chain axes:
+    L [..., K, K], z [..., n, K] -> y [..., n, K]."""
+    return jax.scipy.linalg.solve_triangular(
+        L, jnp.swapaxes(z, -1, -2), lower=True
+    ).swapaxes(-1, -2)
+
+
+def run(n=300, n_chains=16, n_iters=1200, burnin=400, seed=2):
+    key = jax.random.PRNGKey(seed)
+    x, synthetic = make_data(n, key)
+    k = x.shape[1]
+    log_joint = build_log_joint(x)
+    ulj, to_u, to_c = transform_log_joint(
+        log_joint, {"s": Softplus(), "L": CorrelationCholesky()}
+    )
+    nuts = zs.NUTS(step_size=0.1, max_tree_depth=6, adapt_step_size=True)
+    init = {
+        "s": jnp.ones((n_chains, k)),
+        "L": jnp.tile(jnp.eye(k), (n_chains, 1, 1)),
+    }
+    state = nuts.init(to_u(init), n_chain_dims=1)
+    state, out = jax.jit(
+        lambda s, kk: nuts.run(ulj, {}, s, kk, n_iters=n_iters,
+                               n_adapt=burnin)
+    )(state, jax.random.fold_in(key, 1))
+    draws = to_c({kk: v[burnin:] for kk, v in out["samples"].items()})
+    s = np.asarray(draws["s"]).reshape(-1, k)
+    L = np.asarray(draws["L"]).reshape(-1, k, k)
+    corr = L @ np.swapaxes(L, -1, -2)
+    cov = s[:, :, None] * corr * s[:, None, :]
+    # Large-n reference: the sample covariance (the posterior
+    # concentrates there).
+    sample_cov = np.cov(np.asarray(x).T, bias=True)
+    return {
+        "synthetic": synthetic,
+        "scale_mean": s.mean(0),
+        "corr_mean": corr.mean(0),
+        "cov_mean": cov.mean(0),
+        "cov_sd": cov.std(0),
+        "sample_cov": sample_cov,
+    }
+
+
+def main():
+    args = parser.parse_args()
+    res = run(args.n, args.n_chains, args.n_iters, args.burnin)
+    print("posterior mean correlation:\n", np.round(res["corr_mean"], 2))
+    print("true correlation:\n", TRUE_CORR)
+    print("posterior mean scales:", np.round(res["scale_mean"], 2),
+          "true:", TRUE_SCALES)
+
+
+if __name__ == "__main__":
+    main()

@@ -867,3 +867,23 @@ class TestOrdinalRegression:
         np.testing.assert_allclose(
             res["cuts_mean"], orx.TRUE_CUTS, atol=4 * res["cuts_sd"].max()
         )
+
+
+class TestCovarianceEstimation:
+    def test_nuts_recovers_covariance(self):
+        """Sigma = diag(s) L L' diag(s) with an LKJ prior: the posterior
+        mean covariance must track the sample covariance (the large-n
+        concentration point) entrywise within posterior sd."""
+        from examples.hierarchical import covariance_estimation as ce
+
+        res = ce.run(n=300, n_chains=8, n_iters=900, burnin=300, seed=2)
+        assert res["synthetic"]
+        err = np.abs(res["cov_mean"] - res["sample_cov"])
+        assert (err < 4.0 * res["cov_sd"] + 0.05).all(), err
+        # And the truth is recovered to sampling accuracy of n=300.
+        np.testing.assert_allclose(
+            res["scale_mean"], ce.TRUE_SCALES, rtol=0.15
+        )
+        np.testing.assert_allclose(
+            res["corr_mean"], ce.TRUE_CORR, atol=0.15
+        )

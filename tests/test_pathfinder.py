@@ -166,3 +166,54 @@ class TestMultiPath:
                 log_joint, {}, inits, jax.random.PRNGKey(0),
                 n_draws=1000, n_draws_per_path=100, max_iters=10,
             )
+
+
+class TestMCMCWarmStart:
+    def test_init_and_mass_feed_hmc(self):
+        """pathfinder_mcmc_init: draws become chain starts, inverse
+        variances the diagonal mass; a short no-adapt HMC run from them
+        is immediately in the typical set of an anisotropic target."""
+        from zhusuan_tpu.variational import pathfinder_mcmc_init
+
+        stds = np.array([0.3, 3.0])
+
+        def log_joint(obs):
+            return jnp.sum(
+                -0.5 * ((obs["z"] - 1.0) / jnp.asarray(stds)) ** 2, -1
+            )
+
+        res = pathfinder(
+            log_joint, {}, {"z": jnp.zeros(2)}, jax.random.PRNGKey(0),
+            n_draws=512, max_iters=50,
+        )
+        init, mass = pathfinder_mcmc_init(res, n_chains=256)
+        assert init["z"].shape == (256, 2)
+        assert mass["z"].shape == (1, 2)
+        # Mass approximates the posterior precision 1/std^2.
+        np.testing.assert_allclose(
+            np.asarray(mass["z"][0]), 1.0 / stds**2, rtol=0.3
+        )
+        hmc = zs.HMC(step_size=0.5, n_leapfrogs=5)
+        state = hmc.init(init, n_chain_dims=1)._replace(mass=mass)
+        state, out = jax.jit(
+            lambda s, k: hmc.run(log_joint, {}, s, k, n_iters=300)
+        )(state, jax.random.PRNGKey(1))
+        s = np.asarray(out["samples"]["z"]).reshape(-1, 2)
+        # NO burn-in discarded: the warm start must already be correct.
+        np.testing.assert_allclose(s.mean(0), [1.0, 1.0], atol=0.05)
+        np.testing.assert_allclose(s.std(0), stds, rtol=0.1)
+        acc = float(np.asarray(out["acceptance_rate"]).mean())
+        assert acc > 0.5, acc
+
+    def test_too_few_draws_raises(self):
+        from zhusuan_tpu.variational import pathfinder_mcmc_init
+
+        def log_joint(obs):
+            return -0.5 * jnp.sum(obs["z"] ** 2, -1)
+
+        res = pathfinder(
+            log_joint, {}, {"z": jnp.zeros(2)}, jax.random.PRNGKey(0),
+            n_draws=8, max_iters=10,
+        )
+        with pytest.raises(ValueError, match="exceeds"):
+            pathfinder_mcmc_init(res, n_chains=64)

@@ -26,6 +26,7 @@ from zhusuan_tpu.variational.pathfinder import (
     PathfinderResult,
     multipath_pathfinder,
     pathfinder,
+    pathfinder_mcmc_init,
 )
 
 __all__ = [
@@ -50,4 +51,5 @@ __all__ = [
     "PathfinderResult",
     "multipath_pathfinder",
     "MultiPathfinderResult",
+    "pathfinder_mcmc_init",
 ]

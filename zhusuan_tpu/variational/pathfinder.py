@@ -59,6 +59,7 @@ __all__ = [
     "MultiPathfinderResult",
     "pathfinder",
     "multipath_pathfinder",
+    "pathfinder_mcmc_init",
 ]
 
 
@@ -343,6 +344,45 @@ def pathfinder(
         best_iter=best_it,
         mode=unflatten(theta),
     )
+
+
+def pathfinder_mcmc_init(result, n_chains: int):
+    """Package a Pathfinder result as an HMC/NUTS warm start: the first
+    ``n_chains`` draws become chain initial positions, and the draws'
+    per-coordinate inverse variance the diagonal mass (momenta
+    ``p ~ N(0, M)`` mix best when ``M`` is the posterior precision).
+
+    Usage::
+
+        res = multipath_pathfinder(model, obs, inits, key)
+        init, mass = pathfinder_mcmc_init(res, n_chains=256)
+        state = hmc.init(init, n_chain_dims=1)._replace(mass=mass)
+
+    :param result: a :class:`PathfinderResult` or
+        :class:`MultiPathfinderResult`.
+    :param n_chains: chains to initialize (requires ``n_draws >=
+        n_chains``; draws are already shuffled/resampled, so a prefix is
+        an unbiased subset).
+    :return: ``(init_latent_dict, mass_dict)`` — positions shaped
+        ``[n_chains, ...]``, masses shaped ``[1, ...]`` (broadcast over
+        the chain axis, the ``HMCState.mass`` layout).
+    """
+    draws = result.draws
+    first = next(iter(draws.values()))
+    if int(n_chains) > first.shape[0]:
+        raise ValueError(
+            "n_chains ({}) exceeds the available draws ({}); rerun "
+            "Pathfinder with more n_draws.".format(
+                n_chains, first.shape[0])
+        )
+    init = {k: v[: int(n_chains)] for k, v in draws.items()}
+    mass = {
+        k: 1.0 / jnp.maximum(
+            jnp.var(v, axis=0, keepdims=True), 1e-12
+        )
+        for k, v in draws.items()
+    }
+    return init, mass
 
 
 def multipath_pathfinder(

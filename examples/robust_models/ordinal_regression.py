@@ -56,31 +56,12 @@ def build_log_joint(x, y, n_cats):
             + jnp.sum(-0.5 * (cuts / 2.0) ** 2, axis=-1)
         )
         eta = beta @ xj.T  # [..., n]
-        # log P(y = k) = log[ sigmoid(c_k - eta) - sigmoid(c_{k-1} - eta) ]
-        # with c_0 = -inf, c_K = +inf. Compute the two adjacent CDFs per
-        # observation by gathering the bracketing cutpoints.
-        big = jnp.asarray(1e30, cuts.dtype)
-        padded = jnp.concatenate(
-            [-big * jnp.ones_like(cuts[..., :1]), cuts,
-             big * jnp.ones_like(cuts[..., :1])], axis=-1,
-        )  # [..., K+1]
-        hi = jnp.take_along_axis(
-            padded, jnp.broadcast_to(yj + 1, eta.shape).astype(jnp.int32),
-            axis=-1,
-        )
-        lo = jnp.take_along_axis(
-            padded, jnp.broadcast_to(yj, eta.shape).astype(jnp.int32),
-            axis=-1,
-        )
-        # P = sigmoid(hi - eta) - sigmoid(lo - eta), computed stably:
-        # sigmoid(a) - sigmoid(b) = sigmoid(a) sigmoid(-b) (1 - e^{b-a}).
-        a, b = hi - eta, lo - eta
-        log_p = (
-            jax.nn.log_sigmoid(a)
-            + jax.nn.log_sigmoid(-b)
-            + jnp.log(-jnp.expm1(jnp.minimum(b - a, -1e-12)))
-        )
-        return prior + jnp.sum(log_p, axis=-1)
+        # The library's cumulative-logit head scores all n outcomes at
+        # once (stable adjacent-CDF differences inside).
+        lik = zs.distributions.OrderedLogistic(
+            eta, cuts[..., None, :]
+        ).log_prob(yj)
+        return prior + jnp.sum(lik, axis=-1)
 
     return log_joint
 

@@ -1,0 +1,132 @@
+"""OrderedLogistic and ZeroInflated heads (beyond-reference; extra.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import stats
+
+import zhusuan_tpu.distributions as d
+
+
+def _ordinal_pmf(eta, cuts):
+    """Reference pmf by direct CDF differences (numpy, f64)."""
+    cdf = 1.0 / (1.0 + np.exp(-(np.asarray(cuts) - eta)))
+    cdf = np.concatenate([[0.0], cdf, [1.0]])
+    return np.diff(cdf)
+
+
+class TestOrderedLogistic:
+    def test_log_prob_matches_cdf_differences(self):
+        eta, cuts = 0.4, np.asarray([-1.0, 0.2, 1.3])
+        dist = d.OrderedLogistic(
+            jnp.asarray(eta, jnp.float64), jnp.asarray(cuts, jnp.float64)
+        )
+        want = _ordinal_pmf(eta, cuts)
+        got = np.exp([
+            float(dist.log_prob(jnp.asarray(k))) for k in range(4)
+        ])
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+        np.testing.assert_allclose(got.sum(), 1.0, rtol=1e-12)
+
+    def test_batched_eta_and_cutpoints(self):
+        etas = jnp.asarray(np.linspace(-2, 2, 5), jnp.float64)
+        cuts = jnp.asarray([-0.5, 0.5], jnp.float64)
+        dist = d.OrderedLogistic(etas, cuts)
+        assert dist.batch_shape == (5,)
+        lp = np.asarray(dist.log_prob(jnp.ones(5)))
+        for i, e in enumerate(np.asarray(etas)):
+            want = np.log(_ordinal_pmf(float(e), [-0.5, 0.5])[1])
+            np.testing.assert_allclose(lp[i], want, rtol=1e-10)
+
+    def test_sampling_gof(self):
+        eta, cuts = -0.3, np.asarray([-1.0, 0.0, 0.8])
+        dist = d.OrderedLogistic(
+            jnp.asarray(eta, jnp.float64), jnp.asarray(cuts, jnp.float64)
+        )
+        x = np.asarray(dist.sample(jax.random.PRNGKey(0), 40000))
+        counts = np.bincount(x.astype(np.int64), minlength=4)
+        expected = _ordinal_pmf(eta, cuts) * x.size
+        chi2 = ((counts - expected) ** 2 / expected).sum()
+        assert chi2 < 16.3, chi2  # P(chi2_3 > 16.3) ~ 1e-3
+        assert x.min() >= 0 and x.max() <= 3
+
+    def test_unordered_cutpoints_give_nan(self):
+        dist = d.OrderedLogistic(
+            jnp.asarray(0.0, jnp.float64),
+            jnp.asarray([1.0, -1.0], jnp.float64),
+        )
+        assert np.isnan(float(dist.log_prob(jnp.asarray(1))))
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="trailing"):
+            d.OrderedLogistic(jnp.asarray(0.0), jnp.asarray(1.0))
+
+
+class TestZeroInflated:
+    def test_log_prob_matches_manual_pmf(self):
+        lam, pi = 2.5, 0.3
+        base = d.Poisson(jnp.asarray(lam, jnp.float64))
+        dist = d.ZeroInflated(
+            base, jnp.asarray(np.log(pi / (1 - pi)), jnp.float64)
+        )
+        ks = np.arange(30)
+        got = np.exp([float(dist.log_prob(jnp.asarray(k))) for k in ks])
+        want = (1 - pi) * stats.poisson.pmf(ks, lam)
+        want[0] += pi
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+        np.testing.assert_allclose(got.sum(), 1.0, rtol=1e-8)
+
+    def test_sampling_moments(self):
+        lam, pi = 4.0, 0.25
+        base = d.Poisson(jnp.asarray(lam, jnp.float64))
+        dist = d.ZeroInflated(
+            base, jnp.asarray(np.log(pi / (1 - pi)), jnp.float64)
+        )
+        x = np.asarray(dist.sample(jax.random.PRNGKey(1), 40000))
+        mean = (1 - pi) * lam
+        var = (1 - pi) * lam * (1 + pi * lam)
+        assert abs(x.mean() - mean) < 4 * np.sqrt(var / x.size)
+        assert abs(x.var() / var - 1.0) < 0.05
+        # The excess-zero fraction is visible.
+        p0 = pi + (1 - pi) * stats.poisson.pmf(0, lam)
+        frac0 = (x == 0).mean()
+        assert abs(frac0 - p0) < 4 * np.sqrt(p0 * (1 - p0) / x.size)
+
+    def test_zinb(self):
+        r, p_succ, pi = 3.0, 0.4, 0.4
+        logits = float(np.log(p_succ / (1 - p_succ)))
+        base = d.NegativeBinomial(
+            jnp.asarray(logits, jnp.float64), jnp.asarray(r, jnp.float64)
+        )
+        dist = d.ZeroInflated(
+            base, jnp.asarray(np.log(pi / (1 - pi)), jnp.float64)
+        )
+        ks = np.arange(40)
+        got = np.exp([float(dist.log_prob(jnp.asarray(k))) for k in ks])
+        want = (1 - pi) * stats.nbinom.pmf(ks, r, 1 - p_succ)
+        want[0] += pi
+        np.testing.assert_allclose(got, want, rtol=1e-8)
+
+    def test_gradients_flow_to_pi_and_base(self):
+        def nll(params):
+            base = d.Poisson(jnp.exp(params["log_rate"]))
+            dist = d.ZeroInflated(base, params["pi_logits"])
+            xs = jnp.asarray([0.0, 0.0, 3.0, 1.0, 0.0])
+            return -jnp.sum(dist.log_prob(xs))
+
+        g = jax.grad(nll)({
+            "log_rate": jnp.asarray(1.0, jnp.float64),
+            "pi_logits": jnp.asarray(0.0, jnp.float64),
+        })
+        assert np.isfinite(float(g["log_rate"]))
+        assert np.isfinite(float(g["pi_logits"]))
+        assert float(g["pi_logits"]) != 0.0
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="DISCRETE"):
+            d.ZeroInflated(d.Normal(0.0, std=1.0), 0.0)
+        with pytest.raises(ValueError, match="group_ndims"):
+            d.ZeroInflated(d.Poisson(jnp.zeros(3), group_ndims=1), 0.0)
+        with pytest.raises(TypeError, match="Distribution"):
+            d.ZeroInflated(object(), 0.0)

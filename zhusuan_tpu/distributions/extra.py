@@ -37,6 +37,8 @@ __all__ = [
     "LogNormal",
     "NegativeBinomial",
     "TruncatedNormal",
+    "OrderedLogistic",
+    "ZeroInflated",
 ]
 
 _HALF_LOG_2PI = 0.5 * float(np.log(2.0 * np.pi))
@@ -491,4 +493,207 @@ class TruncatedNormal(_LocScaleContinuous):
         in_support = (given >= low) & (given <= high)
         return jnp.where(
             in_support, lp, jnp.asarray(-jnp.inf, self.param_dtype)
+        )
+
+
+class OrderedLogistic(Distribution):
+    """Cumulative-logit (proportional-odds) categorical head.
+
+    Beyond reference (upstream ZhuSuan has no ordinal likelihood at all).
+    The standard model for rating/Likert outcomes::
+
+        P(y <= k) = sigmoid(c_k - eta),   k = 0..K-2,
+        pmf(k)    = sigmoid(c_k - eta) - sigmoid(c_{k-1} - eta)
+
+    with ``c_{-1} = -inf``, ``c_{K-1} = +inf``. Adjacent CDF differences
+    are computed in log space via the stable identity
+    ``sigmoid(a) - sigmoid(b) = sigmoid(a) sigmoid(-b) (1 - e^{b-a})``.
+    Pair the ``cutpoints`` latent with
+    :class:`zhusuan_tpu.bijectors.Ordered` when inferring them
+    (monotonicity is the caller's contract — an unordered vector gives
+    NaN log-probs, surfacing the mistake).
+
+    :param eta: linear predictor, any float shape.
+    :param cutpoints: ``[..., K-1]`` increasing thresholds; leading axes
+        broadcast against ``eta``.
+    """
+
+    def __init__(self, eta, cutpoints, dtype=jnp.int32,
+                 group_ndims: int = 0, **kwargs):
+        param_dtype = assert_same_float_dtype(
+            [(eta, "eta"), (cutpoints, "cutpoints")]
+        )
+        self._eta = jnp.asarray(eta, param_dtype)
+        self._cutpoints = jnp.asarray(cutpoints, param_dtype)
+        if self._cutpoints.ndim < 1 or self._cutpoints.shape[-1] < 1:
+            raise ValueError(
+                "cutpoints must have a trailing axis of >= 1 thresholds."
+            )
+        broadcast_shapes(
+            jnp.shape(self._eta), jnp.shape(self._cutpoints)[:-1]
+        )
+        super().__init__(
+            dtype=np.dtype(dtype),
+            param_dtype=param_dtype,
+            is_continuous=False,
+            is_reparameterized=False,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    eta = property(lambda self: self._eta)
+    cutpoints = property(lambda self: self._cutpoints)
+
+    @property
+    def n_categories(self):
+        return self._cutpoints.shape[-1] + 1
+
+    def _batch_shape(self):
+        return broadcast_shapes(
+            jnp.shape(self._eta), jnp.shape(self._cutpoints)[:-1]
+        )
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        # Latent-logistic representation: y = #{k: eta + noise > c_k}.
+        eta = jax.lax.stop_gradient(self._eta)
+        cuts = jax.lax.stop_gradient(self._cutpoints)
+        shape = (n_samples,) + self.batch_shape
+        u = open_interval_standard_uniform(key, shape, self.param_dtype)
+        latent = eta + jnp.log(u) - jnp.log1p(-u)
+        return jnp.sum(
+            latent[..., None] > cuts, axis=-1
+        ).astype(self.dtype)
+
+    def _log_prob(self, given):
+        x = jnp.asarray(given)
+        eta = self._eta
+        cuts = jnp.broadcast_to(
+            self._cutpoints,
+            broadcast_shapes(
+                jnp.shape(eta) + (1,),
+                jnp.shape(self._cutpoints),
+            ),
+        )
+        big = jnp.asarray(
+            np.finfo(np.dtype(self.param_dtype)).max / 2, self.param_dtype
+        )
+        padded = jnp.concatenate(
+            [-big * jnp.ones_like(cuts[..., :1]), cuts,
+             big * jnp.ones_like(cuts[..., :1])], axis=-1,
+        )
+        idx = jnp.broadcast_to(
+            x, broadcast_shapes(jnp.shape(x), jnp.shape(eta))
+        ).astype(jnp.int32)
+        hi = jnp.take_along_axis(
+            jnp.broadcast_to(padded, idx.shape + padded.shape[-1:]),
+            idx[..., None] + 1, axis=-1,
+        )[..., 0]
+        lo = jnp.take_along_axis(
+            jnp.broadcast_to(padded, idx.shape + padded.shape[-1:]),
+            idx[..., None], axis=-1,
+        )[..., 0]
+        a, b = hi - eta, lo - eta
+        lp = (
+            jax.nn.log_sigmoid(a)
+            + jax.nn.log_sigmoid(-b)
+            + jnp.log(-jnp.expm1(jnp.minimum(b - a, -1e-12)))
+        )
+        # Inverted cutpoints (b >= a) would be silently clamped by the
+        # stable form above; surface the caller's ordering violation.
+        return jnp.where(
+            b < a, lp, jnp.asarray(jnp.nan, self.param_dtype)
+        )
+
+
+class ZeroInflated(Distribution):
+    """Zero-inflated wrapper over a scalar count distribution.
+
+    Beyond reference. With structural-zero probability
+    ``pi = sigmoid(pi_logits)``::
+
+        pmf(x) = pi * 1[x = 0] + (1 - pi) * base.pmf(x)
+
+    — the standard model for count data with excess zeros (ZIP/ZINB via
+    a :class:`~zhusuan_tpu.distributions.univariate.Poisson` or
+    :class:`NegativeBinomial` base).
+
+    :param base: a scalar-event discrete Distribution whose support
+        includes 0, with ``group_ndims == 0`` (group reduction belongs to
+        the wrapper).
+    :param pi_logits: log-odds of a structural zero, broadcastable
+        against the base's batch shape.
+    """
+
+    def __init__(self, base: Distribution, pi_logits,
+                 group_ndims: int = 0, **kwargs):
+        if not isinstance(base, Distribution):
+            raise TypeError(
+                "base must be a Distribution; got {!r}.".format(type(base))
+            )
+        if base.is_continuous:
+            raise ValueError(
+                "ZeroInflated wraps DISCRETE count distributions; for "
+                "continuous zero-inflation use a Mixture with an "
+                "Implicit point mass."
+            )
+        if base.value_shape != ():
+            raise ValueError(
+                "base must have a scalar event (value_shape ()); got "
+                "{}.".format(base.value_shape)
+            )
+        if base.group_ndims != 0:
+            raise ValueError(
+                "base.group_ndims must be 0 (apply group_ndims on the "
+                "ZeroInflated wrapper instead)."
+            )
+        self._base = base
+        self._pi_logits = jnp.asarray(pi_logits, base.param_dtype)
+        broadcast_shapes(base.batch_shape, jnp.shape(self._pi_logits))
+        super().__init__(
+            dtype=base.dtype,
+            param_dtype=base.param_dtype,
+            is_continuous=False,
+            is_reparameterized=False,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    base = property(lambda self: self._base)
+    pi_logits = property(lambda self: self._pi_logits)
+
+    def _batch_shape(self):
+        return broadcast_shapes(
+            self._base.batch_shape, jnp.shape(self._pi_logits)
+        )
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        k_mask, k_base = jax.random.split(key)
+        draws = self._base.sample(k_base, n_samples=n_samples)
+        shape = (n_samples,) + self.batch_shape
+        pi = jax.nn.sigmoid(jax.lax.stop_gradient(self._pi_logits))
+        zero_mask = (
+            jax.random.uniform(k_mask, shape, self.param_dtype) < pi
+        )
+        return jnp.where(
+            zero_mask, jnp.zeros((), self.dtype),
+            jnp.broadcast_to(draws, shape),
+        ).astype(self.dtype)
+
+    def _log_prob(self, given):
+        x = jnp.asarray(given)
+        log_pi = -jax.nn.softplus(-self._pi_logits)
+        log_1mpi = -jax.nn.softplus(self._pi_logits)
+        lp_base = self._base.log_prob(x)
+        lp_zero = self._base.log_prob(jnp.zeros_like(x))
+        is_zero = (x == 0)
+        return jnp.where(
+            is_zero,
+            jnp.logaddexp(log_pi, log_1mpi + lp_zero),
+            log_1mpi + lp_base,
         )

@@ -130,3 +130,23 @@ class TestZeroInflated:
             d.ZeroInflated(d.Poisson(jnp.zeros(3), group_ndims=1), 0.0)
         with pytest.raises(TypeError, match="Distribution"):
             d.ZeroInflated(object(), 0.0)
+
+
+class TestBayesianNetSugar:
+    def test_bn_nodes(self):
+        import zhusuan_tpu as zs
+
+        bn = zs.BayesianNet(key=jax.random.PRNGKey(0))
+        y = bn.ordered_logistic(
+            "y", jnp.asarray(0.3, jnp.float64),
+            jnp.asarray([-1.0, 1.0], jnp.float64), n_samples=64,
+        )
+        assert y.tensor.shape == (64,)
+        assert int(np.asarray(y.tensor).max()) <= 2
+        z = bn.zero_inflated(
+            "z", d.Poisson(jnp.asarray(3.0, jnp.float64)),
+            jnp.asarray(0.0, jnp.float64), n_samples=64,
+        )
+        assert z.tensor.shape == (64,)
+        lp = bn.cond_log_prob("z")
+        assert np.isfinite(np.asarray(lp)).all()

@@ -683,6 +683,30 @@ class BayesianNet(Context):
         )
         return self.stochastic(name, dist, n_samples=n_samples)
 
+    def ordered_logistic(
+        self, name, eta, cutpoints, dtype=None, group_ndims=0,
+        n_samples=None, **kwargs,
+    ):
+        """Add an OrderedLogistic node (beyond reference)."""
+        import jax.numpy as _jnp
+        dist = distributions.OrderedLogistic(
+            eta, cutpoints,
+            dtype=_jnp.int32 if dtype is None else dtype,
+            group_ndims=group_ndims, **kwargs,
+        )
+        return self.stochastic(name, dist, n_samples=n_samples)
+
+    def zero_inflated(
+        self, name, base, pi_logits, group_ndims=0, n_samples=None,
+        **kwargs,
+    ):
+        """Add a ZeroInflated node wrapping a count distribution
+        instance (beyond reference)."""
+        dist = distributions.ZeroInflated(
+            base, pi_logits, group_ndims=group_ndims, **kwargs,
+        )
+        return self.stochastic(name, dist, n_samples=n_samples)
+
     def bin_concrete(
         self, name, temperature, logits, group_ndims=0, n_samples=None,
         is_reparameterized=True, use_path_derivative=False,

@@ -232,6 +232,24 @@ class Distribution:
         axes = tuple(range(-self._group_ndims, 0))
         return reducer(x, axis=axes)
 
+    def log_survival(self, given):
+        """``log P(X > given)`` elementwise, trailing ``group_ndims``
+        axes sum-reduced (independent components: the joint survival is
+        the product of marginals). Beyond reference — implemented by the
+        heads used in survival models (Exponential, Weibull, Normal,
+        LogNormal); needed by
+        :class:`~zhusuan_tpu.distributions.extra.RightCensored`.
+        """
+        given = self._check_input_shape(given)
+        log_s = self._log_survival(given)
+        return self._reduce_group(log_s, jnp.sum)
+
+    def _log_survival(self, given):
+        raise NotImplementedError(
+            "{} does not implement log_survival.".format(
+                type(self).__name__)
+        )
+
     def _log_prob(self, given):
         raise NotImplementedError()
 

@@ -39,6 +39,8 @@ __all__ = [
     "TruncatedNormal",
     "OrderedLogistic",
     "ZeroInflated",
+    "Weibull",
+    "RightCensored",
 ]
 
 _HALF_LOG_2PI = 0.5 * float(np.log(2.0 * np.pi))
@@ -217,6 +219,12 @@ class Exponential(Distribution):
             given >= 0, lp, jnp.asarray(-jnp.inf, self.param_dtype)
         )
 
+    def _log_survival(self, given):
+        rate = self.path_param(self._rate)
+        return jnp.where(
+            given >= 0, -rate * given, jnp.zeros((), self.param_dtype)
+        )
+
 
 class Cauchy(_LocScaleContinuous):
     """Cauchy with location and scale.
@@ -324,6 +332,20 @@ class LogNormal(_LocScaleContinuous):
         lp = -_HALF_LOG_2PI - self._log_scale() - log_x - 0.5 * z * z
         return jnp.where(
             given > 0, lp, jnp.asarray(-jnp.inf, self.param_dtype)
+        )
+
+    def _log_survival(self, given):
+        loc = self.path_param(self._loc)
+        scale = self.path_param(self._scale)
+        safe = jnp.maximum(
+            given, jnp.asarray(jnp.finfo(self.param_dtype).tiny,
+                               self.param_dtype)
+        )
+        z = (jnp.log(safe) - loc) / scale
+        return jnp.where(
+            given > 0,
+            jax.scipy.special.log_ndtr(-z),
+            jnp.zeros((), self.param_dtype),
         )
 
 
@@ -697,3 +719,155 @@ class ZeroInflated(Distribution):
             jnp.logaddexp(log_pi, log_1mpi + lp_zero),
             log_1mpi + lp_base,
         )
+
+
+class Weibull(Distribution):
+    """Weibull with concentration ``k`` and scale ``lam``.
+
+    Beyond reference — the workhorse survival/reliability likelihood::
+
+        pdf(x) = (k/lam) (x/lam)^{k-1} exp(-(x/lam)^k),
+        S(x)   = exp(-(x/lam)^k)
+
+    Reparameterized inverse-CDF sampler ``lam * (-log U)^{1/k}``
+    (pathwise in BOTH parameters). Implements ``log_survival`` for
+    :class:`RightCensored`.
+
+    :param concentration: shape ``k > 0``.
+    :param scale: scale ``lam > 0``, broadcastable against it.
+    """
+
+    def __init__(self, concentration, scale, group_ndims=0,
+                 is_reparameterized=True, use_path_derivative=False,
+                 check_numerics=False, **kwargs):
+        dtype = assert_same_float_dtype(
+            [(concentration, "concentration"), (scale, "scale")]
+        )
+        self._concentration = jnp.asarray(concentration, dtype)
+        self._scale = jnp.asarray(scale, dtype)
+        self._check_numerics = check_numerics
+        broadcast_shapes(
+            jnp.shape(self._concentration), jnp.shape(self._scale)
+        )
+        super().__init__(
+            dtype=dtype,
+            param_dtype=dtype,
+            is_continuous=True,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    concentration = property(lambda self: self._concentration)
+    scale = property(lambda self: self._scale)
+
+    def _batch_shape(self):
+        return broadcast_shapes(
+            jnp.shape(self._concentration), jnp.shape(self._scale)
+        )
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        k, lam = _maybe_stop(
+            (self._concentration, self._scale), self.is_reparameterized
+        )
+        shape = (n_samples,) + self.batch_shape
+        u = open_interval_standard_uniform(key, shape, self.dtype)
+        return lam * jnp.power(-jnp.log(u), 1.0 / k)
+
+    def _log_prob(self, given):
+        k = self.path_param(self._concentration)
+        lam = self.path_param(self._scale)
+        safe = jnp.maximum(
+            given, jnp.asarray(jnp.finfo(self.param_dtype).tiny,
+                               self.param_dtype)
+        )
+        log_z = jnp.log(safe) - jnp.log(lam)
+        log_k = jnp.log(k)
+        if self._check_numerics:
+            log_k = check_numerics(log_k, "log(concentration)")
+        lp = log_k - jnp.log(lam) + (k - 1.0) * log_z - jnp.exp(k * log_z)
+        return jnp.where(
+            given > 0, lp, jnp.asarray(-jnp.inf, self.param_dtype)
+        )
+
+    def _log_survival(self, given):
+        k = self.path_param(self._concentration)
+        lam = self.path_param(self._scale)
+        safe = jnp.maximum(
+            given, jnp.asarray(jnp.finfo(self.param_dtype).tiny,
+                               self.param_dtype)
+        )
+        return jnp.where(
+            given > 0,
+            -jnp.exp(k * (jnp.log(safe) - jnp.log(lam))),
+            jnp.zeros((), self.param_dtype),
+        )
+
+
+class RightCensored(Distribution):
+    """Right-censoring wrapper: the law of ``y = min(T, upper)`` for
+    ``T ~ base``.
+
+    Beyond reference — the survival-analysis observation model. The
+    density (w.r.t. the mixed Lebesgue+atom measure) is::
+
+        p(y) = base.pdf(y)          for y < upper   (observed event)
+        p(y) = base.S(upper)        for y = upper   (censored)
+
+    so observing ``y_i = min(T_i, c_i)`` with per-datapoint censor times
+    ``upper = c`` gives exactly the standard censored log-likelihood.
+    Requires ``base`` to implement ``log_survival``.
+
+    :param base: a scalar-event continuous Distribution with
+        ``group_ndims == 0``.
+    :param upper: censor times, broadcastable against the base's batch
+        shape.
+    """
+
+    def __init__(self, base: Distribution, upper, group_ndims=0, **kwargs):
+        if not isinstance(base, Distribution):
+            raise TypeError(
+                "base must be a Distribution; got {!r}.".format(type(base))
+            )
+        if base.value_shape != () or base.group_ndims != 0:
+            raise ValueError(
+                "base must have a scalar event and group_ndims == 0 "
+                "(apply group_ndims on the RightCensored wrapper)."
+            )
+        self._base = base
+        self._upper = jnp.asarray(upper, base.param_dtype)
+        broadcast_shapes(base.batch_shape, jnp.shape(self._upper))
+        super().__init__(
+            dtype=base.dtype,
+            param_dtype=base.param_dtype,
+            is_continuous=base.is_continuous,
+            is_reparameterized=False,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    base = property(lambda self: self._base)
+    upper = property(lambda self: self._upper)
+
+    def _batch_shape(self):
+        return broadcast_shapes(
+            self._base.batch_shape, jnp.shape(self._upper)
+        )
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        draws = self._base.sample(key, n_samples=n_samples)
+        shape = (n_samples,) + self.batch_shape
+        return jnp.minimum(jnp.broadcast_to(draws, shape), self._upper)
+
+    def _log_prob(self, given):
+        x = jnp.asarray(given, self.param_dtype)
+        lp_event = self._base.log_prob(x)
+        lp_censored = self._base.log_survival(self._upper)
+        return jnp.where(x < self._upper, lp_event, lp_censored)

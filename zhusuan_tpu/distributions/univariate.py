@@ -135,6 +135,13 @@ class Normal(Distribution):
         precision = check_numerics(precision, "precision", self._check_numerics)
         return -_HALF_LOG_2PI - logstd - 0.5 * precision * jnp.square(given - mean)
 
+    def _log_survival(self, given):
+        # log P(X > x) = log ndtr(-z), stable deep into the tail.
+        z = (given - self.path_param(self._mean)) * jnp.exp(
+            -self.path_param(self._logstd)
+        )
+        return jax.scipy.special.log_ndtr(-z)
+
 
 class FoldNormal(Distribution):
     """Folded Normal (|X| for X ~ Normal).

@@ -683,6 +683,30 @@ class BayesianNet(Context):
         )
         return self.stochastic(name, dist, n_samples=n_samples)
 
+    def weibull(
+        self, name, concentration, scale, group_ndims=0, n_samples=None,
+        is_reparameterized=True, use_path_derivative=False,
+        check_numerics=False, **kwargs,
+    ):
+        """Add a Weibull node (beyond reference)."""
+        dist = distributions.Weibull(
+            concentration, scale, group_ndims=group_ndims,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
+            check_numerics=check_numerics, **kwargs,
+        )
+        return self.stochastic(name, dist, n_samples=n_samples)
+
+    def right_censored(
+        self, name, base, upper, group_ndims=0, n_samples=None, **kwargs,
+    ):
+        """Add a RightCensored node wrapping a distribution instance
+        (beyond reference; survival observation model)."""
+        dist = distributions.RightCensored(
+            base, upper, group_ndims=group_ndims, **kwargs,
+        )
+        return self.stochastic(name, dist, n_samples=n_samples)
+
     def ordered_logistic(
         self, name, eta, cutpoints, dtype=None, group_ndims=0,
         n_samples=None, **kwargs,

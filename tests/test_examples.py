@@ -887,3 +887,20 @@ class TestCovarianceEstimation:
         np.testing.assert_allclose(
             res["corr_mean"], ce.TRUE_CORR, atol=0.15
         )
+
+
+class TestSurvivalRegression:
+    def test_nuts_recovers_aft_parameters(self):
+        """Weibull AFT with ~40% right-censoring: NUTS over (k, beta)
+        recovers the generating parameters within posterior uncertainty
+        — censoring correctly handled through RightCensored."""
+        from examples.robust_models import survival_regression as sr
+
+        res = sr.run(n=500, n_chains=8, n_iters=900, burnin=300, seed=4)
+        assert res["synthetic"]
+        assert 0.2 < res["frac_censored"] < 0.6
+        assert abs(res["k_mean"] - sr.TRUE_K) < 4 * res["k_sd"]
+        np.testing.assert_allclose(
+            res["beta_mean"], sr.TRUE_BETA,
+            atol=4 * res["beta_sd"].max(),
+        )

@@ -309,3 +309,89 @@ class TestDiabetesRealData:
             assert 50.0 < rmse < 62.0, (rmse, nll)
         assert abs(r_sg[0] - r_ex[0]) < 3.0
         assert abs(r_sv[0] - r_ex[0]) < 3.0
+
+
+class TestPeriodicAndRQ:
+    def test_periodic_matches_sklearn_1d(self):
+        from sklearn.gaussian_process import kernels as skk
+        from zhusuan_tpu.gp import Periodic
+
+        x1 = X[:, :1]
+        xs1 = XS[:, :1]
+        k = Periodic(lengthscale=0.7, period=1.3, variance=1.9)
+        ref = 1.9 * skk.ExpSineSquared(
+            length_scale=0.7, periodicity=1.3
+        )(x1, xs1)
+        np.testing.assert_allclose(
+            np.asarray(k(jnp.asarray(x1), jnp.asarray(xs1))), ref,
+            rtol=1e-8, atol=1e-10,
+        )
+
+    def test_rational_quadratic_matches_sklearn(self):
+        from sklearn.gaussian_process import kernels as skk
+        from zhusuan_tpu.gp import RationalQuadratic
+
+        x1 = X[:, :1]
+        xs1 = XS[:, :1]
+        k = RationalQuadratic(lengthscale=0.9, variance=0.6, alpha=1.7)
+        ref = 0.6 * skk.RationalQuadratic(
+            length_scale=0.9, alpha=1.7
+        )(x1, xs1)
+        np.testing.assert_allclose(
+            np.asarray(k(jnp.asarray(x1), jnp.asarray(xs1))), ref,
+            rtol=1e-8, atol=1e-10,
+        )
+
+    def test_rq_limits_to_rbf(self):
+        from zhusuan_tpu.gp import RationalQuadratic
+
+        k_rq = RationalQuadratic(lengthscale=1.1, variance=1.0,
+                                 alpha=1e7)
+        k_rbf = RBF(lengthscale=1.1, variance=1.0)
+        np.testing.assert_allclose(
+            np.asarray(k_rq(jnp.asarray(X), jnp.asarray(XS))),
+            np.asarray(k_rbf(jnp.asarray(X), jnp.asarray(XS))),
+            rtol=1e-5,
+        )
+
+    def test_psd_kdiag_and_composition(self):
+        from zhusuan_tpu.gp import Periodic, RationalQuadratic
+
+        for k in (Periodic(0.8, 1.0, 1.2),
+                  RationalQuadratic(1.0, 0.5, 2.0),
+                  Periodic(1.0, 2.0) * RBF(1.0),
+                  RationalQuadratic(1.0) + Periodic(1.0, 1.0)):
+            g = np.asarray(k(jnp.asarray(X), jnp.asarray(X)))
+            assert np.linalg.eigvalsh(g).min() > -1e-8
+            np.testing.assert_allclose(
+                np.asarray(k.kdiag(jnp.asarray(X))), np.diagonal(g),
+                rtol=1e-7, atol=1e-9,
+            )
+
+    def test_periodic_regression_extrapolates(self):
+        """The payoff feature: a periodic kernel extrapolates a seasonal
+        signal far beyond the training window where RBF reverts to the
+        prior mean."""
+        from zhusuan_tpu.gp import Periodic, gp_regression
+
+        xs = np.linspace(0.0, 4.0, 60)[:, None]
+        f = lambda t: np.sin(2 * np.pi * t).ravel()
+        rng = np.random.RandomState(0)
+        y = f(xs) + 0.05 * rng.randn(60)
+        x_star = np.linspace(6.0, 7.0, 25)[:, None]  # far extrapolation
+        post_p = gp_regression(
+            Periodic(lengthscale=1.0, period=1.0, variance=1.0),
+            jnp.asarray(xs), jnp.asarray(y), jnp.asarray(x_star),
+            noise_var=0.05**2,
+        )
+        rmse_p = float(np.sqrt(np.mean(
+            (np.asarray(post_p.mean) - f(x_star)) ** 2)))
+        post_r = gp_regression(
+            RBF(lengthscale=1.0, variance=1.0),
+            jnp.asarray(xs), jnp.asarray(y), jnp.asarray(x_star),
+            noise_var=0.05**2,
+        )
+        rmse_r = float(np.sqrt(np.mean(
+            (np.asarray(post_r.mean) - f(x_star)) ** 2)))
+        assert rmse_p < 0.1, rmse_p
+        assert rmse_p < 0.3 * rmse_r, (rmse_p, rmse_r)

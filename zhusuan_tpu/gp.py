@@ -29,6 +29,8 @@ __all__ = [
     "Matern32",
     "Matern52",
     "Linear",
+    "Periodic",
+    "RationalQuadratic",
     "Constant",
     "Sum",
     "Product",
@@ -130,6 +132,54 @@ class Matern52(_Stationary):
         s = jnp.sqrt(jnp.asarray(5.0, r.dtype))
         return (jnp.asarray(self.variance)
                 * (1.0 + s * r + (5.0 / 3.0) * r2) * jnp.exp(-s * r))
+
+
+class Periodic(_Kernel):
+    """Exp-sine-squared periodic kernel (MacKay):
+    ``v * exp(-2 sin^2(pi ||x - z||_1-per-dim / p) / l^2)`` summed over
+    dimensions — matches sklearn's ``ExpSineSquared`` for 1-D inputs.
+
+    :param lengthscale: scalar correlation lengthscale ``l``.
+    :param period: scalar period ``p``.
+    :param variance: output variance.
+    """
+
+    def __init__(self, lengthscale=1.0, period=1.0, variance=1.0):
+        self.lengthscale = lengthscale
+        self.period = period
+        self.variance = variance
+
+    def __call__(self, x, z):
+        diff = x[..., :, None, :] - z[..., None, :, :]  # [n, m, d]
+        sine = jnp.sin(
+            jnp.pi * jnp.abs(diff) / jnp.asarray(self.period)
+        ) / jnp.asarray(self.lengthscale)
+        return jnp.asarray(self.variance) * jnp.exp(
+            -2.0 * jnp.sum(sine * sine, axis=-1)
+        )
+
+    def kdiag(self, x):
+        v = jnp.asarray(self.variance)
+        return jnp.broadcast_to(v, x.shape[:-1])
+
+
+class RationalQuadratic(_Stationary):
+    """Rational quadratic: ``v (1 + r^2 / (2 a))^{-a}`` — a scale
+    mixture of RBFs (sklearn's ``RationalQuadratic``); ``alpha -> inf``
+    recovers the RBF.
+
+    :param alpha: positive mixture index.
+    """
+
+    def __init__(self, lengthscale=1.0, variance=1.0, alpha=1.0):
+        super().__init__(lengthscale, variance)
+        self.alpha = alpha
+
+    def __call__(self, x, z):
+        a = jnp.asarray(self.alpha)
+        return jnp.asarray(self.variance) * jnp.power(
+            1.0 + self._r2(x, z) / (2.0 * a), -a
+        )
 
 
 class Linear(_Kernel):

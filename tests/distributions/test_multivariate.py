@@ -259,3 +259,66 @@ class TestSpecial:
         np.testing.assert_array_equal(
             np.asarray(dist.prob(_f64([1.0, 0.0]))), [np.inf, -np.inf]
         )
+
+
+class TestMultivariateStudentTCholesky:
+    def _setup(self, df=4.5, seed=0):
+        rng = np.random.RandomState(seed)
+        a = rng.randn(3, 3)
+        scale = a @ a.T + 3 * np.eye(3)
+        tril = np.linalg.cholesky(scale)
+        loc = rng.randn(3)
+        dist = zd.MultivariateStudentTCholesky(
+            jnp.asarray(df, jnp.float64), jnp.asarray(loc),
+            jnp.asarray(tril),
+        )
+        return dist, loc, scale, df
+
+    def test_log_prob_matches_scipy(self):
+        from scipy import stats
+
+        dist, loc, scale, df = self._setup()
+        xs = np.random.RandomState(1).randn(7, 3) * 2
+        got = np.asarray(dist.log_prob(jnp.asarray(xs)))
+        want = stats.multivariate_t.logpdf(xs, loc, scale, df)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_sampling_moments(self):
+        dist, loc, scale, df = self._setup()
+        x = np.asarray(dist.sample(jax.random.PRNGKey(0), 200000))
+        np.testing.assert_allclose(x.mean(0), loc, atol=0.03)
+        # Cov = scale * df/(df-2).
+        np.testing.assert_allclose(
+            np.cov(x.T), scale * df / (df - 2.0), rtol=0.08
+        )
+
+    def test_heavy_tails_vs_gaussian(self):
+        dist, loc, scale, df = self._setup(df=3.0)
+        x = np.asarray(dist.sample(jax.random.PRNGKey(1), 100000))
+        # Standardized 4th moment of each margin diverges from 3.
+        z = (x - loc) / np.sqrt(np.diag(scale) * df / (df - 2.0))
+        kurt = (z**4).mean(0)
+        assert (kurt > 5.0).all(), kurt
+
+    def test_reparameterized_gradient(self):
+        # d E[x_0] / d loc_0 = 1 exactly.
+        def mean_draw(loc0):
+            dist = zd.MultivariateStudentTCholesky(
+                jnp.asarray(5.0, jnp.float64),
+                jnp.asarray([loc0, 0.0]),
+                jnp.eye(2, dtype=jnp.float64),
+            )
+            return jnp.mean(dist.sample(jax.random.PRNGKey(2), 50000)[:, 0])
+
+        g = float(jax.grad(mean_draw)(jnp.asarray(1.0, jnp.float64)))
+        np.testing.assert_allclose(g, 1.0, rtol=1e-6)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="at least 1-D"):
+            zd.MultivariateStudentTCholesky(
+                jnp.asarray(3.0), jnp.asarray(0.0), jnp.eye(2)
+            )
+        with pytest.raises(ValueError, match="trailing dims"):
+            zd.MultivariateStudentTCholesky(
+                jnp.asarray(3.0), jnp.zeros(3), jnp.eye(2)
+            )

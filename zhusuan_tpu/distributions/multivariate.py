@@ -40,6 +40,7 @@ __all__ = [
     "Concrete",
     "GumbelSoftmax",
     "MatrixVariateNormalCholesky",
+    "MultivariateStudentTCholesky",
 ]
 
 _LOG_2PI = float(np.log(2.0) + np.log(np.pi))
@@ -720,3 +721,131 @@ class MatrixVariateNormalCholesky(Distribution):
         return -0.5 * (
             n * m * _LOG_2PI + maha
         ) - 0.5 * (m * log_det_u + n * log_det_v)
+
+
+class MultivariateStudentTCholesky(Distribution):
+    """Multivariate Student's t parameterized by df, location and the
+    Cholesky factor of the scale matrix.
+
+    Beyond reference — the robust (heavy-tailed) counterpart of
+    :class:`MultivariateNormalCholesky` (same ``[..., d]`` loc /
+    ``[..., d, d]`` lower-triangular layout and MXU-shaped linear
+    algebra)::
+
+        pdf(x) = G((v+d)/2) / [G(v/2) (v pi)^{d/2} |L|]
+                 * (1 + maha(x)/v)^{-(v+d)/2}
+
+    Sampler: ``loc + (L z) * sqrt(v / g)`` with ``z ~ N(0, I)``,
+    ``g ~ chi2(v)`` — reparameterized in loc/scale (the df is
+    gradient-stopped; its density gradient remains exact).
+
+    :param df: degrees of freedom ``v > 0``, broadcastable over the
+        batch shape.
+    :param loc: ``[..., d]`` location.
+    :param scale_tril: ``[..., d, d]`` lower-triangular scale factor.
+    """
+
+    def __init__(
+        self,
+        df,
+        loc,
+        scale_tril,
+        group_ndims: int = 0,
+        is_reparameterized: bool = True,
+        use_path_derivative: bool = False,
+        check_numerics: bool = False,
+        **kwargs,
+    ):
+        dtype = assert_same_float_dtype(
+            [(df, "df"), (loc, "loc"), (scale_tril, "scale_tril")]
+        )
+        self._df = jnp.asarray(df, dtype)
+        self._loc = jnp.asarray(loc, dtype)
+        self._scale_tril = jnp.asarray(scale_tril, dtype)
+        if self._loc.ndim < 1:
+            raise ValueError("loc must be at least 1-D ([..., d]).")
+        if self._scale_tril.ndim < 2:
+            raise ValueError(
+                "scale_tril must be at least 2-D ([..., d, d])."
+            )
+        d = self._loc.shape[-1]
+        if self._scale_tril.shape[-2:] != (d, d):
+            raise ValueError(
+                "scale_tril trailing dims must be [d, d] with d matching "
+                "loc ({} vs. {}).".format(
+                    self._scale_tril.shape, self._loc.shape
+                )
+            )
+        self._n_dim = d
+        self._check_numerics = check_numerics
+        super().__init__(
+            dtype=dtype,
+            param_dtype=dtype,
+            is_continuous=True,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    df = property(lambda self: self._df)
+    loc = property(lambda self: self._loc)
+    scale_tril = property(lambda self: self._scale_tril)
+
+    def _batch_shape(self):
+        return broadcast_shapes(
+            jnp.shape(self._df),
+            self._loc.shape[:-1],
+            self._scale_tril.shape[:-2],
+        )
+
+    def _value_shape(self):
+        return (self._n_dim,)
+
+    def _sample(self, key, n_samples):
+        loc, scale_tril = self._loc, self._scale_tril
+        if not self.is_reparameterized:
+            loc = jax.lax.stop_gradient(loc)
+            scale_tril = jax.lax.stop_gradient(scale_tril)
+        df = jax.lax.stop_gradient(self._df)
+        shape = (n_samples,) + self.batch_shape + (self._n_dim,)
+        kz, kg = jax.random.split(key)
+        z = jax.random.normal(kz, shape, dtype=self.dtype)
+        gauss = jnp.squeeze(
+            jnp.matmul(scale_tril, z[..., None]), axis=-1
+        )
+        half_df = jnp.broadcast_to(0.5 * df, shape[:-1])
+        g = 2.0 * jax.random.gamma(kg, half_df, dtype=self.dtype)
+        return loc + gauss * jnp.sqrt(df / g)[..., None]
+
+    def _log_prob(self, given):
+        df = self.path_param(self._df)
+        loc = self.path_param(self._loc)
+        scale_tril = self.path_param(self._scale_tril)
+        d = self._n_dim
+        log_diag = jnp.log(
+            jnp.diagonal(scale_tril, axis1=-2, axis2=-1)
+        )
+        log_diag = check_numerics(
+            log_diag, "log(diag(scale_tril))", self._check_numerics
+        )
+        half_log_det = jnp.sum(log_diag, axis=-1)
+        y = given - loc
+        target_shape = jnp.broadcast_shapes(
+            jnp.shape(y), self.batch_shape + (d,)
+        )
+        y = jnp.broadcast_to(y, target_shape)
+        z = jax.scipy.linalg.solve_triangular(
+            jnp.broadcast_to(scale_tril, target_shape[:-1] + (d, d)),
+            y[..., None],
+            lower=True,
+        )
+        maha = jnp.sum(jnp.squeeze(z, axis=-1) ** 2, axis=-1)
+        half = jnp.asarray(0.5, self.param_dtype)
+        return (
+            jax.lax.lgamma(half * (df + d))
+            - jax.lax.lgamma(half * df)
+            - half * d * jnp.log(df * jnp.pi)
+            - half_log_det
+            - half * (df + d) * jnp.log1p(maha / df)
+        )

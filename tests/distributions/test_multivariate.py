@@ -322,3 +322,15 @@ class TestMultivariateStudentTCholesky:
             zd.MultivariateStudentTCholesky(
                 jnp.asarray(3.0), jnp.zeros(3), jnp.eye(2)
             )
+
+    def test_bn_sugar(self):
+        import zhusuan_tpu as zs
+
+        bn = zs.BayesianNet(key=jax.random.PRNGKey(0))
+        x = bn.multivariate_student_t_cholesky(
+            "x", jnp.asarray(5.0, jnp.float64),
+            jnp.zeros(2, jnp.float64), jnp.eye(2, dtype=jnp.float64),
+            n_samples=16,
+        )
+        assert x.tensor.shape == (16, 2)
+        assert np.isfinite(np.asarray(bn.cond_log_prob("x"))).all()

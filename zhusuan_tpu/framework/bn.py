@@ -498,6 +498,20 @@ class BayesianNet(Context):
         )
         return self.stochastic(name, dist, n_samples=n_samples)
 
+    def multivariate_student_t_cholesky(
+        self, name, df, loc, scale_tril, group_ndims=0, n_samples=None,
+        is_reparameterized=True, use_path_derivative=False,
+        check_numerics=False, **kwargs,
+    ):
+        """Add a MultivariateStudentTCholesky node (beyond reference)."""
+        dist = distributions.MultivariateStudentTCholesky(
+            df, loc, scale_tril, group_ndims=group_ndims,
+            is_reparameterized=is_reparameterized,
+            use_path_derivative=use_path_derivative,
+            check_numerics=check_numerics, **kwargs,
+        )
+        return self.stochastic(name, dist, n_samples=n_samples)
+
     def matrix_variate_normal_cholesky(
         self, name, mean, u_tril, v_tril, group_ndims=0, n_samples=None,
         is_reparameterized=True, use_path_derivative=False,

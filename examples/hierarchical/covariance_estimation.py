@@ -35,7 +35,6 @@ from zhusuan_tpu.distributions import LKJCholesky
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--n", type=int, default=300)
-parser.add_argument("--k", type=int, default=3)
 parser.add_argument("--n-chains", type=int, default=16)
 parser.add_argument("--n-iters", type=int, default=1200)
 parser.add_argument("--burnin", type=int, default=400)

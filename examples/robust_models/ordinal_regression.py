@@ -36,7 +36,7 @@ TRUE_CUTS = np.asarray([-1.0, 0.3, 1.5])  # K = 4 categories
 
 
 def make_data(n, key):
-    kx, ky = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
+    kx, ky = jax.random.split(key)
     x = jax.random.normal(kx, (n, 2))
     eta = x @ jnp.asarray(TRUE_BETA)
     # P(y <= k) = sigmoid(c_k - eta): draw by inverting the CDF.
@@ -46,7 +46,7 @@ def make_data(n, key):
     return np.asarray(x), np.asarray(y), True  # synthetic
 
 
-def build_log_joint(x, y, n_cats):
+def build_log_joint(x, y):
     xj, yj = jnp.asarray(x), jnp.asarray(y)
 
     def log_joint(obs):
@@ -69,7 +69,7 @@ def build_log_joint(x, y, n_cats):
 def run(n=400, n_chains=32, n_iters=1200, burnin=400, seed=1):
     key = jax.random.PRNGKey(seed)
     x, y, synthetic = make_data(n, key)
-    log_joint = build_log_joint(x, y, len(TRUE_CUTS) + 1)
+    log_joint = build_log_joint(x, y)
     ulj, to_u, to_c = transform_log_joint(log_joint, {"cuts": Ordered()})
 
     nuts = zs.NUTS(step_size=0.2, max_tree_depth=6, adapt_step_size=True)

@@ -182,3 +182,33 @@ class TestRightCensored:
             d.RightCensored(
                 d.Exponential(jnp.ones(3), group_ndims=1), 1.0
             )
+
+
+class TestWrapperSampleIndependence:
+    def test_right_censored_extended_batch_draws_independent(self):
+        # Scalar base + vector censor times: every column must be an
+        # INDEPENDENT base draw (regression: a broadcast copy made all
+        # uncensored entries identical across the batch).
+        base = d.Exponential(jnp.asarray(1.0, jnp.float64))
+        cs = jnp.full(50, 100.0, jnp.float64)  # effectively uncensored
+        dist = d.RightCensored(base, cs)
+        x = np.asarray(dist.sample(jax.random.PRNGKey(0), 200))
+        assert x.shape == (200, 50)
+        # Columns must differ (a broadcast bug gives zero variance).
+        assert np.std(x, axis=1).min() > 0.1
+        corr = np.corrcoef(x[:, 0], x[:, 1])[0, 1]
+        assert abs(corr) < 0.2, corr
+
+    def test_zero_inflated_extended_batch_draws_independent(self):
+        base = d.Poisson(jnp.asarray(6.0, jnp.float64))
+        pi = jnp.full(50, -10.0, jnp.float64)  # pi ~ 0: pure base
+        dist = d.ZeroInflated(base, pi)
+        x = np.asarray(dist.sample(jax.random.PRNGKey(1), 200))
+        assert np.std(x, axis=1).min() > 0.5
+        corr = np.corrcoef(x[:, 0], x[:, 1])[0, 1]
+        assert abs(corr) < 0.2, corr
+
+    def test_size_one_axis_widening_rejected(self):
+        base = d.Exponential(jnp.ones((1, 3), jnp.float64))
+        with pytest.raises(ValueError, match="size-1 batch axis"):
+            d.RightCensored(base, jnp.ones((5, 3), jnp.float64))

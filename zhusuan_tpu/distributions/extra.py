@@ -46,6 +46,37 @@ __all__ = [
 _HALF_LOG_2PI = 0.5 * float(np.log(2.0 * np.pi))
 
 
+def _wrapper_batch(base, param_shape, param_name):
+    """Validate and return the batch shape of a wrapper distribution
+    whose parameter may EXTEND the base's batch with leading axes.
+
+    Extension must be by leading axes only: a parameter that widens a
+    size-1 batch axis of the base would force correlated base draws
+    (one draw broadcast across the widened axis) — reject it and tell
+    the user to give the base the full batch shape instead."""
+    base_b = tuple(base.batch_shape)
+    full = tuple(broadcast_shapes(base_b, tuple(param_shape)))
+    if base_b and full[len(full) - len(base_b):] != base_b:
+        raise ValueError(
+            "{} (shape {}) widens a size-1 batch axis of the base "
+            "(batch shape {}); broadcast the BASE's parameters to the "
+            "full batch shape instead so its samples stay "
+            "independent.".format(param_name, tuple(param_shape), base_b)
+        )
+    return full
+
+
+def _sample_extended_batch(base, key, n_samples, full_batch):
+    """Independent base draws of shape ``(n_samples,) + full_batch``
+    when ``full_batch`` extends ``base.batch_shape`` by leading axes
+    (one draw per extended batch element — NEVER a broadcast copy)."""
+    base_b = tuple(base.batch_shape)
+    lead = tuple(full_batch)[: len(full_batch) - len(base_b)]
+    k = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    draws = base.sample(key, n_samples=n_samples * k)
+    return draws.reshape((n_samples,) + lead + base_b)
+
+
 class _LocScaleContinuous(Distribution):
     """Shared plumbing for loc/scale continuous heads."""
 
@@ -469,9 +500,6 @@ class TruncatedNormal(_LocScaleContinuous):
             jnp.shape(self._low), jnp.shape(self._high),
         )
 
-    def _standardized_bounds(self, loc, scale):
-        return (self._low - loc) / scale, (self._high - loc) / scale
-
     def _sample(self, key, n_samples):
         loc, scale, low, high = _maybe_stop(
             (self._loc, self._scale, self._low, self._high),
@@ -673,7 +701,7 @@ class ZeroInflated(Distribution):
             )
         self._base = base
         self._pi_logits = jnp.asarray(pi_logits, base.param_dtype)
-        broadcast_shapes(base.batch_shape, jnp.shape(self._pi_logits))
+        _wrapper_batch(base, jnp.shape(self._pi_logits), "pi_logits")
         super().__init__(
             dtype=base.dtype,
             param_dtype=base.param_dtype,
@@ -696,15 +724,18 @@ class ZeroInflated(Distribution):
 
     def _sample(self, key, n_samples):
         k_mask, k_base = jax.random.split(key)
-        draws = self._base.sample(k_base, n_samples=n_samples)
         shape = (n_samples,) + self.batch_shape
+        # One INDEPENDENT base draw per batch element, even when
+        # pi_logits extends the base's batch (never a broadcast copy).
+        draws = _sample_extended_batch(
+            self._base, k_base, n_samples, self.batch_shape
+        )
         pi = jax.nn.sigmoid(jax.lax.stop_gradient(self._pi_logits))
         zero_mask = (
             jax.random.uniform(k_mask, shape, self.param_dtype) < pi
         )
         return jnp.where(
-            zero_mask, jnp.zeros((), self.dtype),
-            jnp.broadcast_to(draws, shape),
+            zero_mask, jnp.zeros((), self.dtype), draws
         ).astype(self.dtype)
 
     def _log_prob(self, given):
@@ -840,7 +871,7 @@ class RightCensored(Distribution):
             )
         self._base = base
         self._upper = jnp.asarray(upper, base.param_dtype)
-        broadcast_shapes(base.batch_shape, jnp.shape(self._upper))
+        _wrapper_batch(base, jnp.shape(self._upper), "upper")
         super().__init__(
             dtype=base.dtype,
             param_dtype=base.param_dtype,
@@ -862,9 +893,11 @@ class RightCensored(Distribution):
         return ()
 
     def _sample(self, key, n_samples):
-        draws = self._base.sample(key, n_samples=n_samples)
-        shape = (n_samples,) + self.batch_shape
-        return jnp.minimum(jnp.broadcast_to(draws, shape), self._upper)
+        # Independent base draw per batch element (see ZeroInflated).
+        draws = _sample_extended_batch(
+            self._base, key, n_samples, self.batch_shape
+        )
+        return jnp.minimum(draws, self._upper)
 
     def _log_prob(self, given):
         x = jnp.asarray(given, self.param_dtype)

@@ -356,7 +356,17 @@ def sgpr_predict(kernel, x, y, z, x_star, noise_var,
     mean = tmp.T @ c
     var = (kernel.kdiag(x_star) - jnp.sum(As * As, axis=0)
            + jnp.sum(tmp * tmp, axis=0))
-    elbo = sgpr_elbo(kernel, x, y, z, noise_var, jitter)
+    # Assemble the ELBO from the factorization already in scope instead
+    # of re-running sgpr_elbo (which would redo the O(n m^2) grams,
+    # Choleskys and solves — the dominant cost — a second time).
+    n = x.shape[0]
+    log_det = (2.0 * jnp.sum(jnp.log(jnp.diagonal(Lb)))
+               + n * jnp.log(sigma2))
+    quad = jnp.sum(y * y) / sigma2 - jnp.sum(c * c)
+    trace_term = (jnp.sum(kernel.kdiag(x)) - jnp.sum(A * A)) / sigma2
+    elbo = (-0.5 * (log_det + quad
+                    + n * jnp.log(2.0 * jnp.asarray(jnp.pi, x.dtype)))
+            - 0.5 * trace_term)
     return GPPosterior(mean=mean, var=jnp.maximum(var, 0.0),
                        log_marginal=elbo)
 

@@ -150,3 +150,42 @@ class TestBayesianNetSugar:
         assert z.tensor.shape == (64,)
         lp = bn.cond_log_prob("z")
         assert np.isfinite(np.asarray(lp)).all()
+
+
+class TestBetaBinomial:
+    def test_pmf_matches_scipy(self):
+        a, b, n = 2.5, 4.0, 12
+        dist = d.BetaBinomial(n, jnp.asarray(a, jnp.float64),
+                              jnp.asarray(b, jnp.float64))
+        ks = np.arange(n + 1)
+        got = np.exp([float(dist.log_prob(jnp.asarray(k))) for k in ks])
+        want = stats.betabinom.pmf(ks, n, a, b)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+        np.testing.assert_allclose(got.sum(), 1.0, rtol=1e-12)
+
+    def test_sampling_moments_and_overdispersion(self):
+        a, b, n = 2.0, 3.0, 20
+        dist = d.BetaBinomial(n, jnp.asarray(a, jnp.float64),
+                              jnp.asarray(b, jnp.float64))
+        x = np.asarray(dist.sample(jax.random.PRNGKey(0), 100000))
+        mean = n * a / (a + b)
+        var = n * a * b * (a + b + n) / ((a + b) ** 2 * (a + b + 1))
+        assert abs(x.mean() - mean) < 5 * np.sqrt(var / x.size)
+        assert abs(x.var() / var - 1.0) < 0.03
+        # Strictly overdispersed vs the matched Binomial.
+        p = a / (a + b)
+        assert x.var() > 1.5 * n * p * (1 - p)
+
+    def test_batched_params(self):
+        alphas = jnp.asarray([1.0, 5.0], jnp.float64)
+        dist = d.BetaBinomial(8, alphas, jnp.asarray(2.0, jnp.float64))
+        assert dist.batch_shape == (2,)
+        lp = np.asarray(dist.log_prob(jnp.asarray([3.0, 3.0])))
+        for i, a in enumerate([1.0, 5.0]):
+            np.testing.assert_allclose(
+                lp[i], stats.betabinom.logpmf(3, 8, a, 2.0), rtol=1e-10
+            )
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="positive int"):
+            d.BetaBinomial(0, 1.0, 1.0)

@@ -721,6 +721,20 @@ class BayesianNet(Context):
         )
         return self.stochastic(name, dist, n_samples=n_samples)
 
+    def beta_binomial(
+        self, name, n_experiments, alpha, beta, dtype=None, group_ndims=0,
+        n_samples=None, check_numerics=False, **kwargs,
+    ):
+        """Add a BetaBinomial node (beyond reference)."""
+        import jax.numpy as _jnp
+        dist = distributions.BetaBinomial(
+            n_experiments, alpha, beta,
+            dtype=_jnp.int32 if dtype is None else dtype,
+            group_ndims=group_ndims, check_numerics=check_numerics,
+            **kwargs,
+        )
+        return self.stochastic(name, dist, n_samples=n_samples)
+
     def ordered_logistic(
         self, name, eta, cutpoints, dtype=None, group_ndims=0,
         n_samples=None, **kwargs,

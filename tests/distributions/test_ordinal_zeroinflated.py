@@ -189,3 +189,41 @@ class TestBetaBinomial:
     def test_validation(self):
         with pytest.raises(ValueError, match="positive int"):
             d.BetaBinomial(0, 1.0, 1.0)
+
+
+class TestVonMises:
+    def test_log_prob_matches_scipy(self):
+        loc, kappa = 0.7, 2.5
+        dist = d.VonMises(jnp.asarray(loc, jnp.float64),
+                          jnp.asarray(kappa, jnp.float64))
+        xs = np.linspace(-3.0, 3.0, 13)
+        np.testing.assert_allclose(
+            np.asarray(dist.log_prob(jnp.asarray(xs))),
+            stats.vonmises.logpdf(xs, kappa, loc=loc), rtol=1e-12,
+        )
+
+    @pytest.mark.parametrize("kappa", [0.1, 2.5, 50.0])
+    def test_sampling_ks_vs_scipy(self, kappa):
+        from scipy.special import i0, i1
+
+        dist = d.VonMises(jnp.asarray(0.0, jnp.float64),
+                          jnp.asarray(kappa, jnp.float64))
+        x = np.asarray(dist.sample(jax.random.PRNGKey(3), 50000))
+        assert x.min() > -np.pi - 1e-9 and x.max() <= np.pi + 1e-9
+        ks = stats.kstest(x, lambda t: stats.vonmises.cdf(t, kappa))
+        assert ks.pvalue > 1e-4, (kappa, ks)
+        # Resultant length matches I1/I0.
+        r_hat = np.hypot(np.cos(x).mean(), np.sin(x).mean())
+        np.testing.assert_allclose(
+            r_hat, i1(kappa) / i0(kappa), atol=0.01
+        )
+
+    def test_loc_wrapping(self):
+        # loc near the boundary: samples still land in (-pi, pi] with
+        # the right circular mean.
+        dist = d.VonMises(jnp.asarray(3.0, jnp.float64),
+                          jnp.asarray(5.0, jnp.float64))
+        x = np.asarray(dist.sample(jax.random.PRNGKey(4), 50000))
+        assert x.min() > -np.pi - 1e-9 and x.max() <= np.pi + 1e-9
+        circ_mean = np.arctan2(np.sin(x).mean(), np.cos(x).mean())
+        assert abs(circ_mean - 3.0) < 0.02, circ_mean

@@ -42,6 +42,7 @@ __all__ = [
     "Weibull",
     "RightCensored",
     "BetaBinomial",
+    "VonMises",
 ]
 
 _HALF_LOG_2PI = 0.5 * float(np.log(2.0 * np.pi))
@@ -995,3 +996,104 @@ class BetaBinomial(Distribution):
         if self._check_numerics:
             log_comb = check_numerics(log_comb, "log_combination")
         return log_comb + lbeta(x + a, n - x + b) - lbeta(a, b)
+
+
+class VonMises(Distribution):
+    """Von Mises (circular normal) on ``(-pi, pi]``.
+
+    Beyond reference — the standard head for angular/phase data::
+
+        pdf(x) = exp(kappa cos(x - loc)) / (2 pi I0(kappa))
+
+    Sampler: Best & Fisher (1979) wrapped-Cauchy rejection, vectorized
+    as one chain-masked ``lax.while_loop`` (bounded in expectation at
+    < 1.4 proposals per draw for any ``kappa``); gradient-stopped (use
+    the density for parameter learning).
+
+    :param loc: mean direction (radians), any float shape.
+    :param concentration: ``kappa > 0``, broadcastable against it.
+    """
+
+    def __init__(self, loc, concentration, group_ndims=0,
+                 check_numerics=False, **kwargs):
+        dtype = assert_same_float_dtype(
+            [(loc, "loc"), (concentration, "concentration")]
+        )
+        self._loc = jnp.asarray(loc, dtype)
+        self._concentration = jnp.asarray(concentration, dtype)
+        self._check_numerics = check_numerics
+        broadcast_shapes(
+            jnp.shape(self._loc), jnp.shape(self._concentration)
+        )
+        super().__init__(
+            dtype=dtype,
+            param_dtype=dtype,
+            is_continuous=True,
+            is_reparameterized=False,
+            group_ndims=group_ndims,
+            **kwargs,
+        )
+
+    loc = property(lambda self: self._loc)
+    concentration = property(lambda self: self._concentration)
+
+    def _batch_shape(self):
+        return broadcast_shapes(
+            jnp.shape(self._loc), jnp.shape(self._concentration)
+        )
+
+    def _value_shape(self):
+        return ()
+
+    def _sample(self, key, n_samples):
+        loc = jax.lax.stop_gradient(self._loc)
+        kappa = jax.lax.stop_gradient(self._concentration)
+        shape = (n_samples,) + self.batch_shape
+        dtype = self.param_dtype
+        kappa_b = jnp.broadcast_to(kappa, shape)
+        # Best-Fisher: envelope parameters from kappa.
+        tau = 1.0 + jnp.sqrt(1.0 + 4.0 * kappa_b * kappa_b)
+        rho = (tau - jnp.sqrt(2.0 * tau)) / (2.0 * kappa_b)
+        r = (1.0 + rho * rho) / (2.0 * rho)
+
+        def cond(val):
+            _, accepted, _ = val
+            return jnp.logical_not(jnp.all(accepted))
+
+        def body(val):
+            draw, accepted, k = val
+            k, k1, k2, k3 = jax.random.split(k, 4)
+            u1 = open_interval_standard_uniform(k1, shape, dtype)
+            u2 = open_interval_standard_uniform(k2, shape, dtype)
+            u3 = open_interval_standard_uniform(k3, shape, dtype)
+            z = jnp.cos(jnp.pi * u1)
+            f = (1.0 + r * z) / (r + z)
+            c = kappa_b * (r - f)
+            ok = jnp.logical_or(
+                c * (2.0 - c) - u2 > 0.0,
+                jnp.log(c / u2) + 1.0 - c >= 0.0,
+            )
+            angle = jnp.where(u3 > 0.5, jnp.arccos(f), -jnp.arccos(f))
+            newly = jnp.logical_and(ok, jnp.logical_not(accepted))
+            draw = jnp.where(newly, angle, draw)
+            return draw, jnp.logical_or(accepted, ok), k
+
+        draw0 = jnp.zeros(shape, dtype)
+        draw, _, _ = jax.lax.while_loop(
+            cond, body, (draw0, jnp.zeros(shape, bool), key)
+        )
+        # Shift by loc and wrap back to (-pi, pi].
+        out = draw + loc
+        return out - 2.0 * jnp.pi * jnp.round(out / (2.0 * jnp.pi))
+
+    def _log_prob(self, given):
+        loc = self.path_param(self._loc)
+        kappa = self.path_param(self._concentration)
+        log_i0 = jnp.log(jax.scipy.special.i0e(kappa)) + kappa
+        if self._check_numerics:
+            log_i0 = check_numerics(log_i0, "log(I0(kappa))")
+        return (
+            kappa * jnp.cos(given - loc)
+            - jnp.log(2.0 * jnp.asarray(jnp.pi, self.param_dtype))
+            - log_i0
+        )

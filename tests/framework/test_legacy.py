@@ -192,3 +192,16 @@ def test_all_exports_present():
     for name in legacy.__all__:
         assert hasattr(zs, name), name
     assert len(legacy.__all__) == 28
+
+
+def test_reuse_deprecated_alias():
+    # Reference framework/utils.py:109-117: ``reuse`` stays exported as a
+    # deprecated alias of ``reuse_variables``.
+    with pytest.warns(DeprecationWarning):
+        @zs.reuse("model")
+        def build():
+            return 7
+
+    assert build() == 7
+    assert "reuse" in zs.framework.__all__
+    assert "reuse_variables" in zs.framework.__all__

@@ -5,7 +5,7 @@ Parity: reference ``zhusuan/framework/__init__.py`` flat re-exports.
 
 from zhusuan_tpu.framework.bn import BayesianNet, StochasticTensor
 from zhusuan_tpu.framework.meta_bn import MetaBayesianNet, meta_bayesian_net
-from zhusuan_tpu.framework.utils import Context, Local, reuse_variables
+from zhusuan_tpu.framework.utils import Context, Local, reuse, reuse_variables
 from zhusuan_tpu.framework.arith import TensorArithmeticMixin
 from zhusuan_tpu.framework.predictive import posterior_predictive
 from zhusuan_tpu.framework.marginalize import marginalize
@@ -18,6 +18,7 @@ __all__ = [
     "Context",
     "Local",
     "reuse_variables",
+    "reuse",
     "TensorArithmeticMixin",
     "posterior_predictive",
     "marginalize",

@@ -16,8 +16,9 @@ from __future__ import annotations
 
 import functools
 import threading
+import warnings
 
-__all__ = ["Context", "Local", "reuse_variables"]
+__all__ = ["Context", "Local", "reuse_variables", "reuse"]
 
 
 class Context:
@@ -93,3 +94,15 @@ def reuse_variables(scope):
         return wrapper
 
     return deco
+
+
+def reuse(scope):
+    """Deprecated alias of :func:`reuse_variables` (reference
+    ``framework/utils.py:109-117`` keeps ``reuse`` exported with a
+    deprecation warning pointing at ``reuse_variables``)."""
+    warnings.warn(
+        "zs.reuse is deprecated; use zs.reuse_variables instead.",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return reuse_variables(scope)

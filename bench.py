@@ -28,6 +28,12 @@ Also emitted:
   checks (the content the CPU suite must skip).
 - ``scan_path_ess_per_sec``: the non-fused lax.scan path at the same
   chain count, so the fused-vs-scan gap stays visible round over round.
+- ``mixing_bench``: SECOND headline (round 4) — ESS/sec on a rho=0.95
+  equicorrelated 100-dim Gaussian where the estimator is genuinely
+  mixing-sensitive, for fixed-L HMC vs ChEES vs dense-preconditioned HMC.
+- ``configs_matrix``: the BASELINE.json acceptance-config perf matrix
+  (toy2d/bnn_sgvb/bnn_sghmc/sbn_vimco/svgp), reference-vs-ours steps/sec
+  from the recorded baseline_ref/{ref,ours}_configs.json artifacts.
 
 Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "eff_samples/sec", "vs_baseline": N}
@@ -265,6 +271,148 @@ def run_selfcheck(jax, jnp, zs, device):
     return res
 
 
+def measure_mixing(jax, jnp, zs, device, n_chains=4096, dim=100,
+                   rho=0.95, n_iters=300, n_adapt=300):
+    """Mixing-sensitive benchmark (VERDICT r3 item 2): a strongly
+    equicorrelated Gaussian (rho=0.95, unit variances; top eigen-std
+    ~9.7 vs ~0.22 for the other 99 directions) where the reference-exact
+    ESS estimator is genuinely data-DEPENDENT (autocorrelated chains,
+    cutoff > 1) — unlike the headline target whose adapted chains are
+    near-iid. Reports ESS/sec for (a) fixed-L HMC (adaptive step + diag
+    mass — diag mass cannot help here: all marginal variances equal),
+    (b) ChEES-HMC (adaptive trajectory length), (c) dense-preconditioned
+    HMC (pilot -> fit_dense_preconditioner -> whiten, the
+    tests/test_precondition.py pipeline). ESS moves when mixing does.
+    """
+    from zhusuan_tpu.diagnostics import ess_batch_device
+    from zhusuan_tpu.mcmc import fit_dense_preconditioner, whiten_log_joint
+
+    cov = np.full((dim, dim), rho) + (1 - rho) * np.eye(dim)
+    prec = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+
+    def log_joint(obs):
+        z = obs["z"]
+        return -0.5 * jnp.einsum("...i,ij,...j->...", z, prec, z)
+
+    def ess_per_sec(traj, dt):
+        T, C, D = traj.shape
+        ess = ess_batch_device(
+            jnp.asarray(traj, jnp.float32).reshape(T, C * D)
+        ).reshape(C, D)
+        total = float(np.minimum.reduce(np.asarray(ess), axis=1).sum())
+        return total, total / dt
+
+    out = {"target": "equicorrelated Gaussian rho={} dim={}".format(
+        rho, dim), "n_chains": n_chains, "n_iters": n_iters}
+    with jax.default_device(device):
+        # -- (a) fixed-L HMC, the headline sampler's configuration ------ #
+        hmc = zs.HMC(step_size=0.1, n_leapfrogs=5, adapt_step_size=True,
+                     adapt_mass=True, mass_collect_iters=50)
+        st = hmc.init({"z": jnp.zeros((n_chains, dim))},
+                      log_joint=log_joint)
+        burn = jax.jit(lambda s, k: hmc.run(
+            log_joint, {}, s, k, n_adapt, n_adapt=n_adapt, collect=False))
+        samp = jax.jit(lambda s, k: hmc.run(
+            log_joint, {}, s, k, n_iters, n_adapt=0,
+            collect_fields=("samples",)))
+        st, _ = burn(st, jax.random.PRNGKey(11))
+        jax.block_until_ready(st.q["z"])
+        o = samp(st, jax.random.PRNGKey(12))  # compile
+        jax.block_until_ready(o[1]["samples"]["z"])
+        t0 = time.perf_counter()
+        _, o = samp(st, jax.random.PRNGKey(13))
+        jax.block_until_ready(o["samples"]["z"])
+        dt = time.perf_counter() - t0
+        total, eps = ess_per_sec(o["samples"]["z"], dt)
+        out["hmc_fixed_L"] = {"total_min_ess": round(total, 1),
+                              "ess_per_sec": round(eps, 1),
+                              "sample_sec": round(dt, 3)}
+        pilot_traj = o["samples"]["z"]  # reused for the preconditioner
+        del o
+
+        # -- (b) ChEES-HMC: cross-chain adaptive trajectory length ------ #
+        ch = zs.ChEESHMC(step_size=0.05, trajectory_length=1.0)
+        cst = ch.init({"z": jnp.zeros((n_chains, dim))})
+        cburn = jax.jit(lambda s, k: ch.run(
+            log_joint, {}, s, k, n_adapt, n_adapt=n_adapt, collect=False))
+        csamp = jax.jit(lambda s, k: ch.run(
+            log_joint, {}, s, k, n_iters, n_adapt=0))
+        cst, _ = cburn(cst, jax.random.PRNGKey(21))
+        jax.block_until_ready(cst.q["z"])
+        o = csamp(cst, jax.random.PRNGKey(22))  # compile
+        jax.block_until_ready(o[1]["samples"]["z"])
+        t0 = time.perf_counter()
+        _, o = csamp(cst, jax.random.PRNGKey(23))
+        jax.block_until_ready(o["samples"]["z"])
+        dt = time.perf_counter() - t0
+        total, eps = ess_per_sec(o["samples"]["z"], dt)
+        out["chees"] = {"total_min_ess": round(total, 1),
+                        "ess_per_sec": round(eps, 1),
+                        "sample_sec": round(dt, 3)}
+        del o
+
+        # -- (c) dense-preconditioned HMC: pilot-whitened space --------- #
+        # Fit L from the fixed-L pilot (pooled across chains+time), run
+        # HMC on the whitened joint, and compute ESS on the ORIGINAL
+        # coordinates (from_w mapped trajectory).
+        t_fit0 = time.perf_counter()
+        pilot = jnp.asarray(pilot_traj[::4]).reshape(-1, dim)
+        chol = fit_dense_preconditioner(pilot)
+        wlj, to_w, from_w = whiten_log_joint(log_joint, "z", chol)
+        fit_sec = time.perf_counter() - t_fit0
+
+        phmc = zs.HMC(step_size=0.5, n_leapfrogs=5, adapt_step_size=True)
+        pst = phmc.init({"z": to_w(st.q["z"])}, log_joint=wlj)
+        pburn = jax.jit(lambda s, k: phmc.run(
+            wlj, {}, s, k, n_adapt, n_adapt=n_adapt, collect=False))
+        psamp = jax.jit(lambda s, k: phmc.run(
+            wlj, {}, s, k, n_iters, n_adapt=0,
+            collect_fields=("samples",)))
+        pst, _ = pburn(pst, jax.random.PRNGKey(31))
+        jax.block_until_ready(pst.q["z"])
+        o = psamp(pst, jax.random.PRNGKey(32))  # compile
+        jax.block_until_ready(o[1]["samples"]["z"])
+        t0 = time.perf_counter()
+        _, o = psamp(pst, jax.random.PRNGKey(33))
+        jax.block_until_ready(o["samples"]["z"])
+        dt = time.perf_counter() - t0
+        traj_orig = from_w(o["samples"]["z"])  # maps act on [..., d]
+        total, eps = ess_per_sec(traj_orig, dt)
+        out["hmc_dense_precond"] = {
+            "total_min_ess": round(total, 1),
+            "ess_per_sec": round(eps, 1),
+            "sample_sec": round(dt, 3),
+            "pilot_fit_sec": round(fit_sec, 3),
+            "pilot": "fixed-L trajectory (already measured above)",
+        }
+        del o
+    return out
+
+
+def load_configs_matrix():
+    """BASELINE.json acceptance-config matrix (VERDICT r3 item 1): the
+    recorded reference-vs-ours steps/sec artifacts for configs #2/#4/#5
+    (baseline_ref/measure_configs_{ref,ours}.py; identical protocol via
+    baseline_ref/configs_protocol.py)."""
+    base = os.path.dirname(REF_HMC_JSON)
+    out = {}
+    try:
+        with open(os.path.join(base, "ref_configs.json")) as f:
+            ref = json.load(f)
+        with open(os.path.join(base, "ours_configs.json")) as f:
+            ours = json.load(f)
+    except OSError as e:
+        return "unavailable: " + str(e)[:60]
+    for name in sorted(set(ref) & set(ours)):
+        r, o = ref[name]["steps_per_sec"], ours[name]["steps_per_sec"]
+        out[name] = {
+            "reference_steps_per_sec": r,
+            "ours_steps_per_sec": o,
+            "speedup": round(o / r, 1),
+        }
+    return out
+
+
 def measure_host_loop(jax, jnp, zs, cpu, n_chains):
     """The sess.run-per-iteration emulation (reference SURVEY.md §3.3):
     jitted single transition + Python loop + host fetch every iteration.
@@ -496,6 +644,16 @@ def main():
             detail["selfcheck"] = run_selfcheck(jax, jnp, zs, default)
         except Exception as e:
             detail["selfcheck"] = {"pass": False, "error": str(e)[:120]}
+
+        # Second headline: mixing-sensitive target (ESS is data-dependent
+        # here; VERDICT r3 item 2).
+        try:
+            detail["mixing_bench"] = measure_mixing(jax, jnp, zs, default)
+        except Exception as e:
+            detail["mixing_bench"] = "error: " + str(e)[:100]
+
+    # BASELINE.json acceptance-config matrix (recorded artifacts).
+    detail["configs_matrix"] = load_configs_matrix()
 
     try:
         per_step, scanned = measure_vae_steps(jax, jnp)

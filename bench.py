@@ -292,7 +292,10 @@ def measure_mixing(jax, jnp, zs, device, n_chains=4096, dim=100,
 
     def log_joint(obs):
         z = obs["z"]
-        return -0.5 * jnp.einsum("...i,ij,...j->...", z, prec, z)
+        # z @ prec is a plain [C,D]x[D,D] matmul: it lowers onto the MXU
+        # inside the fused Pallas step, unlike the equivalent einsum
+        # ("...i,ij,...j->...") whose fused dot_general Mosaic rejects.
+        return -0.5 * jnp.sum((z @ prec) * z, -1)
 
     def ess_per_sec(traj, dt):
         T, C, D = traj.shape
@@ -301,6 +304,36 @@ def measure_mixing(jax, jnp, zs, device, n_chains=4096, dim=100,
         ).reshape(C, D)
         total = float(np.minimum.reduce(np.asarray(ess), axis=1).sum())
         return total, total / dt
+
+    last_traj = [None]
+
+    def timed_trials(samp, st, key_base, postmap=None):
+        """N_TRIALS timed sampling runs with distinct keys (identical
+        inputs can replay memoized through the tunnel — CLAUDE.md);
+        median ESS/sec reported, all trials recorded."""
+        o = samp(st, jax.random.PRNGKey(key_base))  # compile
+        jax.block_until_ready(o[1]["samples"]["z"])
+        del o
+        eps_l, ess_l, dt_l = [], [], []
+        for trial in range(N_TRIALS):
+            t0 = time.perf_counter()
+            _, o = samp(st, jax.random.PRNGKey(key_base + 1 + trial))
+            jax.block_until_ready(o["samples"]["z"])
+            dt = time.perf_counter() - t0
+            traj = o["samples"]["z"]
+            if postmap is not None:
+                traj = postmap(traj)
+            total, eps = ess_per_sec(traj, dt)
+            eps_l.append(eps)
+            ess_l.append(total)
+            dt_l.append(dt)
+            last_traj[0] = traj
+            del o
+        mid = int(np.argsort(eps_l)[len(eps_l) // 2])
+        return {"total_min_ess": round(ess_l[mid], 1),
+                "ess_per_sec": round(eps_l[mid], 1),
+                "sample_sec": round(dt_l[mid], 3),
+                "trials_ess_per_sec": [round(e, 1) for e in eps_l]}
 
     out = {"target": "equicorrelated Gaussian rho={} dim={}".format(
         rho, dim), "n_chains": n_chains, "n_iters": n_iters}
@@ -317,18 +350,8 @@ def measure_mixing(jax, jnp, zs, device, n_chains=4096, dim=100,
             collect_fields=("samples",)))
         st, _ = burn(st, jax.random.PRNGKey(11))
         jax.block_until_ready(st.q["z"])
-        o = samp(st, jax.random.PRNGKey(12))  # compile
-        jax.block_until_ready(o[1]["samples"]["z"])
-        t0 = time.perf_counter()
-        _, o = samp(st, jax.random.PRNGKey(13))
-        jax.block_until_ready(o["samples"]["z"])
-        dt = time.perf_counter() - t0
-        total, eps = ess_per_sec(o["samples"]["z"], dt)
-        out["hmc_fixed_L"] = {"total_min_ess": round(total, 1),
-                              "ess_per_sec": round(eps, 1),
-                              "sample_sec": round(dt, 3)}
-        pilot_traj = o["samples"]["z"]  # reused for the preconditioner
-        del o
+        out["hmc_fixed_L"] = timed_trials(samp, st, 12)
+        pilot_traj = last_traj[0]  # reused for the preconditioner
 
         # -- (b) ChEES-HMC: cross-chain adaptive trajectory length ------ #
         ch = zs.ChEESHMC(step_size=0.05, trajectory_length=1.0)
@@ -339,17 +362,7 @@ def measure_mixing(jax, jnp, zs, device, n_chains=4096, dim=100,
             log_joint, {}, s, k, n_iters, n_adapt=0))
         cst, _ = cburn(cst, jax.random.PRNGKey(21))
         jax.block_until_ready(cst.q["z"])
-        o = csamp(cst, jax.random.PRNGKey(22))  # compile
-        jax.block_until_ready(o[1]["samples"]["z"])
-        t0 = time.perf_counter()
-        _, o = csamp(cst, jax.random.PRNGKey(23))
-        jax.block_until_ready(o["samples"]["z"])
-        dt = time.perf_counter() - t0
-        total, eps = ess_per_sec(o["samples"]["z"], dt)
-        out["chees"] = {"total_min_ess": round(total, 1),
-                        "ess_per_sec": round(eps, 1),
-                        "sample_sec": round(dt, 3)}
-        del o
+        out["chees"] = timed_trials(csamp, cst, 22)
 
         # -- (c) dense-preconditioned HMC: pilot-whitened space --------- #
         # Fit L from the fixed-L pilot (pooled across chains+time), run
@@ -370,22 +383,11 @@ def measure_mixing(jax, jnp, zs, device, n_chains=4096, dim=100,
             collect_fields=("samples",)))
         pst, _ = pburn(pst, jax.random.PRNGKey(31))
         jax.block_until_ready(pst.q["z"])
-        o = psamp(pst, jax.random.PRNGKey(32))  # compile
-        jax.block_until_ready(o[1]["samples"]["z"])
-        t0 = time.perf_counter()
-        _, o = psamp(pst, jax.random.PRNGKey(33))
-        jax.block_until_ready(o["samples"]["z"])
-        dt = time.perf_counter() - t0
-        traj_orig = from_w(o["samples"]["z"])  # maps act on [..., d]
-        total, eps = ess_per_sec(traj_orig, dt)
-        out["hmc_dense_precond"] = {
-            "total_min_ess": round(total, 1),
-            "ess_per_sec": round(eps, 1),
-            "sample_sec": round(dt, 3),
-            "pilot_fit_sec": round(fit_sec, 3),
-            "pilot": "fixed-L trajectory (already measured above)",
-        }
-        del o
+        out["hmc_dense_precond"] = timed_trials(psamp, pst, 32,
+                                                postmap=from_w)
+        out["hmc_dense_precond"]["pilot_fit_sec"] = round(fit_sec, 3)
+        out["hmc_dense_precond"]["pilot"] = (
+            "fixed-L trajectory (already measured above)")
     return out
 
 

@@ -105,21 +105,28 @@ def synthetic_cifar(n=10000, seed=0):
     return imgs
 
 
-def main(epochs=5, batch_size=64, z_dim=40):
-    from examples.utils.dataset import load_cifar10
+def main(epochs=5, batch_size=64, z_dim=40, ngf=64, ndf=32, lr=2e-4,
+         x_train=None, iters_per_epoch=100, save_samples=True):
+    """Full adversarial training loop (reference dcgan.py:99-138). Returns
+    ``(gen_params, disc_params, history)`` where ``history`` holds the
+    per-epoch mean generator/discriminator losses so callers (and the
+    training-dynamics tests) can assert on the trajectory, not just
+    finiteness."""
+    if x_train is None:
+        from examples.utils.dataset import load_cifar10
 
-    x_train, _, _, _, synthetic = load_cifar10(normalize=True)
-    x_train = x_train[:10000]
-    if synthetic:
-        print("[note] CIFAR-10 not found; using synthetic CIFAR-shaped "
-              "data (zero-egress env).")
+        x_train, _, _, _, synthetic = load_cifar10(normalize=True)
+        x_train = x_train[:10000]
+        if synthetic:
+            print("[note] CIFAR-10 not found; using synthetic "
+                  "CIFAR-shaped data (zero-egress env).")
 
     key = jax.random.PRNGKey(1234)
     key, kg, kd = jax.random.split(key, 3)
-    gen_params = init_gen_params(kg, z_dim)
-    disc_params = init_disc_params(kd)
-    gen_opt = optax.adam(2e-4, b1=0.5)
-    disc_opt = optax.adam(2e-4, b1=0.5)
+    gen_params = init_gen_params(kg, z_dim, ngf=ngf)
+    disc_params = init_disc_params(kd, ndf=ndf)
+    gen_opt = optax.adam(lr, b1=0.5)
+    disc_opt = optax.adam(lr, b1=0.5)
     gen_opt_state = gen_opt.init(gen_params)
     disc_opt_state = disc_opt.init(disc_params)
 
@@ -143,10 +150,11 @@ def main(epochs=5, batch_size=64, z_dim=40):
         )
 
     iters = x_train.shape[0] // batch_size
+    history = {"gen_loss": [], "disc_loss": []}
     for epoch in range(1, epochs + 1):
         perm = np.random.RandomState(epoch).permutation(x_train.shape[0])
         gls, dls = [], []
-        for t in range(min(iters, 100)):
+        for t in range(min(iters, iters_per_epoch)):
             idx = perm[t * batch_size:(t + 1) * batch_size]
             key, sub = jax.random.split(key)
             (gen_params, disc_params, gen_opt_state, disc_opt_state,
@@ -156,23 +164,26 @@ def main(epochs=5, batch_size=64, z_dim=40):
             )
             gls.append(float(gl))
             dls.append(float(dl))
+        history["gen_loss"].append(float(np.mean(gls)))
+        history["disc_loss"].append(float(np.mean(dls)))
         print("Epoch {}: gen loss = {:.4f}, disc loss = {:.4f}".format(
             epoch, np.mean(gls), np.mean(dls)
         ))
         # Save a sample grid each epoch (reference dcgan.py saves images
         # via utils.save_image_collections).
-        try:
-            from examples.utils.utils import save_image_collections
+        if save_samples:
+            try:
+                from examples.utils.utils import save_image_collections
 
-            key, sub = jax.random.split(key)
-            samples = np.asarray(generator(gen_params, 100, z_dim,
-                                           sub)["x_gen"])
-            save_image_collections(
-                samples, "results/dcgan/epoch_{}.png".format(epoch)
-            )
-        except ImportError:
-            pass
-    return gen_params, disc_params
+                key, sub = jax.random.split(key)
+                samples = np.asarray(generator(gen_params, 100, z_dim,
+                                               sub)["x_gen"])
+                save_image_collections(
+                    samples, "results/dcgan/epoch_{}.png".format(epoch)
+                )
+            except ImportError:
+                pass
+    return gen_params, disc_params, history
 
 
 if __name__ == "__main__":

@@ -39,21 +39,27 @@ def gen_loss(gen_params, disc_params, x_real, key, z_dim):
     return -jnp.mean(discriminator(disc_params, bn["x_gen"]))
 
 
-def main(epochs=5, batch_size=64, z_dim=40, n_critic=5, clip=0.01):
-    from examples.utils.dataset import load_cifar10
+def main(epochs=5, batch_size=64, z_dim=40, n_critic=5, clip=0.01,
+         ngf=64, ndf=32, lr=5e-5, x_train=None, iters_per_epoch=50):
+    """Full WGAN training loop (reference wasserstein_gan.py:72-117).
+    Returns ``(gen_params, disc_params, history)`` with per-epoch mean
+    W-distance estimates and generator losses so callers (and the
+    training-dynamics tests) can assert the W-distance estimate shrinks."""
+    if x_train is None:
+        from examples.utils.dataset import load_cifar10
 
-    x_train, _, _, _, synthetic = load_cifar10(normalize=True)
-    x_train = x_train[:10000]
-    if synthetic:
-        print("[note] CIFAR-10 not found; using synthetic CIFAR-shaped "
-              "data (zero-egress env).")
+        x_train, _, _, _, synthetic = load_cifar10(normalize=True)
+        x_train = x_train[:10000]
+        if synthetic:
+            print("[note] CIFAR-10 not found; using synthetic "
+                  "CIFAR-shaped data (zero-egress env).")
 
     key = jax.random.PRNGKey(1234)
     key, kg, kd = jax.random.split(key, 3)
-    gen_params = init_gen_params(kg, z_dim)
-    disc_params = init_disc_params(kd)
-    g_opt = optax.rmsprop(5e-5)
-    d_opt = optax.rmsprop(5e-5)
+    gen_params = init_gen_params(kg, z_dim, ngf=ngf)
+    disc_params = init_disc_params(kd, ndf=ndf)
+    g_opt = optax.rmsprop(lr)
+    d_opt = optax.rmsprop(lr)
     g_state = g_opt.init(gen_params)
     d_state = d_opt.init(disc_params)
 
@@ -79,10 +85,11 @@ def main(epochs=5, batch_size=64, z_dim=40, n_critic=5, clip=0.01):
         return optax.apply_updates(gen_params, updates), g_state, loss
 
     iters = x_train.shape[0] // batch_size
+    history = {"w_dist": [], "gen_loss": []}
     for epoch in range(1, epochs + 1):
         perm = np.random.RandomState(epoch).permutation(x_train.shape[0])
         w_dists, gls = [], []
-        for t in range(min(iters, 50)):
+        for t in range(min(iters, iters_per_epoch)):
             idx = perm[t * batch_size:(t + 1) * batch_size]
             x = jnp.asarray(x_train[idx])
             for _ in range(n_critic):
@@ -96,10 +103,12 @@ def main(epochs=5, batch_size=64, z_dim=40, n_critic=5, clip=0.01):
             )
             w_dists.append(-float(closs))
             gls.append(float(gl))
+        history["w_dist"].append(float(np.mean(w_dists)))
+        history["gen_loss"].append(float(np.mean(gls)))
         print("Epoch {}: W-distance est = {:.4f}, gen loss = {:.4f}".format(
             epoch, np.mean(w_dists), np.mean(gls)
         ))
-    return gen_params, disc_params
+    return gen_params, disc_params, history
 
 
 if __name__ == "__main__":

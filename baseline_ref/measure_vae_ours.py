@@ -24,7 +24,7 @@ from baseline_ref.vae_protocol import (
 )
 
 
-def main():
+def main(seed=1, epochs=EPOCHS, write=True):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -36,7 +36,7 @@ def main():
     x_train = load_train()
     n_batches = x_train.shape[0] // BATCH
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(seed)
     key, init_key = jax.random.split(key)
     params = init_params(init_key, x_train.shape[1], Z_DIM)
     optimizer = optax.adam(LR)
@@ -63,7 +63,7 @@ def main():
 
     perms = permutations()
     curve, epoch_secs = [], []
-    for epoch in range(1, EPOCHS + 1):
+    for epoch in range(1, epochs + 1):
         xs = jnp.asarray(
             x_train[perms[epoch - 1]][: n_batches * BATCH].reshape(
                 n_batches, BATCH, -1))
@@ -75,6 +75,8 @@ def main():
         curve.append(lb)
         print("Epoch %d (%.1fs): LB = %.3f" % (epoch, epoch_secs[-1], lb))
 
+    if not write:
+        return curve
     steady = epoch_secs[2:] or epoch_secs
     result = {
         "what": "zhusuan_tpu VAE, identical protocol (scanned epochs, CPU)",
@@ -90,6 +92,7 @@ def main():
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "elbo_curve"}))
+    return curve
 
 
 if __name__ == "__main__":

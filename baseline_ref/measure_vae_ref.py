@@ -32,11 +32,12 @@ from baseline_ref.vae_protocol import (
 )
 
 
-def main():
+def main(seed=1, epochs=EPOCHS, write=True):
     tf = install()
     import zhusuan as zs
 
-    tf.set_random_seed(1)
+    tf.reset_default_graph()
+    tf.set_random_seed(seed)
     x_train = load_train()
     x_dim = x_train.shape[1]
     he = tf.variance_scaling_initializer(scale=2.0, distribution="normal")
@@ -96,7 +97,7 @@ def main():
     curve, epoch_secs = [], []
     with tf.Session() as sess:
         sess.run(tf.global_variables_initializer())
-        for epoch in range(1, EPOCHS + 1):
+        for epoch in range(1, epochs + 1):
             xs = x_train[perms[epoch - 1]]
             lbs = []
             t0 = time.perf_counter()
@@ -111,6 +112,8 @@ def main():
             print("Epoch %d (%.1fs): LB = %.3f"
                   % (epoch, epoch_secs[-1], curve[-1]))
 
+    if not write:
+        return curve
     steady = epoch_secs[2:] or epoch_secs
     steps_per_sec = iters * len(steady) / sum(steady)
     result = {
@@ -128,6 +131,7 @@ def main():
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "elbo_curve"}))
+    return curve
 
 
 if __name__ == "__main__":

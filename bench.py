@@ -31,6 +31,9 @@ Also emitted:
 - ``mixing_bench``: SECOND headline (round 4) — ESS/sec on a rho=0.95
   equicorrelated 100-dim Gaussian where the estimator is genuinely
   mixing-sensitive, for fixed-L HMC vs ChEES vs dense-preconditioned HMC.
+- ``nuts_bench``: NUTS fused whole-tree Pallas kernel vs the vmapped
+  while-loop scan path at 4096 chains (chain-iters/sec + statistical
+  selfcheck; round 4).
 - ``configs_matrix``: the BASELINE.json acceptance-config perf matrix
   (toy2d/bnn_sgvb/bnn_sghmc/sbn_vimco/svgp), reference-vs-ours steps/sec
   from the recorded baseline_ref/{ref,ours}_configs.json artifacts.
@@ -391,6 +394,66 @@ def measure_mixing(jax, jnp, zs, device, n_chains=4096, dim=100,
     return out
 
 
+def measure_nuts(jax, jnp, zs, device, n_chains=4096, n_iters=200,
+                 n_adapt=200):
+    """NUTS throughput + fused-kernel selfcheck (VERDICT r3 item 3): the
+    bench geometry at 4096 chains, max_tree_depth=6, adapted step size.
+    Reports chain-iters/sec for the fused whole-tree Pallas kernel
+    (ops/nuts_step.py, the TPU default) and the vmapped while-loop scan
+    path, plus a statistical-equivalence check between them (both must
+    recover the target scales within 10%; hardware-PRNG stream differs
+    by design)."""
+    target_std = jnp.asarray(np.linspace(0.1, 1.0, DIM), jnp.float32)
+
+    def log_joint(obs):
+        return jnp.sum(-0.5 * (obs["x"] / target_std) ** 2, -1)
+
+    out = {"n_chains": n_chains, "n_iters": n_iters, "max_tree_depth": 6}
+    with jax.default_device(device):
+        for label, fused in (("fused", True), ("scan", False)):
+            nuts = zs.NUTS(step_size=0.1, max_tree_depth=6,
+                           adapt_step_size=True,
+                           experimental_fused_step=fused)
+            st = nuts.init({"x": jnp.zeros((n_chains, DIM), jnp.float32)},
+                           log_joint=log_joint)
+            burn = jax.jit(lambda s, k, n=nuts: n.run(
+                log_joint, {}, s, k, n_adapt, n_adapt=n_adapt,
+                collect=False))
+            samp = jax.jit(lambda s, k, n=nuts: n.run(
+                log_joint, {}, s, k, n_iters, n_adapt=0,
+                collect_fields=("samples", "n_leapfrogs")))
+            st, _ = burn(st, jax.random.PRNGKey(41))
+            jax.block_until_ready(st.q["x"])
+            o = samp(st, jax.random.PRNGKey(42))  # compile
+            jax.block_until_ready(o[1]["samples"]["x"])
+            del o
+            dts = []
+            for trial in range(N_TRIALS):
+                t0 = time.perf_counter()
+                _, o = samp(st, jax.random.PRNGKey(43 + trial))
+                jax.block_until_ready(o["samples"]["x"])
+                dts.append(time.perf_counter() - t0)
+            dt = min(dts)
+            leaps = float(np.mean(np.asarray(o["n_leapfrogs"])))
+            std = np.asarray(o["samples"]["x"]).reshape(-1, DIM).std(0)
+            rel = float(np.abs(std / np.asarray(target_std) - 1.0).max())
+            ci = n_chains * n_iters / dt
+            out[label] = {
+                "chain_iters_per_sec_M": round(ci / 1e6, 2),
+                "leapfrog_chain_steps_per_sec_M": round(ci * leaps / 1e6,
+                                                        1),
+                "mean_leapfrogs": round(leaps, 1),
+                "sample_sec_trials": [round(d, 3) for d in dts],
+                "max_rel_std_err": round(rel, 4),
+                "stats_ok": rel < 0.1,
+            }
+            del o
+    out["fused_speedup"] = round(
+        out["fused"]["chain_iters_per_sec_M"]
+        / out["scan"]["chain_iters_per_sec_M"], 2)
+    return out
+
+
 def load_configs_matrix():
     """BASELINE.json acceptance-config matrix (VERDICT r3 item 1): the
     recorded reference-vs-ours steps/sec artifacts for configs #2/#4/#5
@@ -653,6 +716,12 @@ def main():
             detail["mixing_bench"] = measure_mixing(jax, jnp, zs, default)
         except Exception as e:
             detail["mixing_bench"] = "error: " + str(e)[:100]
+
+        # NUTS: fused whole-tree kernel vs scan path (VERDICT r3 item 3).
+        try:
+            detail["nuts_bench"] = measure_nuts(jax, jnp, zs, default)
+        except Exception as e:
+            detail["nuts_bench"] = "error: " + str(e)[:100]
 
     # BASELINE.json acceptance-config matrix (recorded artifacts).
     detail["configs_matrix"] = load_configs_matrix()

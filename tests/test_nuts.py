@@ -201,3 +201,50 @@ class TestRunContract:
             zs.NUTS(max_tree_depth=0)
         with pytest.raises(ValueError, match="adapt_mass requires"):
             zs.NUTS(adapt_mass=True)
+
+
+class TestFusedKernel:
+    """ops/nuts_step.py: the whole-tree Pallas transition. The hardware
+    PRNG has no CPU lowering, so the statistical equivalence check is
+    TPU-only (the bench selfcheck re-runs it each round); the CPU suite
+    pins the eligibility gates and the silent fallback."""
+
+    def test_cpu_falls_back_silently(self):
+        lj = diag_gauss_log_joint([1.0, 2.0])
+        nuts = zs.NUTS(step_size=0.3, max_tree_depth=5,
+                       experimental_fused_step=True)
+        st = nuts.init({"w": jnp.zeros((8, 2))}, n_chain_dims=1)
+        _, out = nuts.run(lj, {}, st, KEY, 10, n_adapt=0)
+        assert out["samples"]["w"].shape == (10, 8, 2)
+
+    def test_supported_gates(self):
+        from zhusuan_tpu.ops.nuts_step import nuts_step_supported
+
+        assert nuts_step_supported((4096, 100), 6)
+        assert not nuts_step_supported((4096, 100), 7)   # unroll bound
+        assert not nuts_step_supported((4096,), 6)       # rank
+        assert not nuts_step_supported((4095, 100), 6)   # block divide
+        assert not nuts_step_supported((4096, 100000), 6)  # VMEM
+
+    def test_constructor_validation(self):
+        with pytest.raises(ValueError):
+            zs.NUTS(experimental_fused_step="yes")
+
+    @pytest.mark.skipif(jax.default_backend() != "tpu",
+                        reason="hardware PRNG requires a TPU backend")
+    def test_fused_matches_scan_statistically(self):
+        stds = [0.5, 1.0, 2.0, 4.0]
+        lj = diag_gauss_log_joint(stds)
+        outs = {}
+        for fused in (True, False):
+            nuts = zs.NUTS(step_size=0.35, max_tree_depth=5,
+                           experimental_fused_step=fused)
+            st = nuts.init({"w": jnp.zeros((512, 4), jnp.float32)},
+                           n_chain_dims=1)
+            _, out = jax.jit(
+                lambda s, k, n=nuts: n.run(lj, {}, s, k, 600, n_adapt=0)
+            )(st, jax.random.fold_in(KEY, 9))
+            post = np.asarray(out["samples"]["w"][150:]).reshape(-1, 4)
+            np.testing.assert_allclose(post.std(axis=0), stds, rtol=0.1)
+            outs[fused] = post.std(axis=0)
+        np.testing.assert_allclose(outs[True], outs[False], rtol=0.08)

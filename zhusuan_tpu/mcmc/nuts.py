@@ -31,6 +31,15 @@ TPU-native design:
   (a ``[max_depth, dim]`` contraction masked to the live slot range)
   rather than an inner loop — depth is ~10, so this is one small
   VPU-friendly reduction per leaf.
+- On TPU with ``max_tree_depth <= 6``, f32 state, and shared mass, the
+  whole transition runs as ONE fused Pallas kernel per chain-block
+  (``ops/nuts_step.py``, default via ``experimental_fused_step="auto"``):
+  edges, proposals, and the checkpoint stacks stay VMEM-resident for the
+  entire tree, the unrolled static tree structure turns all checkpoint
+  indexing into compile-time constants, and momentum/multinomial draws
+  come from the hardware PRNG — measured 5.7x the vmapped while-loop
+  path at 4096 chains on the bench geometry (PERF.md round 4). Same
+  distribution, different random stream (the fused-HMC contract).
 
 Adaptation reuses the shared machinery: Nesterov dual averaging on the
 mean leaf-acceptance statistic (base.dual_averaging_update; reference
@@ -215,6 +224,7 @@ class NUTS:
         mass_collect_iters: int = 10,
         mass_decay: float = 0.99,
         max_delta_energy: float = 1000.0,
+        experimental_fused_step="auto",
     ):
         if not float(step_size) > 0.0:
             raise ValueError("step_size must be positive.")
@@ -240,6 +250,10 @@ class NUTS:
         )
         self.mass_decay = float(mass_decay)
         self.max_delta_energy = float(max_delta_energy)
+        if experimental_fused_step not in (True, False, "auto"):
+            raise ValueError(
+                "experimental_fused_step must be True, False, or 'auto'.")
+        self.experimental_fused_step = experimental_fused_step
         self.mu = float(np.log(10.0 * self.init_step_size))
 
     # ------------------------------------------------------------------ #
@@ -514,6 +528,36 @@ class NUTS:
         )
 
     # ------------------------------------------------------------------ #
+    def _use_fused(self, flat, obs_b, n_chains, meta_bn, obs_f) -> bool:
+        """Eligibility of the fused Pallas transition (ops/nuts_step.py):
+        f32 state, shared mass, no per-chain observed leaves, VMEM-sized
+        blocks, compile-bounded tree depth, non-CPU backend (the
+        hardware-PRNG primitives have no CPU lowering — silent fallback
+        to the interpretable paths, same distribution)."""
+        if not self.experimental_fused_step:
+            return False
+        from zhusuan_tpu.mcmc.base import on_cpu_backend
+
+        if on_cpu_backend() or obs_b or flat.dtype != jnp.float32:
+            return False
+        from zhusuan_tpu.ops.hmc_step import consts_fit_vmem
+        from zhusuan_tpu.ops.nuts_step import nuts_step_supported
+
+        if not nuts_step_supported((n_chains, flat.dim),
+                                   self.max_tree_depth):
+            return False
+
+        def lp_one(qf_):
+            return make_log_joint_fn(meta_bn, obs_f)(
+                flat.unravel(qf_, ()))
+
+        return consts_fit_vmem(
+            (jax.vmap(jax.value_and_grad(lp_one)),),
+            jax.ShapeDtypeStruct(
+                (min(128, n_chains), flat.dim), jnp.float32),
+        )
+
+    # ------------------------------------------------------------------ #
     def sample(
         self,
         meta_bn,
@@ -633,8 +677,22 @@ class NUTS:
 
                 return self._transition_one(vag, qf, k, eps, inv_mass)
 
-            keys = jax.random.split(key, n_chains)
-            outs = jax.vmap(trans, in_axes=(0, 0, 0))(q_flat, keys, obs_b)
+            if self._use_fused(flat, obs_b, n_chains, meta_bn, obs_f):
+                from zhusuan_tpu.ops.nuts_step import fused_nuts_transition
+
+                def lp_one(qf_):
+                    return make_log_joint_fn(meta_bn, obs_f)(
+                        flat.unravel(qf_, ()))
+
+                outs = fused_nuts_transition(
+                    jax.vmap(jax.value_and_grad(lp_one)),
+                    q_flat, inv_mass[None, :], eps, key,
+                    self.max_tree_depth, self.max_delta_energy,
+                )
+            else:
+                keys = jax.random.split(key, n_chains)
+                outs = jax.vmap(trans, in_axes=(0, 0, 0))(
+                    q_flat, keys, obs_b)
         else:
             def vag(q_flat_):
                 def lp(qf_):

@@ -40,7 +40,7 @@ def hoist_closure_consts(fn: Callable, example):
 
     def converted(x, *csts):
         out = jax_core.eval_jaxpr(closed.jaxpr, csts, x)
-        return out[0]
+        return out[0] if len(out) == 1 else tuple(out)
 
     lifted, shapes = [], []
     for cst in consts:

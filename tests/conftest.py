@@ -70,7 +70,44 @@ SLOW_MODULES = {
     "test_gibbs",           # compound-kernel moment + Geweke checks (35s)
     "test_pathfinder",      # L-BFGS path VI moment recovery (40s)
     "test_discrete_gibbs",  # exact-enumeration GMM + Geweke (18s)
+    "test_wishart",         # sampler-moment + scipy log-prob sweeps (70s)
+    "test_laplace",         # quadrature-vs-evidence statistical checks (49s)
+    "test_geweke",          # Geweke joint-distribution harness runs
 }
+
+# Round-4 re-tier (VERDICT r3 item 7): individual statistical tests inside
+# otherwise-fast modules, each measured >=8s on the 1-vCPU box (pytest
+# --durations). Matched as node-id substrings so the policy stays in this
+# one place; the cheap shape/contract/error-path tests of the same modules
+# remain in the fast lane.
+SLOW_TESTS = (
+    "test_lkj_prior_by_hmc",                     # 27s bijector HMC run
+    "test_mixture.py::TestSampling",             # 43s sampler moments
+    "TestPoisson::test_sample_mean",             # 18s large-draw moments
+    "test_sampling_with_tensor_n",               # 29s dynamic-n vs scipy
+    "test_hmc_correlated_gaussian",              # 15s BN-level HMC
+    "test_student_t_ks",                         # 15s KS on large draws
+    "TestDirichlet::test_sample_simplex",        # 15s sampler moments
+    "TestTruncatedNormal::test_sugar_methods",   # 14s BN sampling sweep
+    "test_heavy_tails_vs_gaussian",              # 14s MVT tail statistics
+    "TestNegativeBinomial::test_sampler_moments",  # 14s
+    "TestNUTSMoments",                           # 12s NUTS moment runs
+    "test_thinning_bit_exact_vs_sliced_full_run",  # 11s double NUTS run
+    "TestTreeBehavior::test_depth_tracks_geometry",  # 11s
+    "test_zero_inflated_extended_batch_draws_independent",  # 12s
+    "test_batched_dirichlet",                    # 12s batched moments
+    "test_batched_poisson",                      # 8s batched moments
+    "test_advi_dirichlet_latent",                # 11s ADVI optimization
+    "test_precondition.py::TestWhiten",          # 19s ESS comparisons
+    "test_wrapper_standalone_with_key[Dirichlet]",   # 11s legacy sampling
+    "test_wrapper_registers_and_samples[Dirichlet]",  # 10s
+    "test_sampling_moments_and_overdispersion",  # 10s BetaBinomial
+    "test_correlation_cholesky_roundtrip_and_log_det",  # 10s
+    "TestFitScan::test_vae_elbo_improves",       # 10s VAE training
+    "test_mvn_bf16",                             # 10s bf16 moment runs
+    "test_dirichlet_multinomial_posterior_by_hmc",  # 9s
+    "test_half_cauchy_scale_posterior",          # 8s constrained HMC
+)
 
 
 def pytest_configure(config):
@@ -81,5 +118,6 @@ def pytest_configure(config):
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if item.module.__name__.rpartition(".")[2] in SLOW_MODULES:
+        if (item.module.__name__.rpartition(".")[2] in SLOW_MODULES
+                or any(s in item.nodeid for s in SLOW_TESTS)):
             item.add_marker(pytest.mark.slow)

@@ -515,6 +515,43 @@ class TestSGHMCFusedFallback:
                                       np.asarray(qs_b["x"]))
 
 
+class TestBF16StateScanFallback:
+    """bf16 chain state on CPU: the fused kernel is ineligible, so the
+    scan path runs — the carry must stay bf16 while the adaptation
+    accumulators (step size, dual averaging, EW moments) stay f32
+    (ops/hmc_step.py bf16-state contract; PERF.md round-4 study)."""
+
+    def test_bf16_state_runs_and_keeps_f32_adaptation(self):
+        dim, n_chains = 4, 256
+        std = jnp.linspace(0.5, 2.0, dim).astype(jnp.float32)
+
+        def lj(obs):
+            return jnp.sum(-0.5 * (obs["x"] / std) ** 2, -1)
+
+        hmc = zs.HMC(step_size=0.3, n_leapfrogs=3, adapt_step_size=True,
+                     adapt_mass=True)
+        state = hmc.init(
+            {"x": jnp.zeros((n_chains, dim), jnp.bfloat16)}, log_joint=lj
+        )
+        assert state.q["x"].dtype == jnp.bfloat16
+        assert state.step_size.dtype == jnp.float32
+        assert state.h_bar.dtype == jnp.float32
+        assert state.ewmv_var["x"].dtype == jnp.float32
+        final, out = jax.jit(
+            lambda s, k: hmc.run(lj, {}, s, k, 60, n_adapt=30)
+        )(state, jax.random.PRNGKey(2))
+        # Carry dtype is stable across the scan; accumulators stay f32.
+        assert final.q["x"].dtype == jnp.bfloat16
+        assert final.step_size.dtype == jnp.float32
+        assert final.mass["x"].dtype == jnp.float32
+        assert np.isfinite(
+            np.asarray(out["samples"]["x"], np.float32)
+        ).all()
+        acc = float(np.mean(np.asarray(out["acceptance_rate"][30:],
+                                       np.float32)))
+        assert acc > 0.4
+
+
 class TestHMCThinning:
     """HMC.run(thinning=k) — memory-bounded collect (VERDICT r2 item 3;
     same contract as SGMCMC/RWM thinning: bit-exact vs the sliced full

@@ -88,6 +88,66 @@ class TestFusedHMCStep:
         )
 
 
+class TestBF16State:
+    """bf16 STATE on the fused HMC path (TPU only): HBM positions in
+    bfloat16, all in-VMEM compute and MH energies f32 (ops/hmc_step.py;
+    PERF.md round-4 stationarity study)."""
+
+    def test_kernel_bf16_state_dtypes_and_energies(self):
+        from zhusuan_tpu.ops.hmc_step import fused_hmc_step
+
+        C, D = 1024, 64
+        std = jnp.linspace(0.5, 2.0, D, dtype=jnp.float32)
+        logp = lambda x: jnp.sum(-0.5 * (x / std) ** 2, -1)
+        grad = lambda x: -x / (std * std)
+        mass = jnp.ones((1, D), jnp.float32)
+        q = jnp.asarray(np.random.RandomState(7).randn(C, D) * 0.5,
+                        jnp.bfloat16)
+        (out_q, p0, acc, old_lp, new_lp, old_h, new_h) = fused_hmc_step(
+            logp, grad, q, mass, 0.05, 5, jax.random.PRNGKey(3)
+        )
+        # State stays bf16 in HBM; everything else is f32.
+        assert out_q.dtype == jnp.bfloat16
+        for v in (p0, acc, old_lp, new_lp, old_h, new_h):
+            assert v.dtype == jnp.float32
+        # Energies are evaluated in f32 at the (exactly representable)
+        # upcast positions: old_lp == logp(f32(q)) to f32 accuracy.
+        np.testing.assert_allclose(
+            np.asarray(old_lp),
+            np.asarray(logp(q.astype(jnp.float32))),
+            rtol=1e-5,
+        )
+        a = np.asarray(acc)
+        assert (0 <= a).all() and (a <= 1).all()
+        assert a.mean() > 0.5  # small step -> mostly accepted
+
+    def test_hmc_bf16_state_recovers_moments(self):
+        import zhusuan_tpu as zs
+
+        dim, n_chains = 8, 2048
+        std = jnp.linspace(0.5, 2.0, dim)
+
+        def lj(obs):
+            return jnp.sum(-0.5 * (obs["x"] / std) ** 2, -1)
+
+        hmc = zs.HMC(step_size=0.4, n_leapfrogs=5, adapt_step_size=True)
+        state = hmc.init(
+            {"x": jnp.zeros((n_chains, dim), jnp.bfloat16)}, log_joint=lj
+        )
+        # bf16 positions must not drag the adaptation state down to bf16.
+        assert state.step_size.dtype == jnp.float32
+        assert state.q["x"].dtype == jnp.bfloat16
+        final, out = jax.jit(
+            lambda s, k: hmc.run(lj, {}, s, k, 300, n_adapt=100)
+        )(state, jax.random.PRNGKey(5))
+        assert final.q["x"].dtype == jnp.bfloat16
+        xs = np.asarray(
+            out["samples"]["x"][150:], np.float32
+        ).reshape(-1, dim)
+        np.testing.assert_allclose(xs.std(0), np.asarray(std), rtol=0.05)
+        np.testing.assert_allclose(xs.mean(0), 0.0, atol=0.1)
+
+
 class TestFusedSGLDStep:
     """fused_sgld_step formula check (TPU only): with grad g(q) and
     learning rate lr, (new_q - q - 0.5*lr*g) must be N(0, lr) noise."""

@@ -197,7 +197,7 @@ class HMC:
         if self.check_numerics or self._on_cpu() or len(q) != 1:
             return False
         (arr,) = q.values()
-        return arr.ndim == 2 and arr.dtype == jnp.float32
+        return arr.ndim == 2 and arr.dtype in (jnp.float32, jnp.bfloat16)
 
     # ------------------------------------------------------------------ #
     def init(self, latent: Latent, n_chain_dims: Optional[int] = None,
@@ -223,6 +223,12 @@ class HMC:
             n_chain_dims = len(out_shape)
         n_chain_dims = int(n_chain_dims)
         dtype = jnp.result_type(*[v.dtype for v in q.values()])
+        # bf16 state keeps only the POSITIONS in bf16; the adaptation
+        # accumulators (dual averaging, EW moments, mass) and step size
+        # stay f32 — quantizing those would corrupt the adaptation, not
+        # just the state (PERF.md round-4 bf16-state study).
+        if dtype == jnp.bfloat16:
+            dtype = jnp.dtype(jnp.float32)
         data_shapes = {
             k: (1,) * n_chain_dims + v.shape[n_chain_dims:]
             for k, v in q.items()
@@ -455,6 +461,15 @@ class HMC:
             )
         log_post = make_log_joint_fn(meta_bn, observed)
         q = state.q
+        # bf16-state contract (ops/hmc_step.py): positions may live in
+        # bfloat16; remember the carry dtypes, upcast for ALL compute
+        # (trajectory + MH energies in f32), and round back only at the
+        # state write below.
+        state_dtypes = {k: v.dtype for k, v in q.items()}
+        q = {
+            k: (v.astype(jnp.float32) if v.dtype == jnp.bfloat16 else v)
+            for k, v in q.items()
+        }
         n_chain_dims = len(jax.eval_shape(log_post, q).shape)
 
         def grad_fn(qq):
@@ -517,12 +532,12 @@ class HMC:
             (fname,) = q.keys()
             use_fused_step = (
                 q[fname].ndim == 2
-                # Mosaic kernels are f32-only here; other dtypes take the
-                # scan path (documented silent fallback).
-                and q[fname].dtype == jnp.float32
-                and hmc_step_supported(
-                    q[fname].shape, itemsize=q[fname].dtype.itemsize
-                )
+                # f32, or bf16 STATE (HBM positions bf16, all in-VMEM
+                # compute and MH energies f32 — ops/hmc_step.py). Other
+                # dtypes take the scan path (documented silent fallback).
+                and q[fname].dtype in (jnp.float32, jnp.bfloat16)
+                # VMEM working buffers are f32 regardless of state dtype.
+                and hmc_step_supported(q[fname].shape, itemsize=4)
                 and mass[fname].shape == (1,) + q[fname].shape[1:]
                 and consts_fit_vmem(
                     (
@@ -531,7 +546,7 @@ class HMC:
                     ),
                     jax.ShapeDtypeStruct(
                         (min(256, q[fname].shape[0]), q[fname].shape[1]),
-                        q[fname].dtype,
+                        jnp.float32,
                     ),
                 )
             )
@@ -611,9 +626,12 @@ class HMC:
             # DMA overhead on a [c, 1] input — PERF.md). The selected
             # density still comes back for free, so a cache can be
             # returned at zero cost.
+            # Hand the kernel the CARRIED array (possibly bf16) — an
+            # upcast copy here would re-materialize f32 in HBM and lose
+            # the bf16-state traffic win; the kernel upcasts in VMEM.
             (out_q, p0, acceptance_rate, old_log_prob, new_log_prob,
              old_h, new_h) = fused_hmc_step(
-                single_logp, single_grad, q[fname], mass[fname],
+                single_logp, single_grad, state.q[fname], mass[fname],
                 trajectory_step, self.n_leapfrogs, key_u,
             )
             accepted_q = {fname: out_q}
@@ -703,7 +721,11 @@ class HMC:
             )
 
         new_state = HMCState(
-            q=accepted_q,
+            # Preserve the carry dtype: with bf16 state the scan-path
+            # arithmetic promotes to f32; round back so lax.scan's carry
+            # stays dtype-stable (the fused kernel already writes q dtype).
+            q={k: accepted_q[k].astype(state_dtypes[k])
+               for k in accepted_q},
             t=new_t,
             step_size=updated_step_size,
             da_step=da_step,
@@ -749,7 +771,14 @@ class HMC:
         if not with_grad:
             return logp, None
         grad_fn = jax.grad(lambda v: jnp.sum(log_post(v)))
-        return logp, grad_fn(state.q)
+        g = grad_fn(state.q)
+        # bf16 state: the gradient cotangent arrives in the position dtype;
+        # carry the cache at compute precision (f32) so the scan carry
+        # matches the promoted in-loop gradients (bf16-state contract,
+        # ops/hmc_step.py).
+        g = {k: v.astype(jnp.float32) if v.dtype == jnp.bfloat16 else v
+             for k, v in g.items()}
+        return logp, g
 
     # ------------------------------------------------------------------ #
     def run(

@@ -108,17 +108,26 @@ def fused_hmc_step(
     assert c % bc == 0, "n_chains must divide by block_chains"
     assert bc % 2 == 0, "block_chains must be even (split Box-Muller)"
     grid = (c // bc,)
+    # bf16 state support: the HBM-resident position may be bfloat16 (half
+    # the q read/write bytes per iteration); ALL in-VMEM compute — the
+    # trajectory, both Hamiltonians, and the MH energies — runs in f32
+    # (upcast on read, round on the accepted-q write). See PERF.md round-4
+    # stationarity study before relying on bf16 state for inference.
     dtype = q.dtype
+    compute_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
     mass_rows = mass.shape[0]
+    mass = mass.astype(compute_dtype)
 
-    step_size_arr = jnp.reshape(jnp.asarray(step_size, dtype), (1, 1))
+    step_size_arr = jnp.reshape(
+        jnp.asarray(step_size, compute_dtype), (1, 1)
+    )
     seed = _key_to_seed(key)
 
     grad_c, grad_consts, grad_shapes = _hoist_consts(
-        potential_grad, jax.ShapeDtypeStruct((bc, d), dtype)
+        potential_grad, jax.ShapeDtypeStruct((bc, d), compute_dtype)
     )
     logp_c, logp_consts, logp_shapes = _hoist_consts(
-        log_post, jax.ShapeDtypeStruct((bc, d), dtype)
+        log_post, jax.ShapeDtypeStruct((bc, d), compute_dtype)
     )
     n_g, n_l = len(grad_consts), len(logp_consts)
 
@@ -134,7 +143,7 @@ def fused_hmc_step(
         g_csts = [jnp.reshape(r[:], s) for r, s in zip(g_refs, grad_shapes)]
         l_csts = [jnp.reshape(r[:], s) for r, s in zip(l_refs, logp_shapes)]
 
-        q0 = q_ref[:]
+        q0 = q_ref[:].astype(compute_dtype)
 
         # --- momentum ~ N(0, m): split Box-Muller (both outputs used;
         # half the bit draws + log/sqrt per normal) ----------------------- #
@@ -143,12 +152,12 @@ def fused_hmc_step(
         )
 
         eps = split_boxmuller_normal(bc, d)
-        p0 = eps.astype(dtype) * jnp.sqrt(m)
+        p0 = eps.astype(compute_dtype) * jnp.sqrt(m)
 
         # --- MH uniform: one per chain (first lane of a fresh draw) ------ #
         bits3 = pltpu.bitcast(pltpu.prng_random_bits((bc, d)), jnp.uint32)
         u_mh_full = uniform_from_bits(bits3)
-        u_mh = u_mh_full[:, 0:1].astype(dtype)  # [bc, 1]
+        u_mh = u_mh_full[:, 0:1].astype(compute_dtype)  # [bc, 1]
 
         # --- old Hamiltonian --------------------------------------------- #
         old_lp = logp_c(q0, *l_csts)  # [bc]
@@ -178,7 +187,7 @@ def fused_hmc_step(
         out_q = jnp.where(take[:, None], qq, q0)
         out_lp = jnp.where(take, new_lp, old_lp)
 
-        oq_ref[:] = out_q
+        oq_ref[:] = out_q.astype(dtype)
         op_ref[:] = p0
         acc_ref[:] = acc[:, None]
         olp_ref[:] = old_lp[:, None]
@@ -192,7 +201,7 @@ def fused_hmc_step(
 
     vec_spec = pl.BlockSpec((bc, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    vec_shape = jax.ShapeDtypeStruct((c, 1), dtype)
+    vec_shape = jax.ShapeDtypeStruct((c, 1), compute_dtype)
 
     outs = pl.pallas_call(
         kernel,
@@ -220,7 +229,7 @@ def fused_hmc_step(
         ],
         out_shape=[
             jax.ShapeDtypeStruct((c, d), dtype),
-            jax.ShapeDtypeStruct((c, d), dtype),
+            jax.ShapeDtypeStruct((c, d), compute_dtype),
             vec_shape, vec_shape, vec_shape, vec_shape, vec_shape,
         ],
         interpret=interpret,

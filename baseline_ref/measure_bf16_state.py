@@ -20,7 +20,10 @@ Writes bf16_state.json next to this file and prints a summary.
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -53,18 +56,28 @@ def warm_start(n_chains, key, n_warm=500):
     return state
 
 
-def run_phase(state, q_dtype, n_iters, key, thinning=1):
-    """Fixed-(step, mass) sample phase with the state cast to q_dtype."""
+def make_phase(state, q_dtype, n_iters, thinning=1):
+    """Fixed-(step, mass) sample phase with the state cast to q_dtype.
+
+    Returns ``(jitted_fn, initial_state)`` — jit ONCE and reuse across
+    trials so timings measure the sample scan, not retracing.
+    """
     hmc = zs.HMC(step_size=float(state.step_size), n_leapfrogs=5)
     st = hmc.init({"x": state.q["x"].astype(q_dtype)},
                   log_joint=log_joint)
     st = st._replace(mass={k: v for k, v in state.mass.items()},
                      step_size=state.step_size)
-    return jax.jit(lambda s, k: hmc.run(
+    fn = jax.jit(lambda s, k: hmc.run(
         log_joint, {}, s, k, n_iters, n_adapt=0,
         collect_fields=("samples", "acceptance_rate"),
         collect_dtype=jnp.bfloat16, thinning=thinning,
-    ))(st, key)
+    ))
+    return fn, st
+
+
+def run_phase(state, q_dtype, n_iters, key, thinning=1):
+    fn, st = make_phase(state, q_dtype, n_iters, thinning)
+    return fn(st, key)
 
 
 def stationarity(n_chains=8192, n_iters=2000, thinning=4):
@@ -95,11 +108,15 @@ def throughput(n_chains=32768, n_iters=500, n_trials=3):
     ws = warm_start(n_chains, jax.random.PRNGKey(1))
     rows = {}
     for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        fn, st0 = make_phase(ws, dt, n_iters)
+        # Warm the compile outside the timed region.
+        st, out = fn(st0, jax.random.PRNGKey(99))
+        jax.block_until_ready(st.q["x"])
         times = []
         for t in range(n_trials):
             key = jax.random.PRNGKey(100 + t)
             t0 = time.perf_counter()
-            st, out = run_phase(ws, dt, n_iters, key)
+            st, out = fn(st0, key)
             jax.block_until_ready(st.q["x"])
             times.append(time.perf_counter() - t0)
         best = min(times)
@@ -114,7 +131,13 @@ def throughput(n_chains=32768, n_iters=500, n_trials=3):
 
 if __name__ == "__main__":
     print("devices:", jax.devices())
-    out = {"stationarity": stationarity(), "throughput": throughput()}
-    with open(os.path.join(HERE, "bf16_state.json"), "w") as f:
+    phases = sys.argv[1:] or ["stationarity", "throughput"]
+    path = os.path.join(HERE, "bf16_state.json")
+    out = json.load(open(path)) if os.path.exists(path) else {}
+    if "stationarity" in phases:
+        out["stationarity"] = stationarity()
+    if "throughput" in phases:
+        out["throughput"] = throughput()
+    with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))

@@ -73,6 +73,7 @@ SLOW_MODULES = {
     "test_wishart",         # sampler-moment + scipy log-prob sweeps (70s)
     "test_laplace",         # quadrature-vs-evidence statistical checks (49s)
     "test_geweke",          # Geweke joint-distribution harness runs
+    "test_neutra",          # flow fit + funnel HMC comparison
 }
 
 # Round-4 re-tier (VERDICT r3 item 7): individual statistical tests inside

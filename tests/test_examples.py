@@ -54,6 +54,15 @@ class TestToyExamples:
         frac_right = float(np.mean(samples > 1.0))
         assert 0.2 < frac_right < 0.8
 
+    def test_neal_funnel_neutra(self):
+        from examples.toy_examples import neal_funnel_neutra
+
+        std_plain, std_neutra = neal_funnel_neutra.main(n_fit_iters=1500)
+        # NeuTra explores the funnel neck plain HMC cannot reach
+        # (measured: plain ~2.5, NeuTra ~2.95 vs true 3.0).
+        assert std_neutra > std_plain + 0.2
+        assert abs(std_neutra - 3.0) < 0.45
+
 
 class TestVAEFamily:
     def _train(self, step_fn, params, opt_state, x, n_steps=30):

@@ -1,0 +1,140 @@
+"""Tests for NeuTra neural-transport preconditioning (mcmc/neutra.py).
+
+Beyond-reference feature (no reference counterpart); correctness is
+pinned against autodiff Jacobians and Neal's funnel — the canonical
+geometry where a constant metric (diagonal or dense) fails and a
+nonlinear transport is required (Hoffman et al. 2019, arXiv:1903.03704).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import zhusuan_tpu as zs
+from zhusuan_tpu.mcmc import NeuTraResult, fit_neutra, neutra_log_joint
+from zhusuan_tpu.transform import init_affine_coupling
+
+
+def _funnel_log_joint(obs):
+    """Neal's funnel: v ~ N(0, 3); x_i | v ~ N(0, e^{v/2}), i=1..d-1.
+
+    The latent is packed as z = [v, x_1..x_{d-1}]."""
+    z = obs["z"]
+    v = z[..., 0]
+    x = z[..., 1:]
+    lp_v = -0.5 * (v / 3.0) ** 2
+    lp_x = jnp.sum(-0.5 * (x / jnp.exp(v[..., None] / 2.0)) ** 2
+                   - v[..., None] / 2.0, axis=-1)
+    return lp_v + lp_x
+
+
+class TestLiftedDensity:
+    """neutra_log_joint must satisfy the change-of-variables identity
+    against autodiff Jacobians, for untrained (non-identity after one
+    gradient step? no — freshly initialized couplings ARE the identity,
+    so perturb them) parameters."""
+
+    def _perturbed_params(self, d, key):
+        params = init_affine_coupling(key, 4, d, hidden=8)
+        # Fresh couplings are exactly the identity (zero last layer);
+        # perturb every leaf so the Jacobian is nontrivial.
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.fold_in(key, 1), len(leaves))
+        leaves = [
+            l + 0.3 * jax.random.normal(k, l.shape, l.dtype)
+            for l, k in zip(leaves, keys)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def test_matches_autodiff_jacobian(self):
+        d = 4
+        params = self._perturbed_params(d, jax.random.PRNGKey(0))
+        lat_lj, to_lat, from_lat = neutra_log_joint(
+            _funnel_log_joint, "z", params
+        )
+        ys = jax.random.normal(jax.random.PRNGKey(1), (5, d))
+        got = lat_lj({"z": ys})
+        for i in range(5):
+            y = ys[i]
+            x = from_lat(y[None])[0]
+            jac = jax.jacfwd(lambda v: from_lat(v[None])[0])(y)
+            want = _funnel_log_joint({"z": x}) + jnp.linalg.slogdet(jac)[1]
+            np.testing.assert_allclose(float(got[i]), float(want),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_round_trip_and_shapes(self):
+        d = 6
+        params = self._perturbed_params(d, jax.random.PRNGKey(2))
+        lat_lj, to_lat, from_lat = neutra_log_joint(
+            _funnel_log_joint, "z", params
+        )
+        x = jax.random.normal(jax.random.PRNGKey(3), (7, 3, d))
+        y = to_lat(x)
+        assert y.shape == x.shape
+        np.testing.assert_allclose(np.asarray(from_lat(y)), np.asarray(x),
+                                   rtol=1e-5, atol=1e-5)
+        # 1-D input round-trips through the rank guard.
+        lp1 = lat_lj({"z": x[0, 0]})
+        assert np.shape(lp1) == ()
+
+    def test_d1_rejected(self):
+        with pytest.raises(ValueError):
+            fit_neutra(_funnel_log_joint, "z", 1, jax.random.PRNGKey(0))
+
+
+class TestFunnel:
+    """The headline claim: NeuTra-lifted HMC explores Neal's funnel where
+    plain adapted HMC cannot. std(v) = 3 exactly; plain HMC's chains
+    cannot enter the neck and underestimate it badly."""
+
+    D = 5  # v + 4 funnel coordinates
+
+    def _run_hmc(self, log_joint, key, n_chains=256, n_iters=800,
+                 n_adapt=400):
+        hmc = zs.HMC(step_size=0.1, n_leapfrogs=8, adapt_step_size=True,
+                     adapt_mass=True, target_acceptance_rate=0.8)
+        state = hmc.init(
+            {"z": jnp.zeros((n_chains, self.D))}, log_joint=log_joint
+        )
+        final, out = jax.jit(
+            lambda s, k: hmc.run(log_joint, {}, s, k, n_iters,
+                                 n_adapt=n_adapt)
+        )(state, key)
+        return np.asarray(
+            out["samples"]["z"][n_adapt:], np.float64
+        )  # [T, C, D]
+
+    def test_neutra_recovers_funnel_v_scale(self):
+        fit = fit_neutra(
+            _funnel_log_joint, "z", self.D, jax.random.PRNGKey(0),
+            n_flows=8, hidden=32, n_iters=1500, n_particles=64,
+            learning_rate=2e-3,
+        )
+        # Training made progress (the identity-initialized flow starts
+        # within ~1 nat of its plateau on this 5-D funnel, so the bar is
+        # a robust fraction of the measured ~0.8-nat improvement).
+        losses = np.asarray(fit.losses)
+        assert losses[-100:].mean() < losses[:100].mean() - 0.3
+        lat_lj, _, from_lat = neutra_log_joint(
+            _funnel_log_joint, "z", fit.params
+        )
+
+        plain = self._run_hmc(_funnel_log_joint, jax.random.PRNGKey(1))
+        lat = self._run_hmc(lat_lj, jax.random.PRNGKey(2))
+        neutra = np.asarray(from_lat(jnp.asarray(lat, jnp.float32)),
+                            np.float64)
+
+        v_plain = plain[..., 0].reshape(-1)
+        v_neutra = neutra[..., 0].reshape(-1)
+        # NeuTra recovers the funnel scale; plain HMC cannot reach the
+        # neck (it underestimates std(v) and its min is far from the
+        # deep-neck region NeuTra visits).
+        assert abs(v_neutra.std() - 3.0) < 0.45, v_neutra.std()
+        assert abs(v_neutra.mean()) < 0.5, v_neutra.mean()
+        assert v_neutra.std() > v_plain.std() + 0.3, (
+            v_neutra.std(), v_plain.std()
+        )
+        assert v_neutra.min() < v_plain.min() - 1.0, (
+            v_neutra.min(), v_plain.min()
+        )

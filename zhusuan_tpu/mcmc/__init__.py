@@ -12,6 +12,11 @@ from zhusuan_tpu.mcmc.precondition import (
     fit_dense_preconditioner,
     whiten_log_joint,
 )
+from zhusuan_tpu.mcmc.neutra import (
+    NeuTraResult,
+    fit_neutra,
+    neutra_log_joint,
+)
 from zhusuan_tpu.mcmc.elliptical import (
     EllipticalSlice,
     EllipticalSliceInfo,
@@ -58,6 +63,9 @@ __all__ = [
     "SGNHT",
     "fit_dense_preconditioner",
     "whiten_log_joint",
+    "fit_neutra",
+    "neutra_log_joint",
+    "NeuTraResult",
     "ReplicaExchangeHMC",
     "REMCState",
     "REMCInfo",

@@ -80,7 +80,9 @@ class VariationalObjective(TensorArithmeticMixin):
             self._v_log_probs = {
                 name: variational.nodes[name].cond_log_p for name in v_names
             }
+            self._v_nodes = {name: variational.nodes[name] for name in v_names}
         else:
+            self._v_nodes = None
             for name, value in latent.items():
                 if not (isinstance(value, (tuple, list)) and len(value) == 2):
                     raise ValueError(
@@ -143,6 +145,14 @@ class VariationalObjective(TensorArithmeticMixin):
             else:
                 self._log_joint_cache = self.bn.log_joint()
         return self._log_joint_cache
+
+    def _log_joint_at(self, joint_obs):
+        """Evaluate the model log-joint at an arbitrary observation dict
+        (no caching). Used by estimators that need a second model pass at
+        transformed latents (e.g. DReG's stop-gradient correction)."""
+        if self._log_joint_fn is not None:
+            return self._log_joint_fn(joint_obs)
+        return self._meta_bn.observe(**joint_obs).log_joint()
 
     def _entropy_term(self):
         """Negative sum of variational log-probs (reference base.py:177-183)."""

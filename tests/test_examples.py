@@ -47,6 +47,17 @@ class TestToyExamples:
         assert np.isfinite(float(params["z1_mean"]))
         assert float(params["z2_logstd"]) > -5.0
 
+    def test_evidence_sandwich(self):
+        from examples.toy_examples import evidence_sandwich
+
+        out = evidence_sandwich.main(
+            n_iters=400, n_particles=128, n_eval=50_000
+        )
+        # The fitted bracket must contain the analytic log Z tightly
+        # (family contains the posterior, so both bounds approach log Z).
+        assert out["lower"] <= out["log_z"] <= out["upper"], out
+        assert out["gap"] < 0.05, out
+
     def test_mixture_sgnht(self):
         from examples.toy_examples import mixture_sgnht
 

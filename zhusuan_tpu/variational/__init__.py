@@ -14,6 +14,12 @@ from zhusuan_tpu.variational.monte_carlo import (
     iw_objective,
 )
 from zhusuan_tpu.variational.inclusive_kl import InclusiveKLObjective, klpq
+from zhusuan_tpu.variational.renyi import (
+    ChiSquareObjective,
+    RenyiDivergenceObjective,
+    cubo_objective,
+    vr_objective,
+)
 from zhusuan_tpu.variational.autoguide import FullRankGuide, MeanFieldGuide
 from zhusuan_tpu.variational.advi import advi, ADVIResult
 from zhusuan_tpu.variational.svgd import SVGD, SVGDInfo, SVGDState
@@ -43,6 +49,10 @@ __all__ = [
     "iw_objective",
     "InclusiveKLObjective",
     "klpq",
+    "RenyiDivergenceObjective",
+    "vr_objective",
+    "ChiSquareObjective",
+    "cubo_objective",
     "MeanFieldGuide",
     "advi",
     "ADVIResult",

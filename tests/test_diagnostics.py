@@ -9,6 +9,7 @@ import pytest
 
 from zhusuan_tpu.diagnostics import (
     effective_sample_size,
+    nested_rhat,
     effective_sample_size_1d,
     ess_batch,
 )
@@ -259,3 +260,70 @@ class TestFrozenChainESS:
         dev = np.asarray(ess_batch_device(jnp.asarray(x)))
         assert host[0] > 30 and dev[0] > 30
         assert host[1] == 0.0 and dev[1] == 0.0
+
+
+class TestNestedRhat:
+    """Margossian et al. 2024: convergence diagnosis for many short
+    chains, including the one-draw-per-chain regime where split-R-hat is
+    undefined (within-chain variance needs n_iters >= 2)."""
+
+    def test_iid_near_one(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(10, 512))  # N=10 draws, 512 chains
+        r = float(nested_rhat(x, n_superchains=32))
+        m_times_n = (512 // 32) * 10
+        assert 1.0 <= r < np.sqrt(1.0 + 5.0 / m_times_n), r
+
+    def test_single_draw_per_chain(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(1, 4096))  # classic R-hat: W == 0, undefined
+        r = float(nested_rhat(x, n_superchains=64))
+        assert 1.0 <= r < np.sqrt(1.0 + 5.0 / 64.0), r
+        # classic split-R-hat on the same draws is undefined (no
+        # within-chain variance) and says so.
+        from zhusuan_tpu.diagnostics import potential_scale_reduction
+        with pytest.raises(ValueError, match="nested_rhat"):
+            potential_scale_reduction(x)
+
+    def test_detects_stuck_superchains(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(1, 4096))
+        # Half the superchains stuck in a mode at +3 (superchains are
+        # contiguous chain blocks, so shift the first half of chains).
+        x[:, : 2048] += 3.0
+        r = float(nested_rhat(x, n_superchains=64))
+        assert r > 1.5, r
+
+    def test_mixing_within_superchain_is_healthy(self):
+        # Chains WITHIN each superchain spread over modes identically
+        # across superchains -> between-superchain variance small -> the
+        # ensemble represents the same distribution everywhere: near 1.
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(4, 1024))
+        x[:, ::2] += 3.0  # alternating chains hit the second mode
+        r = float(nested_rhat(x, n_superchains=16))
+        assert r < np.sqrt(1.0 + 5.0 / (64 * 4)) , r
+
+    def test_trailing_dims_and_validation(self):
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(5, 64, 3, 2))
+        r = nested_rhat(x, n_superchains=8)
+        assert r.shape == (3, 2)
+        with pytest.raises(ValueError, match="divide"):
+            nested_rhat(x, n_superchains=7)
+        with pytest.raises(ValueError, match=">= 2"):
+            nested_rhat(x, n_superchains=1)
+
+    def test_rank_normalized_variance_divergence(self):
+        # Superchains agree in mean but differ in scale: the plain
+        # statistic misses it, the folded rank-normalized one flags it.
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(8, 1024))
+        x[:, : 512] *= 4.0
+        plain = float(nested_rhat(x, n_superchains=16))
+        ranked = float(
+            nested_rhat(x, n_superchains=16,
+                                       rank_normalized=True)
+        )
+        assert plain < 1.05, plain
+        assert ranked > 1.2, ranked

@@ -26,6 +26,7 @@ __all__ = [
     "effective_sample_size_1d",
     "ess_batch",
     "ess_batch_device",
+    "nested_rhat",
     "potential_scale_reduction",
     "summary",
     "kernel_stein_discrepancy",
@@ -97,6 +98,12 @@ def potential_scale_reduction(samples, rank_normalized: bool = False):
         return np.maximum(bulk, folded)
     x = np.asarray(samples, np.float64)
     n, m = x.shape[:2]
+    if n < 2:
+        raise ValueError(
+            "split-R-hat needs n_iters >= 2 to estimate within-chain "
+            "variance (got {}); for single-draw many-chain runs use "
+            "nested_rhat.".format(n)
+        )
     # Split each chain in half (guards against trending chains).
     half = n // 2
     x = np.concatenate([x[:half], x[half:2 * half]], axis=1)
@@ -108,6 +115,80 @@ def potential_scale_reduction(samples, rank_normalized: bool = False):
     var_plus = (n - 1) / n * w + b / n
     with np.errstate(divide="ignore", invalid="ignore"):
         rhat = np.sqrt(var_plus / w)
+    return rhat
+
+
+def nested_rhat(samples, n_superchains: int, rank_normalized: bool = False):
+    """Nested R-hat for the many-short-chains regime (Margossian, Hoffman,
+    Sountsov, Carpenter, Gelman & Vehtari, "Nested R-hat: Assessing the
+    convergence of Markov chain Monte Carlo when running many short
+    chains", Bayesian Analysis 2024).
+
+    Not present in the reference (its only diagnostic is ESS); added
+    because vectorized thousands-of-chains sampling is this library's
+    flagship axis, and classic (split-)R-hat needs each chain long enough
+    to estimate its own variance — useless when the TPU budget buys
+    4096 chains x 10 draws. Nested R-hat groups chains into K
+    *superchains* of M chains each and compares between-superchain
+    variance to within-superchain variance (between-chain + within-chain),
+    so it remains well-defined even at ONE draw per chain:
+
+    .. math::
+        \\hat R_{nested} = \\sqrt{1 + \\hat B / \\hat W},
+
+    where :math:`\\hat B` is the (ddof=1) variance of superchain means and
+    :math:`\\hat W = \\tfrac1K \\sum_k \\big[\\tfrac1M \\sum_m
+    (\\bar x_{mk} - \\bar x_{k})^2 + \\tfrac1M \\sum_m s^2_{mk}\\big]`
+    with biased (1/N) within-chain variances. At stationarity
+    :math:`\\hat R_{nested}^2 \\approx 1 + 1/(MN)` per superchain, so the
+    paper's decision rule is ``nested_rhat < sqrt(1 + 1/ess_target)``.
+
+    For the diagnostic to detect non-mixing, chains *within* a superchain
+    should share (or draw from the same) initialization, so that distinct
+    basins/modes separate superchains rather than being averaged inside
+    one. Chains are grouped contiguously: chain axis index
+    ``c`` belongs to superchain ``c // (n_chains // n_superchains)``.
+
+    :param samples: ``[n_iters, n_chains, ...]`` array; ``n_iters`` may
+        be 1.
+    :param n_superchains: K; must divide ``n_chains`` and be >= 2.
+    :param rank_normalized: apply the Vehtari et al. 2021 bulk/folded
+        rank-normalization (max of the two statistics), as in
+        :func:`potential_scale_reduction`.
+    :return: numpy array of shape ``samples.shape[2:]``.
+    """
+    x = np.asarray(samples, np.float64)
+    if x.ndim < 2:
+        raise ValueError(
+            "samples must be [n_iters, n_chains, ...]; got shape "
+            + repr(x.shape)
+        )
+    n, c = x.shape[:2]
+    k = int(n_superchains)
+    if k < 2:
+        raise ValueError("n_superchains must be >= 2.")
+    if c % k != 0:
+        raise ValueError(
+            "n_superchains ({}) must divide n_chains ({}).".format(k, c)
+        )
+    if rank_normalized:
+        bulk = nested_rhat(_rank_normalize(x), k)
+        folded = nested_rhat(
+            _rank_normalize(np.abs(x - np.median(x, axis=(0, 1)))), k
+        )
+        return np.maximum(bulk, folded)
+    m = c // k
+    x = x.reshape((n, k, m) + x.shape[2:])
+    chain_means = x.mean(axis=0)                     # [k, m, ...]
+    within_chain = x.var(axis=0, ddof=0)             # [k, m, ...] (1/N)
+    super_means = chain_means.mean(axis=1)           # [k, ...]
+    between_chain = np.mean(
+        (chain_means - super_means[:, None]) ** 2, axis=1
+    )                                                # [k, ...]
+    w = np.mean(between_chain + within_chain.mean(axis=1), axis=0)
+    b = super_means.var(axis=0, ddof=1)              # [...]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rhat = np.sqrt(1.0 + b / w)
     return rhat
 
 

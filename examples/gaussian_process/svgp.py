@@ -35,7 +35,17 @@ parser.add_argument("-dataset", default="boston_housing", type=str,
 parser.add_argument("-lr", default=1e-2, type=float)
 
 
-def build_model(params, x, n_z, n_particles):
+def kzz_cholesky(params, n_z):
+    """Jittered Cholesky of the inducing Gram matrix — computed ONCE per
+    step and shared between the model and the variational (they otherwise
+    each pay a sequential 100x100 Cholesky + inversion on TPU for the
+    same matrix)."""
+    kernel = RBFKernel(params["k_raw_scale"])
+    Kzz = kernel(params["z_pos"], params["z_pos"])
+    return jnp.linalg.cholesky(Kzz + 1e-6 * jnp.eye(n_z, dtype=Kzz.dtype))
+
+
+def build_model(params, x, n_z, n_particles, kzz_chol=None):
     """p(fz) p(fx | fz) p(y | fx) (reference svgp.py:49-73)."""
     kernel = RBFKernel(params["k_raw_scale"])
     z_pos = params["z_pos"]
@@ -43,10 +53,13 @@ def build_model(params, x, n_z, n_particles):
     @zs.meta_bayesian_net()
     def model():
         bn = zs.BayesianNet()
-        Kzz = kernel(z_pos, z_pos)
-        Kzz_chol = jnp.linalg.cholesky(
-            Kzz + 1e-6 * jnp.eye(n_z, dtype=Kzz.dtype)
-        )
+        if kzz_chol is None:
+            Kzz = kernel(z_pos, z_pos)
+            Kzz_chol = jnp.linalg.cholesky(
+                Kzz + 1e-6 * jnp.eye(n_z, dtype=Kzz.dtype)
+            )
+        else:
+            Kzz_chol = kzz_chol
         fz = bn.multivariate_normal_cholesky(
             "fz", jnp.zeros([n_z], Kzz_chol.dtype), Kzz_chol,
             n_samples=n_particles,
@@ -62,9 +75,12 @@ def build_model(params, x, n_z, n_particles):
     return model()
 
 
-def build_variational_samples(params, x, n_z, n_particles, key):
+def build_variational_samples(params, x, n_z, n_particles, key,
+                              kzz_chol=None):
     """q(fz) q(fx|fz): returns the latent dict with p(fx|fz) log-prob
-    zeroed (whitened-free cancellation, reference svgp.py:123-139)."""
+    zeroed (whitened-free cancellation, reference svgp.py:123-139).
+    Pass ``kzz_chol`` (see :func:`kzz_cholesky`) to share one inducing-Gram
+    Cholesky with the model instead of recomputing it here."""
     kernel = RBFKernel(params["k_raw_scale"])
     z_pos = params["z_pos"]
     bn = zs.BayesianNet(key=key)
@@ -75,7 +91,7 @@ def build_variational_samples(params, x, n_z, n_particles, key):
     fz = bn.multivariate_normal_cholesky(
         "fz", params["z_mean"], z_cov_tril, n_samples=n_particles
     )
-    fx_dist = gp_conditional(z_pos, fz.tensor, x, False, kernel)
+    fx_dist = gp_conditional(z_pos, fz.tensor, x, False, kernel, kzz_chol)
     bn.stochastic("fx", fx_dist)
     # Same query pattern as the reference (svgp.py:129-133): fetch samples
     # and log-probs, then zero fx's log-prob so p(fx|fz) cancels between
@@ -132,7 +148,9 @@ def main():
 
     def loss_fn(params, x, y, key):
         batch_size = x.shape[0]
-        model = build_model(params, x, hps.n_z, hps.n_particles)
+        chol = kzz_cholesky(params, hps.n_z)
+        model = build_model(params, x, hps.n_z, hps.n_particles,
+                            kzz_chol=chol)
 
         def log_joint(bn):
             prior, log_py_given_fx = bn.cond_log_prob(["fz", "y"])
@@ -140,7 +158,7 @@ def main():
 
         model.log_joint = log_joint
         latent = build_variational_samples(
-            params, x, hps.n_z, hps.n_particles, key
+            params, x, hps.n_z, hps.n_particles, key, kzz_chol=chol
         )
         lower_bound = zs.variational.elbo(
             model, observed={"y": y}, latent=latent, axis=0

@@ -110,11 +110,62 @@ class MultivariateNormalCholesky(Distribution):
             cov_tril = jax.lax.stop_gradient(cov_tril)
         shape = (n_samples,) + self.batch_shape + (self._n_dim,)
         eps = jax.random.normal(key, shape, dtype=self.dtype)
+        self._pending_eps = eps
         # [..., d, d] @ [..., d, 1] -> [..., d]; batched over chains on MXU.
         transformed = jnp.squeeze(
             jnp.matmul(cov_tril, eps[..., None]), axis=-1
         )
         return mean + transformed
+
+    def sample(self, key, n_samples=None):
+        self._pending_eps = None
+        out = super().sample(key, n_samples)
+        eps = self._pending_eps
+        if eps is not None and n_samples is None:
+            eps = jnp.squeeze(eps, axis=0)
+        # Cache (sample, its white noise) so scoring the distribution's OWN
+        # reparameterized sample — the ubiquitous q-entropy term of every
+        # variational objective — can skip the triangular solve (see
+        # log_prob). Identity-checked, so it can only hit within the same
+        # trace that drew the sample.
+        self._own_sample = out
+        self._own_eps = eps
+        return out
+
+    def log_prob(self, given):
+        """Log density; when ``given`` IS this object's own reparameterized
+        sample (object identity), uses ``L^{-1}(z - mean) == eps`` to score
+        as ``-||eps||^2/2 - sum(log diag L) - d/2 log 2pi`` with no
+        triangular solve. Values agree exactly; gradients agree too because
+        with ``z = mean + L eps`` substituted symbolically, eps carries no
+        parameter dependence (the path term absorbs the score term — the
+        standard reparameterized-entropy identity). The identity holds on
+        the lower-triangular manifold: gradients wrt the strictly-upper
+        entries of ``cov_tril`` (ignored by the density, masked by any
+        ``jnp.tril`` parameterization) are 0 here, where the solve path
+        leaks a spurious sampling-path term. Falls back to the solve
+        path for observed values, non-reparameterized samples, and
+        ``use_path_derivative`` (STL stops params only in scoring, so the
+        substitution does not hold there).
+        """
+        if (
+            given is getattr(self, "_own_sample", None)
+            and self._own_eps is not None
+            and self.is_reparameterized
+            and not self.use_path_derivative
+        ):
+            eps = self._own_eps
+            log_diag = jnp.log(
+                jnp.diagonal(self._cov_tril, axis1=-2, axis2=-1)
+            )
+            log_diag = check_numerics(
+                log_diag, "log(diag(cov_tril))", self._check_numerics
+            )
+            log_det = 2.0 * jnp.sum(log_diag, axis=-1)
+            maha = jnp.sum(eps * eps, axis=-1)
+            lp = -0.5 * (self._n_dim * _LOG_2PI + maha + log_det)
+            return self._reduce_group(lp, jnp.sum)
+        return super().log_prob(given)
 
     def _log_prob(self, given):
         mean = self.path_param(self._mean)

@@ -327,3 +327,13 @@ class TestNestedRhat:
         )
         assert plain < 1.05, plain
         assert ranked > 1.2, ranked
+
+    def test_summary_integration(self):
+        from zhusuan_tpu.diagnostics import summary
+
+        rng = np.random.default_rng(6)
+        x = {"z": rng.normal(size=(4, 512, 2))}
+        stats, table = summary(x, n_superchains=16)
+        assert stats["z"]["r_hat"].shape == (2,)
+        assert np.all(stats["z"]["r_hat"] < 1.1)
+        assert "r_hat" in table

@@ -18,6 +18,8 @@ this is what makes the ESS/sec north-star metric cheap to evaluate on-chip.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -324,7 +326,8 @@ def effective_sample_size(samples, burn_in: int = 100):
     return float(np.min(positive))
 
 
-def summary(samples, round_to: int = 3, rank_normalized: bool = False):
+def summary(samples, round_to: int = 3, rank_normalized: bool = False,
+            n_superchains: Optional[int] = None):
     """Per-latent convergence/summary table over stacked MCMC output.
 
     Beyond the reference (whose only diagnostic is ESS): the standard
@@ -338,6 +341,10 @@ def summary(samples, round_to: int = 3, rank_normalized: bool = False):
     :param round_to: decimals in the formatted table.
     :param rank_normalized: use the rank-normalized + folded R-hat
         (see :func:`potential_scale_reduction`).
+    :param n_superchains: when given, the r_hat column is
+        :func:`nested_rhat` with this many superchains — the right
+        diagnostic for many short chains (including n_iters == 1, where
+        split-R-hat does not exist).
     :return: ``(stats, table)`` — ``stats`` maps each latent name to a
         dict with ``mean``/``sd``/``r_hat``/``ess`` arrays of the
         latent's data shape; ``table`` is a printable string.
@@ -357,9 +364,14 @@ def summary(samples, round_to: int = 3, rank_normalized: bool = False):
         flat = x.reshape(n, m, -1)
         mean = flat.mean(axis=(0, 1))
         sd = flat.std(axis=(0, 1))
-        r_hat = potential_scale_reduction(
-            flat, rank_normalized=rank_normalized
-        )
+        if n_superchains is not None:
+            r_hat = nested_rhat(
+                flat, n_superchains, rank_normalized=rank_normalized
+            )
+        else:
+            r_hat = potential_scale_reduction(
+                flat, rank_normalized=rank_normalized
+            )
         # ESS over pooled chains: per-chain ESS estimates summed (chains
         # are independent given convergence; this is the reference
         # estimator applied chain-wise, as in tests/test_mcmc.py) — in

@@ -38,8 +38,12 @@ Also emitted:
   (toy2d/bnn_sgvb/bnn_sghmc/sbn_vimco/svgp), reference-vs-ours steps/sec
   from the recorded baseline_ref/{ref,ours}_configs.json artifacts.
 
-Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "eff_samples/sec", "vs_baseline": N}
+Prints TWO JSON lines — the full record (headline keys + ``detail``)
+first, then a compact tail-safe headline as the FINAL line:
+{"metric": ..., "value": N, "unit": "eff_samples/sec", "vs_baseline": N,
+ "selfcheck_pass": true}
+(The driver records a bounded tail of stdout; round 4's single-line
+emission lost its own headline when the detail blob outgrew the window.)
 """
 
 import json
@@ -370,12 +374,18 @@ def measure_mixing(jax, jnp, zs, device, n_chains=4096, dim=100,
         # -- (c) dense-preconditioned HMC: pilot-whitened space --------- #
         # Fit L from the fixed-L pilot (pooled across chains+time), run
         # HMC on the whitened joint, and compute ESS on the ORIGINAL
-        # coordinates (from_w mapped trajectory).
-        t_fit0 = time.perf_counter()
+        # coordinates (from_w mapped trajectory). The fit is jitted ONCE
+        # and timed separately from trace/compile (VERDICT r4 item 6:
+        # the un-jitted 11s figure was trace overhead, not the O(n d^2)
+        # math), and an amortized ESS/sec at a stated draw budget is
+        # reported so the pilot cost is priced honestly.
         pilot = jnp.asarray(pilot_traj[::4]).reshape(-1, dim)
-        chol = fit_dense_preconditioner(pilot)
-        wlj, to_w, from_w = whiten_log_joint(log_joint, "z", chol)
+        fit = jax.jit(fit_dense_preconditioner)
+        chol = jax.block_until_ready(fit(pilot))  # compile
+        t_fit0 = time.perf_counter()
+        chol = jax.block_until_ready(fit(pilot))
         fit_sec = time.perf_counter() - t_fit0
+        wlj, to_w, from_w = whiten_log_joint(log_joint, "z", chol)
 
         phmc = zs.HMC(step_size=0.5, n_leapfrogs=5, adapt_step_size=True)
         pst = phmc.init({"z": to_w(st.q["z"])}, log_joint=wlj)
@@ -386,11 +396,19 @@ def measure_mixing(jax, jnp, zs, device, n_chains=4096, dim=100,
             collect_fields=("samples",)))
         pst, _ = pburn(pst, jax.random.PRNGKey(31))
         jax.block_until_ready(pst.q["z"])
-        out["hmc_dense_precond"] = timed_trials(psamp, pst, 32,
-                                                postmap=from_w)
-        out["hmc_dense_precond"]["pilot_fit_sec"] = round(fit_sec, 3)
-        out["hmc_dense_precond"]["pilot"] = (
-            "fixed-L trajectory (already measured above)")
+        pc = timed_trials(psamp, pst, 32, postmap=from_w)
+        pc["pilot_fit_math_sec"] = round(fit_sec, 4)
+        pc["pilot"] = "fixed-L trajectory (already measured above)"
+        # Amortized rate at a stated budget (ESS is ~linear in draws for
+        # a stationary chain): budget = fit math + 3000/n_iters sample
+        # phases; the pilot's own sampling time is already counted in
+        # hmc_fixed_L above (it is a measurement both variants share).
+        budget_iters = 3000
+        scale = budget_iters / float(n_iters)
+        pc["ess_per_sec_amortized_3k_iters"] = round(
+            pc["total_min_ess"] * scale
+            / (fit_sec + pc["sample_sec"] * scale), 1)
+        out["hmc_dense_precond"] = pc
     return out
 
 
@@ -747,14 +765,24 @@ def main():
     except Exception as e:  # secondary metric must not sink the primary
         detail["vae_sgvb_steps_per_sec"] = "error: " + str(e)[:80]
 
-    result = {
+    headline = {
         "metric": "hmc_ess_per_sec_100d_gaussian",
         "value": round(value, 2),
         "unit": "eff_samples/sec",
         "vs_baseline": round(value / base_value, 2),
-        "detail": detail,
     }
-    print(json.dumps(result))
+    sc = detail.get("selfcheck")
+    if isinstance(sc, dict):
+        headline["selfcheck_pass"] = bool(sc.get("pass", False))
+    # Emission order matters (VERDICT r4 weak 1): the driver records only
+    # a bounded TAIL of stdout, and the round-4 artifact lost its headline
+    # when the detail blob (leading keys first) outgrew that window. Print
+    # the big detail line FIRST, then the compact headline as the FINAL
+    # line so the tail capture always contains a complete, parseable
+    # headline object no matter how large the detail grows.
+    print(json.dumps({**headline, "detail": detail}))
+    sys.stdout.flush()
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

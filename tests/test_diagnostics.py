@@ -337,3 +337,20 @@ class TestNestedRhat:
         assert stats["z"]["r_hat"].shape == (2,)
         assert np.all(stats["z"]["r_hat"] < 1.1)
         assert "r_hat" in table
+
+    def test_summary_single_iteration(self):
+        # The regime n_superchains advertises (n_iters == 1): the ESS
+        # column must not route through the n-1 == 0 autocovariance
+        # divisor (ADVICE r4) — chains are independent runs, so each
+        # contributes one draw: ESS = n_chains, warning-free.
+        import warnings
+
+        from zhusuan_tpu.diagnostics import summary
+
+        rng = np.random.default_rng(7)
+        x = {"z": rng.normal(size=(1, 512, 2))}
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            stats, table = summary(x, n_superchains=16)
+        assert np.all(stats["z"]["ess"] == 512.0)
+        assert np.all(np.isfinite(stats["z"]["r_hat"]))

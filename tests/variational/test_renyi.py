@@ -177,3 +177,47 @@ class TestCUBO:
         assert abs(float(params["mu"]) - POST_MEAN) < 0.1
         fitted_std = float(jnp.exp(params["logstd"]))
         assert POST_STD - 0.05 < fitted_std < POST_STD + 0.25
+
+
+class TestExpSgvbGlobalShift:
+    def test_batched_gradient_proportional_to_true_surrogate(self):
+        # ADVICE r4: with extra batch dims, the aggregate gradient of the
+        # summed exp_sgvb cost must be PROPORTIONAL to the gradient of the
+        # true (unshifted) surrogate sum_b E[w_b^n] — a per-element shift
+        # would reweight batch elements. Two batch elements with very
+        # different weight magnitudes expose any per-element scaling.
+        n = 2.0
+
+        def batched_log_joint(obs):
+            z = obs["z"]  # [K, B]
+            mu_p = jnp.asarray([0.0, 6.0])  # element 2 far from q
+            return -0.5 * (z - mu_p) ** 2
+
+        def make_costs(params, key):
+            q = BayesianNet(key=key)
+            q.normal(
+                "z",
+                jnp.broadcast_to(params["mu"], (2,)),
+                logstd=params["logstd"],
+                n_samples=64,
+                is_reparameterized=True,
+            )
+            obj = cubo_objective(
+                batched_log_joint, {}, variational=q, axis=0, n=n
+            )
+            stable = jnp.sum(obj.exp_sgvb())
+            # True surrogate (unshifted): mean over K of w^n, summed
+            # over the batch — numerically fine at these scales in f64.
+            lw = obj._log_joint_term() + obj._entropy_term()
+            true = jnp.sum(jnp.mean(jnp.exp(n * lw), axis=0))
+            return stable, true
+
+        params = {"mu": jnp.float64(1.0), "logstd": jnp.float64(0.2)}
+        key = jax.random.PRNGKey(3)
+        g_stable = jax.grad(lambda p: make_costs(p, key)[0])(params)
+        g_true = jax.grad(lambda p: make_costs(p, key)[1])(params)
+        ratios = [
+            float(g_stable[k]) / float(g_true[k]) for k in ("mu", "logstd")
+        ]
+        assert ratios[0] > 0.0
+        np.testing.assert_allclose(ratios[0], ratios[1], rtol=1e-8)

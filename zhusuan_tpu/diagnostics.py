@@ -376,16 +376,25 @@ def summary(samples, round_to: int = 3, rank_normalized: bool = False,
         # are independent given convergence; this is the reference
         # estimator applied chain-wise, as in tests/test_mcmc.py) — in
         # ONE batched FFT pass over all chains x dims, not a Python loop.
-        per_chain = ess_batch(
-            flat.reshape(n, -1)
-        ).reshape(m, flat.shape[-1])
-        # A frozen chain (zero variance — e.g. permanent rejection) has
-        # no information; the estimator's degenerate-autocovariance path
-        # would credit it with full n. Zero it instead so dead chains
-        # SHRINK the reported ESS rather than inflating it.
-        chain_var = flat.var(axis=0)  # [m, K]
-        per_chain = np.where(chain_var > 1e-300, per_chain, 0.0)
-        ess = per_chain.sum(axis=0)
+        if n < 2:
+            # The within-chain autocovariance estimator needs >= 2 draws
+            # (it divides by n - 1); in the many-short-chains regime the
+            # n_superchains caller explicitly advertises (n_iters == 1),
+            # chains are independent runs, so each contributes one
+            # independent draw: ESS = n_chains per latent dim.
+            ess = np.full(flat.shape[-1], float(m))
+        else:
+            per_chain = ess_batch(
+                flat.reshape(n, -1)
+            ).reshape(m, flat.shape[-1])
+            # A frozen chain (zero variance — e.g. permanent rejection)
+            # has no information; the estimator's degenerate-
+            # autocovariance path would credit it with full n. Zero it
+            # instead so dead chains SHRINK the reported ESS rather than
+            # inflating it.
+            chain_var = flat.var(axis=0)  # [m, K]
+            per_chain = np.where(chain_var > 1e-300, per_chain, 0.0)
+            ess = per_chain.sum(axis=0)
         stats[name] = {
             "mean": mean.reshape(data_shape),
             "sd": sd.reshape(data_shape),

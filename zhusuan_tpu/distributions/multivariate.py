@@ -55,6 +55,17 @@ class MultivariateNormalCholesky(Distribution):
     (multivariate.py:145-167, a batched MXU matmul here); density via a
     batched triangular solve with ``logdet = 2*sum(log(diag(L)))``
     (multivariate.py:169-189). Reparameterized.
+
+    Own-sample fast path caveats: ``sample()`` caches (sample, eps) on the
+    instance so ``log_prob`` of the distribution's OWN latest sample skips
+    the triangular solve (exact value/gradients; see :meth:`log_prob`).
+    The cache is SINGLE-LIVE-SAMPLE (a second ``sample()`` call evicts the
+    first sample's fast path — it then takes the solve path, which is
+    exact too), is not thread-safe under concurrent traces of the same
+    instance, and retains the last trace's arrays until the next call
+    (harmless, but visible to ``jax.check_tracer_leaks`` debug mode).
+    Every cache miss falls back to the exact solve path, so behavior is
+    always correct — only the shortcut is affected.
     """
 
     def __init__(

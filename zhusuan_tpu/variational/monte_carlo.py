@@ -86,11 +86,24 @@ class ImportanceWeightedObjective(VariationalObjective):
         objective was constructed with ``variational=``. When constructed
         with raw ``latent=(samples, log_probs)`` pairs, the caller is
         responsible for having stopped the parameter gradients inside
-        ``log_probs``.
+        ``log_probs`` — that contract cannot be checked here, so a
+        warning is emitted (silently wrong gradients otherwise).
 
         Returns a cost whose *value* equals ``-bound`` (same as
         :meth:`sgvb`) and whose gradient is the DReG estimator.
         """
+        if self._v_nodes is None:
+            import warnings
+
+            warnings.warn(
+                "dreg() was built from raw latent=(samples, log_probs) "
+                "pairs: it cannot verify that the score term of log q is "
+                "stopped (use_path_derivative). If the parameter gradient "
+                "was not stopped inside log_probs, the returned gradient "
+                "is silently wrong — prefer constructing the objective "
+                "with variational=.",
+                stacklevel=2,
+            )
         if self._v_nodes is not None:
             for name, node in self._v_nodes.items():
                 if not node.dist.is_reparameterized:

@@ -141,20 +141,27 @@ class ChiSquareObjective(VariationalObjective):
         minimizing ``E_q[w^n] = exp(n * CUBO)`` has the same minimizer and
         an *unbiased* reparameterized gradient (no log-of-mean bias).
 
-        Stabilized by a stopped log-shift: the returned cost is
-        ``mean(exp(n log_w - sg(max(n log_w))))``, whose gradient is the
-        exact surrogate gradient scaled by the positive constant
-        ``exp(-sg(max))`` — the descent direction is preserved (and
-        adaptive optimizers are invariant to the scale).
+        Stabilized by a single GLOBAL stopped log-shift: the returned cost
+        is ``mean(exp(n log_w - sg(max_all(n log_w))))``, whose gradient is
+        the exact surrogate gradient scaled by ONE positive constant
+        ``exp(-sg(max_all))`` — so with extra batch dims the aggregate
+        minibatch gradient stays *proportional* to the true surrogate
+        gradient (a per-element shift would reweight batch elements).
+        Computed in two stages (per-element shift inside the mean, global
+        correction outside) so each element's exp stays in range; elements
+        whose weights sit far below the global max underflow toward zero,
+        which is their true (negligible) share of the global surrogate.
         """
         log_w = self._log_joint_term() + self._entropy_term()
         n_log_w = self._n * log_w
         shift = jax.lax.stop_gradient(
             jnp.max(n_log_w, axis=self._axis, keepdims=True)
         )
-        return jnp.mean(
-            jnp.exp(n_log_w - shift), axis=self._axis
+        global_shift = jax.lax.stop_gradient(jnp.max(shift))
+        scale = jnp.exp(
+            jnp.squeeze(shift, axis=self._axis) - global_shift
         )
+        return jnp.mean(jnp.exp(n_log_w - shift), axis=self._axis) * scale
 
 
 def vr_objective(meta_bn, observed, latent=None, axis=None, variational=None,

@@ -263,7 +263,7 @@ def measure_svgp():
     """Ours-side of reference svgp.py (examples/gaussian_process/svgp.py
     here): 100 inducing points, 20 particles, full batch."""
     from examples.gaussian_process.svgp import (
-        build_model, build_variational_samples, init_params, kzz_cholesky)
+        build_model, build_variational_samples, init_params, kzz_factors)
 
     cfg = P.SVGP
     x_train, y_train, _, _, _ = P.regression_splits(cfg)
@@ -278,8 +278,9 @@ def measure_svgp():
     y = jnp.asarray(y_train)
 
     def loss_fn(params, key):
-        chol = kzz_cholesky(params, n_z)
-        model = build_model(params, x, n_z, n_particles, kzz_chol=chol)
+        chol, chol_inv = kzz_factors(params, n_z)
+        model = build_model(params, x, n_z, n_particles, kzz_chol=chol,
+                            kzz_chol_inv=chol_inv)
 
         def log_joint(bn):
             prior, log_py_given_fx = bn.cond_log_prob(["fz", "y"])
@@ -287,7 +288,8 @@ def measure_svgp():
 
         model.log_joint = log_joint
         latent = build_variational_samples(params, x, n_z, n_particles,
-                                           key, kzz_chol=chol)
+                                           key, kzz_chol=chol,
+                                           kzz_chol_inv=chol_inv)
         lb = zs.variational.elbo(model, observed={"y": y}, latent=latent,
                                  axis=0)
         return jnp.mean(lb.sgvb()), jnp.mean(lb.tensor)

@@ -45,8 +45,28 @@ def kzz_cholesky(params, n_z):
     return jnp.linalg.cholesky(Kzz + 1e-6 * jnp.eye(n_z, dtype=Kzz.dtype))
 
 
-def build_model(params, x, n_z, n_particles, kzz_chol=None):
-    """p(fz) p(fx | fz) p(y | fx) (reference svgp.py:49-73)."""
+def kzz_factors(params, n_z):
+    """``(L, L^{-1})`` of the jittered inducing Gram matrix via the fused
+    single-kernel factorization (zhusuan_tpu.ops.linalg.cholesky_inverse):
+    on TPU this replaces XLA's ~hundred-launch blocked Cholesky + solve
+    loops — the op-count bottleneck of the whole SVGP step (PERF.md) —
+    and turns every downstream whitening into an MXU matmul."""
+    from zhusuan_tpu.ops.linalg import cholesky_inverse
+
+    kernel = RBFKernel(params["k_raw_scale"])
+    Kzz = kernel(params["z_pos"], params["z_pos"])
+    return cholesky_inverse(
+        Kzz + 1e-6 * jnp.eye(n_z, dtype=Kzz.dtype)
+    )
+
+
+def build_model(params, x, n_z, n_particles, kzz_chol=None,
+                kzz_chol_inv=None):
+    """p(fz) p(fx | fz) p(y | fx) (reference svgp.py:49-73).
+
+    Pass ``kzz_chol``/``kzz_chol_inv`` (see :func:`kzz_factors`) to share
+    one fused factorization across the model and variational and score
+    the p(fz) prior by matmul instead of a triangular solve."""
     kernel = RBFKernel(params["k_raw_scale"])
     z_pos = params["z_pos"]
 
@@ -62,11 +82,12 @@ def build_model(params, x, n_z, n_particles, kzz_chol=None):
             Kzz_chol = kzz_chol
         fz = bn.multivariate_normal_cholesky(
             "fz", jnp.zeros([n_z], Kzz_chol.dtype), Kzz_chol,
-            n_samples=n_particles,
+            n_samples=n_particles, cov_tril_inv=kzz_chol_inv,
         )
         fx = bn.stochastic(
             "fx",
-            gp_conditional(z_pos, fz.tensor, x, False, kernel, Kzz_chol),
+            gp_conditional(z_pos, fz.tensor, x, False, kernel, Kzz_chol,
+                           Kzz_chol_inv=kzz_chol_inv),
         )
         noise_level = jax.nn.softplus(params["noise_raw"])
         bn.normal("y", fx.tensor, std=noise_level, group_ndims=1)
@@ -76,11 +97,12 @@ def build_model(params, x, n_z, n_particles, kzz_chol=None):
 
 
 def build_variational_samples(params, x, n_z, n_particles, key,
-                              kzz_chol=None):
+                              kzz_chol=None, kzz_chol_inv=None):
     """q(fz) q(fx|fz): returns the latent dict with p(fx|fz) log-prob
     zeroed (whitened-free cancellation, reference svgp.py:123-139).
-    Pass ``kzz_chol`` (see :func:`kzz_cholesky`) to share one inducing-Gram
-    Cholesky with the model instead of recomputing it here."""
+    Pass ``kzz_chol`` (+ optionally ``kzz_chol_inv``; see
+    :func:`kzz_factors`) to share one inducing-Gram factorization with
+    the model instead of recomputing it here."""
     kernel = RBFKernel(params["k_raw_scale"])
     z_pos = params["z_pos"]
     bn = zs.BayesianNet(key=key)
@@ -91,7 +113,8 @@ def build_variational_samples(params, x, n_z, n_particles, key,
     fz = bn.multivariate_normal_cholesky(
         "fz", params["z_mean"], z_cov_tril, n_samples=n_particles
     )
-    fx_dist = gp_conditional(z_pos, fz.tensor, x, False, kernel, kzz_chol)
+    fx_dist = gp_conditional(z_pos, fz.tensor, x, False, kernel, kzz_chol,
+                             Kzz_chol_inv=kzz_chol_inv)
     bn.stochastic("fx", fx_dist)
     # Same query pattern as the reference (svgp.py:129-133): fetch samples
     # and log-probs, then zero fx's log-prob so p(fx|fz) cancels between
@@ -148,9 +171,9 @@ def main():
 
     def loss_fn(params, x, y, key):
         batch_size = x.shape[0]
-        chol = kzz_cholesky(params, hps.n_z)
+        chol, chol_inv = kzz_factors(params, hps.n_z)
         model = build_model(params, x, hps.n_z, hps.n_particles,
-                            kzz_chol=chol)
+                            kzz_chol=chol, kzz_chol_inv=chol_inv)
 
         def log_joint(bn):
             prior, log_py_given_fx = bn.cond_log_prob(["fz", "y"])
@@ -158,7 +181,8 @@ def main():
 
         model.log_joint = log_joint
         latent = build_variational_samples(
-            params, x, hps.n_z, hps.n_particles, key, kzz_chol=chol
+            params, x, hps.n_z, hps.n_particles, key, kzz_chol=chol,
+            kzz_chol_inv=chol_inv,
         )
         lower_bound = zs.variational.elbo(
             model, observed={"y": y}, latent=latent, axis=0

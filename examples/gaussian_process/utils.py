@@ -47,7 +47,8 @@ class RBFKernel:
         return jnp.ones(x.shape[:-1], x.dtype)
 
 
-def gp_conditional(z, fz, x, full_cov, kernel, Kzz_chol=None):
+def gp_conditional(z, fz, x, full_cov, kernel, Kzz_chol=None,
+                   Kzz_chol_inv=None):
     """The GP conditional distribution f(x) | f(z) = fz.
 
     Parity: reference ``utils.py:52-91`` — symmetric inverse via triangular
@@ -56,15 +57,21 @@ def gp_conditional(z, fz, x, full_cov, kernel, Kzz_chol=None):
     :param z: inducing inputs ``[n_z, d]``.
     :param fz: inducing function values ``[n_particles, n_z]``.
     :param x: query inputs ``[n_x, d]``.
+    :param Kzz_chol, Kzz_chol_inv: optional precomputed Cholesky factor
+        (and its inverse) of the inducing Gram matrix — pass both from
+        :func:`zhusuan_tpu.ops.linalg.cholesky_inverse` to skip every
+        sequential factorization/solve in this conditional (the op-count
+        cure on TPU; PERF.md).
     :return: a Distribution over ``[n_particles, n_x]``.
     """
     n_z = z.shape[0]
     if Kzz_chol is None:
         Kzz_chol = jnp.linalg.cholesky(kernel(z, z))
 
-    Kzz_chol_inv = jax.scipy.linalg.solve_triangular(
-        Kzz_chol, jnp.eye(n_z, dtype=z.dtype), lower=True
-    )
+    if Kzz_chol_inv is None:
+        Kzz_chol_inv = jax.scipy.linalg.solve_triangular(
+            Kzz_chol, jnp.eye(n_z, dtype=z.dtype), lower=True
+        )
     Kzz_inv = Kzz_chol_inv.T @ Kzz_chol_inv
     Kxz = kernel(x, z)  # [n_x, n_z]
     Kxziz = Kxz @ Kzz_inv

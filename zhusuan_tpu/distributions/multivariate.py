@@ -66,6 +66,16 @@ class MultivariateNormalCholesky(Distribution):
     (harmless, but visible to ``jax.check_tracer_leaks`` debug mode).
     Every cache miss falls back to the exact solve path, so behavior is
     always correct — only the shortcut is affected.
+
+    :param cov_tril_inv: optional precomputed ``L^{-1}`` with the same
+        shape as ``cov_tril`` (e.g. from
+        :func:`zhusuan_tpu.ops.linalg.cholesky_inverse`). When given,
+        ``log_prob`` whitens by an MXU matmul (full f32 accumulation)
+        instead of a blocked triangular solve — the latency cure for
+        small-``d`` pipelines that already factorize the covariance
+        (sparse GPs). Values/gradients match the solve path to f32
+        round-off; the caller is responsible for ``cov_tril_inv``
+        actually inverting ``cov_tril``.
     """
 
     def __init__(
@@ -76,6 +86,7 @@ class MultivariateNormalCholesky(Distribution):
         is_reparameterized: bool = True,
         use_path_derivative: bool = False,
         check_numerics: bool = False,
+        cov_tril_inv=None,
         **kwargs,
     ):
         dtype = assert_same_float_dtype([(mean, "mean"), (cov_tril, "cov_tril")])
@@ -93,6 +104,14 @@ class MultivariateNormalCholesky(Distribution):
             )
         self._n_dim = d
         self._check_numerics = check_numerics
+        if cov_tril_inv is not None:
+            cov_tril_inv = jnp.asarray(cov_tril_inv, dtype)
+            if cov_tril_inv.shape != self._cov_tril.shape:
+                raise ValueError(
+                    "cov_tril_inv must match cov_tril's shape ({} vs. "
+                    "{}).".format(cov_tril_inv.shape, self._cov_tril.shape)
+                )
+        self._cov_tril_inv = cov_tril_inv
         super().__init__(
             dtype=dtype,
             param_dtype=dtype,
@@ -189,15 +208,24 @@ class MultivariateNormalCholesky(Distribution):
             jnp.shape(y), self.batch_shape + (self._n_dim,)
         )
         y = jnp.broadcast_to(y, target_shape)
-        # Solve L z = y for z; Mahalanobis = ||z||^2. Batched triangular
-        # solve — XLA lowers this to a blocked TPU-friendly routine.
-        z = jax.scipy.linalg.solve_triangular(
-            jnp.broadcast_to(
-                cov_tril, target_shape[:-1] + (self._n_dim, self._n_dim)
-            ),
-            y[..., None],
-            lower=True,
-        )
+        if self._cov_tril_inv is not None:
+            # Whiten by the precomputed inverse factor: one MXU matmul
+            # (full f32 accumulation — bf16 default precision would leak
+            # O(2^-8) noise into Hamiltonians/ELBOs) instead of a blocked
+            # triangular solve.
+            linv = self.path_param(self._cov_tril_inv)
+            z = jnp.matmul(linv, y[..., None], precision="highest")
+        else:
+            # Solve L z = y for z; Mahalanobis = ||z||^2. Batched
+            # triangular solve — XLA lowers this to a blocked routine.
+            z = jax.scipy.linalg.solve_triangular(
+                jnp.broadcast_to(
+                    cov_tril,
+                    target_shape[:-1] + (self._n_dim, self._n_dim),
+                ),
+                y[..., None],
+                lower=True,
+            )
         maha = jnp.sum(jnp.squeeze(z, axis=-1) ** 2, axis=-1)
         return -0.5 * (self._n_dim * _LOG_2PI + maha + log_det)
 

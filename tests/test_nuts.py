@@ -226,9 +226,74 @@ class TestFusedKernel:
         assert not nuts_step_supported((4095, 100), 6)   # block divide
         assert not nuts_step_supported((4096, 100000), 6)  # VMEM
 
+    def test_looped_supported_gates(self):
+        from zhusuan_tpu.ops.nuts_step import nuts_looped_supported
+
+        # covers the class DEFAULT depth 10 (the unrolled kernel's gap)
+        assert nuts_looped_supported((4096, 100), 10)
+        assert nuts_looped_supported((4096, 100), 7)
+        assert not nuts_looped_supported((4096, 100), 13)  # depth cap
+        assert not nuts_looped_supported((4096,), 10)      # rank
+        assert not nuts_looped_supported((4095, 100), 10)  # block divide
+        assert not nuts_looped_supported((4096, 100000), 10)  # VMEM
+
+    def test_fused_mode_routing(self):
+        """_use_fused picks unrolled at depth <= 6, looped at the default
+        depth 10, None on CPU (this suite) — the mode strings are the
+        tested contract so the default config can never silently lose
+        its fused path without a test failing."""
+        from unittest import mock
+
+        from zhusuan_tpu.mcmc.nuts import _Flattener
+
+        lj = diag_gauss_log_joint([1.0] * 4)
+        q = {"w": jnp.zeros((256, 4), jnp.float32)}
+        flat = _Flattener(q, 1)
+        with mock.patch("zhusuan_tpu.mcmc.base.on_cpu_backend",
+                        return_value=False):
+            for depth, want in ((4, "unrolled"), (6, "unrolled"),
+                                (8, "looped"), (10, "looped"),
+                                (13, None)):
+                nuts = zs.NUTS(max_tree_depth=depth,
+                               experimental_fused_step=True)
+                assert nuts._use_fused(flat, {}, 256, lj, {}) == want, depth
+        # on the CPU backend every depth falls back to the scan path
+        nuts = zs.NUTS(max_tree_depth=10, experimental_fused_step=True)
+        assert nuts._use_fused(flat, {}, 256, lj, {}) is None
+
+    def test_cpu_falls_back_silently_default_depth(self):
+        """The DEFAULT config (max_tree_depth=10) runs on CPU via the
+        scan path with the fused flag on."""
+        lj = diag_gauss_log_joint([1.0, 2.0])
+        nuts = zs.NUTS(step_size=0.3, experimental_fused_step=True)
+        assert nuts.max_tree_depth == 10
+        st = nuts.init({"w": jnp.zeros((8, 2))}, n_chain_dims=1)
+        _, out = nuts.run(lj, {}, st, KEY, 5, n_adapt=0)
+        assert out["samples"]["w"].shape == (5, 8, 2)
+
     def test_constructor_validation(self):
         with pytest.raises(ValueError):
             zs.NUTS(experimental_fused_step="yes")
+
+    @pytest.mark.skipif(jax.default_backend() != "tpu",
+                        reason="hardware PRNG requires a TPU backend")
+    def test_looped_matches_scan_statistically(self):
+        """Default-depth NUTS (looped kernel) vs scan path on TPU."""
+        stds = [0.5, 1.0, 2.0, 4.0]
+        lj = diag_gauss_log_joint(stds)
+        outs = {}
+        for fused in (True, False):
+            nuts = zs.NUTS(step_size=0.35, max_tree_depth=8,
+                           experimental_fused_step=fused)
+            st = nuts.init({"w": jnp.zeros((512, 4), jnp.float32)},
+                           n_chain_dims=1)
+            _, out = jax.jit(
+                lambda s, k, n=nuts: n.run(lj, {}, s, k, 600, n_adapt=0)
+            )(st, jax.random.fold_in(KEY, 11))
+            post = np.asarray(out["samples"]["w"][150:]).reshape(-1, 4)
+            np.testing.assert_allclose(post.std(axis=0), stds, rtol=0.1)
+            outs[fused] = post.std(axis=0)
+        np.testing.assert_allclose(outs[True], outs[False], rtol=0.08)
 
     @pytest.mark.skipif(jax.default_backend() != "tpu",
                         reason="hardware PRNG requires a TPU backend")

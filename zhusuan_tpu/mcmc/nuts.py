@@ -528,34 +528,47 @@ class NUTS:
         )
 
     # ------------------------------------------------------------------ #
-    def _use_fused(self, flat, obs_b, n_chains, meta_bn, obs_f) -> bool:
-        """Eligibility of the fused Pallas transition (ops/nuts_step.py):
-        f32 state, shared mass, no per-chain observed leaves, VMEM-sized
-        blocks, compile-bounded tree depth, non-CPU backend (the
-        hardware-PRNG primitives have no CPU lowering — silent fallback
-        to the interpretable paths, same distribution)."""
+    def _use_fused(self, flat, obs_b, n_chains, meta_bn, obs_f):
+        """Eligibility + variant of the fused Pallas transition
+        (ops/nuts_step.py): f32 state, shared mass, no per-chain observed
+        leaves, VMEM-sized blocks, non-CPU backend (the hardware-PRNG
+        primitives have no CPU lowering — silent fallback to the
+        interpretable paths, same distribution).
+
+        Returns ``None`` (scan path), ``"unrolled"`` (depth <= 6: the
+        fully unrolled whole-tree kernel) or ``"looped"`` (deeper trees
+        incl. the default depth 10: doublings unrolled, leaves under an
+        early-exit while loop)."""
         if not self.experimental_fused_step:
-            return False
+            return None
         from zhusuan_tpu.mcmc.base import on_cpu_backend
 
         if on_cpu_backend() or obs_b or flat.dtype != jnp.float32:
-            return False
+            return None
         from zhusuan_tpu.ops.hmc_step import consts_fit_vmem
-        from zhusuan_tpu.ops.nuts_step import nuts_step_supported
+        from zhusuan_tpu.ops.nuts_step import (
+            nuts_looped_supported,
+            nuts_step_supported,
+        )
 
-        if not nuts_step_supported((n_chains, flat.dim),
+        if nuts_step_supported((n_chains, flat.dim), self.max_tree_depth):
+            mode = "unrolled"
+        elif nuts_looped_supported((n_chains, flat.dim),
                                    self.max_tree_depth):
-            return False
+            mode = "looped"
+        else:
+            return None
 
         def lp_one(qf_):
             return make_log_joint_fn(meta_bn, obs_f)(
                 flat.unravel(qf_, ()))
 
-        return consts_fit_vmem(
+        fits = consts_fit_vmem(
             (jax.vmap(jax.value_and_grad(lp_one)),),
             jax.ShapeDtypeStruct(
                 (min(128, n_chains), flat.dim), jnp.float32),
         )
+        return mode if fits else None
 
     # ------------------------------------------------------------------ #
     def sample(
@@ -677,14 +690,22 @@ class NUTS:
 
                 return self._transition_one(vag, qf, k, eps, inv_mass)
 
-            if self._use_fused(flat, obs_b, n_chains, meta_bn, obs_f):
-                from zhusuan_tpu.ops.nuts_step import fused_nuts_transition
+            fused_mode = self._use_fused(flat, obs_b, n_chains, meta_bn,
+                                         obs_f)
+            if fused_mode:
+                from zhusuan_tpu.ops.nuts_step import (
+                    fused_nuts_transition,
+                    fused_nuts_transition_looped,
+                )
 
                 def lp_one(qf_):
                     return make_log_joint_fn(meta_bn, obs_f)(
                         flat.unravel(qf_, ()))
 
-                outs = fused_nuts_transition(
+                fused_fn = (fused_nuts_transition
+                            if fused_mode == "unrolled"
+                            else fused_nuts_transition_looped)
+                outs = fused_fn(
                     jax.vmap(jax.value_and_grad(lp_one)),
                     q_flat, inv_mass[None, :], eps, key,
                     self.max_tree_depth, self.max_delta_energy,

@@ -294,30 +294,49 @@ def measure_mixing(jax, jnp, zs, device, n_chains=4096, dim=100,
     from zhusuan_tpu.diagnostics import ess_batch_device
     from zhusuan_tpu.mcmc import fit_dense_preconditioner, whiten_log_joint
 
-    cov = np.full((dim, dim), rho) + (1 - rho) * np.eye(dim)
-    prec = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+    # Equicorrelated precision has a closed form:
+    #   inv(rho*11^T + (1-rho)*I) = a*I - b*11^T,
+    #   a = 1/(1-rho), b = rho / ((1-rho) * (1 + (dim-1)*rho)).
+    # The earlier `z @ prec` matmul formulation ran at the TPU's DEFAULT
+    # f32 matmul precision (bf16 MXU passes), injecting up to ~35 nats of
+    # noise into every log-density (measured round 5) — an
+    # eps-independent MH energy-error floor that collapsed every
+    # sampler's dual-averaged step size toward 0 and made rounds 3-4 of
+    # this sub-bench measure noise, not mixing. The analytic form is
+    # exact elementwise f32 (max err ~2e-3 nats vs f64).
+    a_c = float(1.0 / (1.0 - rho))
+    b_c = float(rho / ((1.0 - rho) * (1.0 + (dim - 1) * rho)))
 
     def log_joint(obs):
         z = obs["z"]
-        # z @ prec is a plain [C,D]x[D,D] matmul: it lowers onto the MXU
-        # inside the fused Pallas step, unlike the equivalent einsum
-        # ("...i,ij,...j->...") whose fused dot_general Mosaic rejects.
-        return -0.5 * jnp.sum((z @ prec) * z, -1)
+        return -0.5 * (a_c * jnp.sum(z * z, -1)
+                       - b_c * jnp.sum(z, -1) ** 2)
 
-    def ess_per_sec(traj, dt):
+    # std of sum(z) under the target — normalizes the slow projection.
+    slow_sd = float(np.sqrt(dim * (1.0 + (dim - 1) * rho)))
+
+    def ess_measures(traj, dt):
+        """(min-coordinate ESS, slow-projection ESS) totals + rates.
+
+        Per-coordinate min-ESS alone is PROJECTION-BLIND here: every
+        coordinate is 95% slow-eigendirection + 5% fast, so a frozen
+        slow direction still scores ~0.026 ESS/draw of fast-direction
+        wiggle per coordinate. The slow-projection ESS (of sum(z)) is
+        the actual mixing bottleneck (PERF.md round 5)."""
+        traj = jnp.asarray(traj, jnp.float32)
         T, C, D = traj.shape
-        ess = ess_batch_device(
-            jnp.asarray(traj, jnp.float32).reshape(T, C * D)
-        ).reshape(C, D)
-        total = float(np.minimum.reduce(np.asarray(ess), axis=1).sum())
-        return total, total / dt
+        ess = ess_batch_device(traj.reshape(T, C * D)).reshape(C, D)
+        coord = float(np.minimum.reduce(np.asarray(ess), axis=1).sum())
+        s = jnp.sum(traj, axis=-1) / slow_sd  # [T, C]
+        ess_s = float(np.asarray(ess_batch_device(s)).sum())
+        return coord, ess_s
 
     last_traj = [None]
 
     def timed_trials(samp, st, key_base, postmap=None):
         """N_TRIALS timed sampling runs with distinct keys (identical
         inputs can replay memoized through the tunnel — CLAUDE.md);
-        median ESS/sec reported, all trials recorded."""
+        median-by-slow-projection trial reported, all trials recorded."""
         o = samp(st, jax.random.PRNGKey(key_base))  # compile
         jax.block_until_ready(o[1]["samples"]["z"])
         del o
@@ -330,17 +349,20 @@ def measure_mixing(jax, jnp, zs, device, n_chains=4096, dim=100,
             traj = o["samples"]["z"]
             if postmap is not None:
                 traj = postmap(traj)
-            total, eps = ess_per_sec(traj, dt)
-            eps_l.append(eps)
-            ess_l.append(total)
+            coord, ess_s = ess_measures(traj, dt)
+            eps_l.append(ess_s / dt)
+            ess_l.append((coord, ess_s))
             dt_l.append(dt)
             last_traj[0] = traj
             del o
         mid = int(np.argsort(eps_l)[len(eps_l) // 2])
-        return {"total_min_ess": round(ess_l[mid], 1),
-                "ess_per_sec": round(eps_l[mid], 1),
+        return {"total_min_ess": round(ess_l[mid][0], 1),
+                "ess_per_sec": round(ess_l[mid][0] / dt_l[mid], 1),
+                "slow_proj_ess": round(ess_l[mid][1], 1),
+                "slow_proj_ess_per_sec": round(eps_l[mid], 1),
                 "sample_sec": round(dt_l[mid], 3),
-                "trials_ess_per_sec": [round(e, 1) for e in eps_l]}
+                "trials_slow_proj_ess_per_sec": [
+                    round(e, 1) for e in eps_l]}
 
     out = {"target": "equicorrelated Gaussian rho={} dim={}".format(
         rho, dim), "n_chains": n_chains, "n_iters": n_iters}
@@ -469,6 +491,63 @@ def measure_nuts(jax, jnp, zs, device, n_chains=4096, n_iters=200,
     out["fused_speedup"] = round(
         out["fused"]["chain_iters_per_sec_M"]
         / out["scan"]["chain_iters_per_sec_M"], 2)
+
+    # --- deep-tree sweep (VERDICT r4 item 2): the class DEFAULT is
+    # max_tree_depth=10; on a hard geometry (stds 0.1..30 — trees
+    # genuinely deepen toward the cap) measure the looped fused kernel
+    # at depths {6, 8, 10} plus the scan path at 10, so the default
+    # config's fused story is a recorded number, not a silent fallback.
+    hard_std = jnp.asarray(np.linspace(0.1, 30.0, DIM), jnp.float32)
+
+    def hard_log_joint(obs):
+        return jnp.sum(-0.5 * (obs["x"] / hard_std) ** 2, -1)
+
+    def run_depth(depth, fused, n_iters=50, n_adapt=150, trials=2):
+        nuts = zs.NUTS(step_size=0.1, max_tree_depth=depth,
+                       adapt_step_size=True,
+                       experimental_fused_step=fused)
+        st = nuts.init({"x": jnp.zeros((n_chains, DIM), jnp.float32)},
+                       log_joint=hard_log_joint)
+        burn = jax.jit(lambda s, k, n=nuts: n.run(
+            hard_log_joint, {}, s, k, n_adapt, n_adapt=n_adapt,
+            collect=False))
+        samp = jax.jit(lambda s, k, n=nuts: n.run(
+            hard_log_joint, {}, s, k, n_iters, n_adapt=0,
+            collect_fields=("samples", "n_leapfrogs", "depth")))
+        st, _ = burn(st, jax.random.PRNGKey(61))
+        jax.block_until_ready(st.q["x"])
+        o = samp(st, jax.random.PRNGKey(62))  # compile
+        jax.block_until_ready(o[1]["samples"]["x"])
+        del o
+        dts = []
+        for t in range(trials):
+            t0 = time.perf_counter()
+            _, o = samp(st, jax.random.PRNGKey(63 + t))
+            jax.block_until_ready(o["samples"]["x"])
+            dts.append(time.perf_counter() - t0)
+        dt = min(dts)
+        leaps = float(np.mean(np.asarray(o["n_leapfrogs"])))
+        mdep = float(np.mean(np.asarray(o["depth"])))
+        std = np.asarray(o["samples"]["x"]).reshape(-1, DIM).std(0)
+        rel = float(np.abs(std / np.asarray(hard_std) - 1.0).max())
+        ci = n_chains * n_iters / dt
+        del o
+        return {"chain_iters_per_sec_M": round(ci / 1e6, 3),
+                "leapfrog_chain_steps_per_sec_M": round(
+                    ci * leaps / 1e6, 1),
+                "mean_leapfrogs": round(leaps, 1),
+                "mean_depth": round(mdep, 2),
+                "max_rel_std_err": round(rel, 4),
+                "sample_sec_trials": [round(x, 3) for x in dts]}
+
+    deep = {"target": "diag Gaussian stds 0.1..30 (trees reach the cap)"}
+    for depth in (6, 8, 10):
+        deep["fused_depth%d" % depth] = run_depth(depth, True)
+    deep["scan_depth10"] = run_depth(10, False)
+    deep["fused_speedup_depth10"] = round(
+        deep["fused_depth10"]["chain_iters_per_sec_M"]
+        / deep["scan_depth10"]["chain_iters_per_sec_M"], 2)
+    out["deep_tree"] = deep
     return out
 
 

@@ -100,6 +100,18 @@ class ChEESHMC:
         a mis-adapted T from running away; paper §4 uses a similar cap).
     :param gamma, t0, kappa: dual-averaging constants (reference
         hmc.py:89-112 values).
+    :param experimental_fused_step: ``"auto"`` (default) runs eligible
+        shapes (TPU backend, f32, one chain axis, VMEM-sized blocks,
+        chain-axis-free observations) through the fused Pallas
+        transition (ops/chees_step.py): the whole jittered trajectory
+        stays VMEM-resident with a TRACED leapfrog count — measured
+        1.3x the scan path at 4096x100 on a cheap elementwise density
+        (4.58 vs 6.35 us/leapfrog; PERF.md round 5), more when the
+        density is expensive enough that per-leapfrog HBM round-trips
+        dominate. Same distribution, different random stream (the
+        fused-kernel contract). ``False`` forces the scan path;
+        ``True`` asserts eligibility semantics of ``"auto"`` (kept for
+        symmetry with HMC/NUTS).
     """
 
     def __init__(
@@ -112,6 +124,7 @@ class ChEESHMC:
         gamma: float = 0.05,
         t0: float = 100.0,
         kappa: float = 0.75,
+        experimental_fused_step="auto",
     ):
         self.init_step_size = float(step_size)
         self.init_traj = float(trajectory_length)
@@ -121,6 +134,10 @@ class ChEESHMC:
         self.gamma = float(gamma)
         self.t0 = float(t0)
         self.kappa = float(kappa)
+        if experimental_fused_step not in (True, False, "auto"):
+            raise ValueError(
+                "experimental_fused_step must be True, False, or 'auto'.")
+        self.experimental_fused_step = experimental_fused_step
         self.mu = float(np.log(10.0 * step_size))
 
     # ------------------------------------------------------------------ #
@@ -225,9 +242,6 @@ class ChEESHMC:
         dtype = state.step_size.dtype
         mass = {k: jnp.ones((1,) + v.shape[1:], dtype) for k, v in q.items()}
 
-        key_p, key_u = jax.random.split(key)
-        p = tree_random_momentum(key_p, q, mass)
-
         # Jittered trajectory time and traced leapfrog count.
         jitter = _halton2(state.t).astype(dtype)
         # Keep the jitter off exact 0 (paper jitters in (0, 1]).
@@ -239,27 +253,77 @@ class ChEESHMC:
             self.max_leapfrogs,
         )
 
-        new_q, new_p = self._leapfrog_n(q, p, eps, n_steps, grad_fn, mass)
-
-        if cache is not None:
-            old_lp = cache[0]
-        else:
-            old_lp = log_post(q)
-        old_h, new_h, old_log_prob, new_log_prob, accept_prob = (
-            get_acceptance_rate_cached(
-                q, p, new_q, new_p, log_post, mass, 1, old_lp
-            )
+        # Fused-kernel eligibility (ops/chees_step.py): the HMC fused-step
+        # rules — single 2-D f32 latent leaf, TPU backend, VMEM-sized
+        # blocks + consts. The traced n_steps drives an in-VMEM fori_loop.
+        use_fused = (
+            bool(self.experimental_fused_step)
+            and len(q) == 1
+            and dtype == jnp.float32
         )
+        if use_fused:
+            from zhusuan_tpu.mcmc.base import on_cpu_backend
+            from zhusuan_tpu.ops.chees_step import chees_step_supported
+            from zhusuan_tpu.ops.hmc_step import consts_fit_vmem
 
-        u01 = jax.random.uniform(key_u, accept_prob.shape, accept_prob.dtype)
-        if_accept = u01 < accept_prob
-        accepted_q = {}
-        for k in q:
-            cond = if_accept.reshape(
-                if_accept.shape + (1,) * (q[k].ndim - 1)
+            (fname,) = q.keys()
+            use_fused = (
+                not on_cpu_backend()
+                and q[fname].ndim == 2
+                and q[fname].dtype == jnp.float32
+                and chees_step_supported(q[fname].shape)
+                and consts_fit_vmem(
+                    (
+                        lambda x: log_post({fname: x}),
+                        lambda x: grad_fn({fname: x})[fname],
+                    ),
+                    jax.ShapeDtypeStruct(
+                        (min(256, q[fname].shape[0]), q[fname].shape[1]),
+                        jnp.float32,
+                    ),
+                )
             )
-            accepted_q[k] = jnp.where(cond, new_q[k], q[k])
-        sel_log_prob = jnp.where(if_accept, new_log_prob, old_log_prob)
+
+        if use_fused:
+            from zhusuan_tpu.ops.chees_step import fused_chees_step
+
+            (out_q, prop_q, prop_p, accept_prob, old_log_prob,
+             sel_log_prob) = fused_chees_step(
+                lambda x: log_post({fname: x}),
+                lambda x: grad_fn({fname: x})[fname],
+                q[fname], mass[fname], eps, n_steps, key,
+            )
+            accepted_q = {fname: out_q}
+            new_q = {fname: prop_q}
+            new_p = {fname: prop_p}
+        else:
+            key_p, key_u = jax.random.split(key)
+            p = tree_random_momentum(key_p, q, mass)
+
+            new_q, new_p = self._leapfrog_n(q, p, eps, n_steps, grad_fn,
+                                            mass)
+
+            if cache is not None:
+                old_lp = cache[0]
+            else:
+                old_lp = log_post(q)
+            old_h, new_h, old_log_prob, new_log_prob, accept_prob = (
+                get_acceptance_rate_cached(
+                    q, p, new_q, new_p, log_post, mass, 1, old_lp
+                )
+            )
+
+            u01 = jax.random.uniform(key_u, accept_prob.shape,
+                                     accept_prob.dtype)
+            if_accept = u01 < accept_prob
+            accepted_q = {}
+            for k in q:
+                cond = if_accept.reshape(
+                    if_accept.shape + (1,) * (q[k].ndim - 1)
+                )
+                accepted_q[k] = jnp.where(cond, new_q[k], q[k])
+            sel_log_prob = jnp.where(if_accept, new_log_prob,
+                                     old_log_prob)
 
         gate = jnp.asarray(adapt)
 

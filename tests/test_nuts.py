@@ -217,6 +217,38 @@ class TestFusedKernel:
         _, out = nuts.run(lj, {}, st, KEY, 10, n_adapt=0)
         assert out["samples"]["w"].shape == (10, 8, 2)
 
+    def test_kernels_trace_on_cpu(self):
+        """Both kernel bodies trace to a jaxpr on CPU (jax.eval_shape).
+
+        Pallas traces the kernel to a jaxpr at call time on every
+        backend, so this catches Python-level breakage inside the kernel
+        (regression: the looped-kernel refactor dropped the unrolled
+        kernel's alive/turning/depth initializers — an UnboundLocalError
+        that only fired at trace time on the TPU, crashing the bench)."""
+        from zhusuan_tpu.ops.nuts_step import (
+            fused_nuts_transition,
+            fused_nuts_transition_looped,
+        )
+
+        d = 8
+        std = jnp.linspace(0.5, 1.5, d, dtype=jnp.float32)
+        vag = jax.vmap(jax.value_and_grad(
+            lambda q: jnp.sum(-0.5 * (q / std) ** 2)))
+        inv_m = jnp.ones((1, d), jnp.float32)
+        q_s = jax.ShapeDtypeStruct((32, d), jnp.float32)
+        k_s = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        for fn, depth in ((fused_nuts_transition, 4),
+                          (fused_nuts_transition, 6),
+                          (fused_nuts_transition_looped, 8),
+                          (fused_nuts_transition_looped, 10)):
+            outs = jax.eval_shape(
+                lambda q, k, fn=fn, depth=depth: fn(
+                    vag, q, inv_m, 0.3, k, depth, 1000.0,
+                    block_chains=32),
+                q_s, k_s)
+            assert outs[0].shape == (32, d)
+            assert outs[4].dtype == jnp.int32
+
     def test_supported_gates(self):
         from zhusuan_tpu.ops.nuts_step import nuts_step_supported
 

@@ -200,6 +200,13 @@ def fused_nuts_transition(
         logw = -h0
         psum = p0
 
+        alive = jnp.ones((bc,), jnp.bool_)
+        turning = jnp.zeros((bc,), jnp.bool_)
+        diverging = jnp.zeros((bc,), jnp.bool_)
+        depth = jnp.zeros((bc,), jnp.int32)
+        n_leap = jnp.zeros((bc,), jnp.int32)
+        sum_alpha = jnp.zeros((bc,), dtype)
+
         leaf_idx = 0
         for k in range(D):  # --- doublings, fully unrolled ------------- #
             dir_k = dirs[:, k]

@@ -103,6 +103,15 @@ def _scan_train(step_fn, carry, xs, n_timed):
             round(dt2 / best, 2))
 
 
+def _measure(build):
+    """Time one config from its builder (build -> (step, carry, xs,
+    n_timed, metric_name)); builders are shared with measure_mfu.py so
+    the MFU artifact lowers EXACTLY the step the matrix times."""
+    step, carry, xs, n_timed, metric_name = build()
+    return _result(_scan_train(step, carry, xs, n_timed), n_timed,
+                   metric_name)
+
+
 def _result(scan_out, n_timed, metric_name):
     sps, last, dt, repeats, scaling = scan_out
     return {"steps_per_sec": round(sps, 2), "timed_steps": n_timed,
@@ -110,7 +119,7 @@ def _result(scan_out, n_timed, metric_name):
             "work_scaling_2x": scaling, metric_name: round(last, 4)}
 
 
-def measure_toy2d():
+def build_toy2d():
     """Ours-side of reference toy2d_intractable.py (examples/toy_examples/
     toy2d_intractable.py here)."""
     from examples.toy_examples.toy2d_intractable import (
@@ -139,12 +148,11 @@ def measure_toy2d():
         return (optax.apply_updates(params, updates), opt_state), lb
 
     keys = jax.random.split(jax.random.PRNGKey(0), cfg["timed_steps"])
-    return _result(_scan_train(step, (params, opt_state), keys,
-                               cfg["timed_steps"]),
-                   cfg["timed_steps"], "final_lb")
+    return (step, (params, opt_state), keys, cfg["timed_steps"],
+            "final_lb")
 
 
-def measure_bnn_sgvb():
+def build_bnn_sgvb():
     """Ours-side of reference bnn_vi.py (examples/bayesian_neural_nets/
     bnn_vi.py here): mean-field SGVB over the weights."""
     cfg = P.BNN_SGVB
@@ -171,12 +179,11 @@ def measure_bnn_sgvb():
                               cfg["timed_steps"])
     xs = (jnp.asarray(x_train[idx]), jnp.asarray(y_train[idx]),
           jax.random.split(jax.random.PRNGKey(1), cfg["timed_steps"]))
-    return _result(_scan_train(step, (vparams, opt_state), xs,
-                               cfg["timed_steps"]),
-                   cfg["timed_steps"], "final_lb")
+    return (step, (vparams, opt_state), xs, cfg["timed_steps"],
+            "final_lb")
 
 
-def measure_bnn_sghmc():
+def build_bnn_sghmc():
     """Ours-side of reference bnn_sgmcmc.py (examples/bayesian_neural_nets/
     bnn_sgmcmc.py here): 2nd-order SGHMC E steps."""
     cfg = P.BNN_SGHMC
@@ -224,11 +231,10 @@ def measure_bnn_sghmc():
                               cfg["timed_steps"])
     xs = (jnp.asarray(x_train[idx]), jnp.asarray(y_train[idx]),
           jax.random.split(jax.random.PRNGKey(3), cfg["timed_steps"]))
-    return _result(_scan_train(step, state, xs, cfg["timed_steps"]),
-                   cfg["timed_steps"], "final_mean_k")
+    return step, state, xs, cfg["timed_steps"], "final_mean_k"
 
 
-def measure_sbn_vimco():
+def build_sbn_vimco():
     """Ours-side of reference sbn_vimco.py (examples/sigmoid_belief_nets/
     sbn_vimco.py here): VIMCO k=10."""
     from examples.sigmoid_belief_nets.sbn import init_sbn_params
@@ -255,11 +261,10 @@ def measure_sbn_vimco():
         return (optax.apply_updates(params, updates), opt_state), lb
 
     xs = (batches, jax.random.split(jax.random.PRNGKey(4), total))
-    return _result(_scan_train(step, (params, opt_state), xs, total),
-                   total, "final_lb")
+    return step, (params, opt_state), xs, total, "final_lb"
 
 
-def measure_svgp():
+def build_svgp():
     """Ours-side of reference svgp.py (examples/gaussian_process/svgp.py
     here): 100 inducing points, 20 particles, full batch."""
     from examples.gaussian_process.svgp import (
@@ -302,18 +307,20 @@ def measure_svgp():
         return (optax.apply_updates(params, updates), opt_state), lb
 
     keys = jax.random.split(jax.random.PRNGKey(5), cfg["timed_steps"])
-    return _result(_scan_train(step, (params, opt_state), keys,
-                               cfg["timed_steps"]),
-                   cfg["timed_steps"], "final_lb")
+    return (step, (params, opt_state), keys, cfg["timed_steps"],
+            "final_lb")
 
 
-MEASURES = {
-    "toy2d": measure_toy2d,
-    "bnn_sgvb": measure_bnn_sgvb,
-    "bnn_sghmc": measure_bnn_sghmc,
-    "sbn_vimco": measure_sbn_vimco,
-    "svgp": measure_svgp,
+BUILDS = {
+    "toy2d": build_toy2d,
+    "bnn_sgvb": build_bnn_sgvb,
+    "bnn_sghmc": build_bnn_sghmc,
+    "sbn_vimco": build_sbn_vimco,
+    "svgp": build_svgp,
 }
+
+MEASURES = {name: (lambda b=build: _measure(b))
+            for name, build in BUILDS.items()}
 
 
 def main(names):

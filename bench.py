@@ -735,6 +735,34 @@ def main():
         "bound_by": "VPU (fused kernel: PRNG transcendentals + 6 in-VMEM "
                     "grad evals); HBM is not the constraint",
     }
+    # MFU-style accounting (VERDICT r4 item 5): modeled VPU op rates of
+    # the fused HMC kernel (op model in baseline_ref/measure_mfu.py;
+    # denominators = measured dependent-chain Pallas ceilings recorded
+    # in baseline_ref/mfu.json, not a datasheet number — none exists for
+    # the VPU).
+    iters_per_sec = n_chains * N_ITERS / float(np.median(dt_trials))
+    flops_per_iter = DIM * (6 * 5 + 16)  # L=5 leapfrogs; see measure_mfu
+    trans_per_iter = 2 * DIM + 1
+    detail["roofline"] = {
+        "modeled_vpu_tflops": round(
+            iters_per_sec * flops_per_iter / 1e12, 3),
+        "modeled_transcendentals_G_per_sec": round(
+            iters_per_sec * trans_per_iter / 1e9, 2),
+    }
+    mfu_json = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "baseline_ref", "mfu.json")
+    if os.path.exists(mfu_json):
+        with open(mfu_json) as f:
+            ceil = json.load(f).get("vpu_ceiling", {})
+        if ceil:
+            detail["roofline"]["vpu_frac_vs_measured_fma_ceiling"] = round(
+                detail["roofline"]["modeled_vpu_tflops"]
+                / ceil["fma_flops_per_sec_T"], 3)
+            detail["roofline"][
+                "transcendental_frac_vs_measured_exp_ceiling"] = round(
+                detail["roofline"]["modeled_transcendentals_G_per_sec"]
+                / ceil["exp_per_sec_G"], 3)
 
     # Baseline denominator: the MEASURED real reference when recorded.
     base_value = None

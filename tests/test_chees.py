@@ -136,3 +136,53 @@ class TestChEES:
         assert ess_per_grad_c > 1.5 * ess_per_grad_h, (
             ess_per_grad_c, ess_per_grad_h
         )
+
+
+class TestFusedKernel:
+    """ops/chees_step.py: the traced-trajectory-length fused transition.
+    The hardware PRNG has no CPU lowering, so statistical equivalence is
+    TPU-only (PERF.md round-5 A/B); the CPU suite pins the eligibility
+    gate, the silent fallback, and that both closure-hoisted kernel
+    bodies trace to a jaxpr (trace-time Python breakage fails here, not
+    on hardware — the NUTS regression lesson)."""
+
+    def test_supported_gates(self):
+        from zhusuan_tpu.ops.chees_step import chees_step_supported
+
+        assert chees_step_supported((4096, 100))
+        assert not chees_step_supported((4096,))        # rank
+        assert not chees_step_supported((4095, 100))    # block divide
+        assert not chees_step_supported((4096, 200000))  # VMEM
+
+    def test_kernel_traces_on_cpu(self):
+        from zhusuan_tpu.ops.chees_step import fused_chees_step
+
+        d = 8
+        std = jnp.linspace(0.5, 1.5, d, dtype=jnp.float32)
+
+        def log_post(qb):
+            return jnp.sum(-0.5 * (qb / std) ** 2, -1)
+
+        def potential_grad(qb):
+            return -qb / std**2
+
+        outs = jax.eval_shape(
+            lambda q, n, k: fused_chees_step(
+                log_post, potential_grad, q, jnp.ones((1, d), jnp.float32),
+                0.1, n, k, block_chains=32),
+            jax.ShapeDtypeStruct((64, d), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.int32),
+            jax.ShapeDtypeStruct((2,), jnp.uint32))
+        assert outs[0].shape == (64, d)   # accepted_q
+        assert outs[2].shape == (64, d)   # prop_p (ChEES grad needs it)
+        assert outs[5].shape == (64,)     # sel_log_prob
+
+    def test_cpu_falls_back_silently(self):
+        s = zs.ChEESHMC(step_size=0.1, trajectory_length=0.5,
+                        experimental_fused_step=True)
+        st = s.init({"z": jnp.zeros((32, 16), jnp.float32)})
+        final, out = jax.jit(
+            lambda st, k: s.run(_lj, {}, st, k, 20, n_adapt=10)
+        )(st, jax.random.PRNGKey(3))
+        assert out["samples"]["z"].shape == (20, 32, 16)
+        assert np.isfinite(np.asarray(out["samples"]["z"])).all()

@@ -327,6 +327,11 @@ class ChEESHMC:
 
         gate = jnp.asarray(adapt)
 
+        # Pin adaptation math to the state dtype: a wider-dtype density
+        # (e.g. f64 under the x64 test backend with an f32 chain state)
+        # must not promote the scan-carried adaptation scalars.
+        accept_prob = accept_prob.astype(dtype)
+
         # --- step-size dual averaging (shared helper; hmc.py:89-112) --- #
         # HARMONIC-mean acceptance across chains (Hoffman et al. 2021,
         # the module docstring's promise): dominated by the worst-mixing

@@ -680,3 +680,40 @@ class TestInitSearchFlagValidation:
         hmc.sample(log_joint_gauss, {}, s0, k, init_step_size_search=None)
         hmc.sample(log_joint_gauss, {}, s0, k,
                    init_step_size_search=False)
+
+
+class TestMixedDtypeRobustness:
+    """An f32 chain state driven by a wider-dtype (f64 under x64) density
+    must not break the scan/while carries: the acceptance statistic is
+    pinned to the tuner-state dtype in base.dual_averaging_update and
+    the init-step-size search (regression: HMC adapt_mass and ChEES
+    adaptation promoted their carried scalars to f64 and lax.scan
+    rejected the carry)."""
+
+    def test_adaptive_samplers_run_f32_state_f64_density(self):
+        std64 = jnp.asarray(np.geomspace(0.1, 3.0, 8))  # f64 under x64
+        assert std64.dtype == jnp.float64
+
+        def lj(obs):
+            return jnp.sum(-0.5 * (obs["z"] / std64) ** 2, -1)
+
+        q0 = {"z": jnp.zeros((8, 8), jnp.float32)}
+        samplers = [
+            (zs.HMC(step_size=0.1, n_leapfrogs=3, adapt_step_size=True,
+                    adapt_mass=True, mass_collect_iters=5),
+             dict(n_adapt=5)),
+            (zs.NUTS(step_size=0.1, max_tree_depth=4,
+                     adapt_step_size=True), dict(n_adapt=5)),
+            (zs.ChEESHMC(step_size=0.1, trajectory_length=0.5),
+             dict(n_adapt=5)),
+        ]
+        for s, kw in samplers:
+            if isinstance(s, zs.ChEESHMC):
+                st = s.init(q0)
+            else:
+                st = s.init(q0, log_joint=lj)
+            _, out = jax.jit(
+                lambda st, k, s=s, kw=kw: s.run(lj, {}, st, k, 10, **kw)
+            )(st, jax.random.PRNGKey(0))
+            assert out["samples"]["z"].dtype == jnp.float32
+            assert np.isfinite(np.asarray(out["samples"]["z"])).all()

@@ -120,6 +120,11 @@ def dual_averaging_update(
     :return: ``(step_size, da_step, h_bar, log_eps_bar)`` updated-or-held
         per ``gate``.
     """
+    # Pin to the tuner-state dtype: a wider-dtype density (f64 under the
+    # x64 test backend with an f32 chain state) must not promote the
+    # scan/while carry through the acceptance statistic.
+    mean_acceptance = jnp.asarray(
+        mean_acceptance, jnp.asarray(step_size).dtype)
     fs = jnp.where(fresh_start, 1.0, 0.0)
     new_step = (1.0 - fs) * da_step + 1.0
     rate1 = 1.0 / (new_step + t0)

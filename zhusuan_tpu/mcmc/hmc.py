@@ -287,7 +287,10 @@ class HMC:
 
         def body(carry):
             step_size, last_acc, _ = carry
-            acc = trial_acceptance(step_size)
+            # Pin to the step-size dtype: a wider-dtype density (f64
+            # under x64 with an f32 chain state) must not promote the
+            # while_loop carry.
+            acc = trial_acceptance(step_size).astype(step_size.dtype)
             new_step_size = jnp.where(
                 acc < target, step_size / factor, step_size * factor
             )

@@ -7,6 +7,8 @@ hand-written here.
 from zhusuan_tpu.ops.checks import check_numerics, checked
 from zhusuan_tpu.ops.hmc_step import fused_hmc_step, hmc_step_supported
 from zhusuan_tpu.ops.leapfrog import fused_leapfrog, leapfrog_supported
+from zhusuan_tpu.ops import linalg
+from zhusuan_tpu.ops.linalg import cholesky_inverse
 from zhusuan_tpu.ops.random import tpu_normal, tpu_uniform
 from zhusuan_tpu.ops.psgld_step import fused_psgld_step
 from zhusuan_tpu.ops.sghmc_step import fused_sghmc_step
@@ -15,6 +17,8 @@ from zhusuan_tpu.ops.sgnht_step import fused_sgnht_step
 
 __all__ = [
     "check_numerics",
+    "cholesky_inverse",
+    "linalg",
     "checked",
     "fused_hmc_step",
     "hmc_step_supported",

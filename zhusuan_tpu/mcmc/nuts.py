@@ -31,15 +31,18 @@ TPU-native design:
   (a ``[max_depth, dim]`` contraction masked to the live slot range)
   rather than an inner loop — depth is ~10, so this is one small
   VPU-friendly reduction per leaf.
-- On TPU with ``max_tree_depth <= 6``, f32 state, and shared mass, the
-  whole transition runs as ONE fused Pallas kernel per chain-block
-  (``ops/nuts_step.py``, default via ``experimental_fused_step="auto"``):
-  edges, proposals, and the checkpoint stacks stay VMEM-resident for the
-  entire tree, the unrolled static tree structure turns all checkpoint
-  indexing into compile-time constants, and momentum/multinomial draws
-  come from the hardware PRNG — measured 5.7x the vmapped while-loop
-  path at 4096 chains on the bench geometry (PERF.md round 4). Same
-  distribution, different random stream (the fused-HMC contract).
+- On TPU with f32 state and shared mass, the whole transition runs as
+  ONE fused Pallas kernel per chain-block (``ops/nuts_step.py``, default
+  via ``experimental_fused_step="auto"``): edges, proposals, and the
+  checkpoint stacks stay VMEM-resident for the entire tree, and
+  momentum/multinomial draws come from the hardware PRNG. Two variants,
+  routed on ``max_tree_depth``: fully UNROLLED at depth <= 6 (all
+  checkpoint indexing becomes compile-time constants; 5.6x the vmapped
+  while-loop path at 4096 chains, PERF.md round 4/5) and LOOPED at
+  depths 7-12 — covering the class default 10 — where each subtree's
+  leaves run under an early-exit ``lax.while_loop`` with masked
+  checkpoint slots (5.0x the scan path at depth 10, PERF.md round 5).
+  Same distribution, different random stream (the fused-HMC contract).
 
 Adaptation reuses the shared machinery: Nesterov dual averaging on the
 mean leaf-acceptance statistic (base.dual_averaging_update; reference

@@ -36,7 +36,7 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "vae_headroom.json")
 
 
-def measure_batch(x_train, batch):
+def measure_batch(x_train, batch, compute_dtype=None):
     from examples.variational_autoencoders.vae import elbo_loss, init_params
 
     n = x_train.shape[0]
@@ -61,7 +61,8 @@ def measure_batch(x_train, batch):
         kb, kg = jax.random.split(k)
         x = (jax.random.uniform(kb, x_real.shape) < x_real).astype(
             jnp.float32)
-        loss, grads = jax.value_and_grad(elbo_loss)(p, x, kg, Z_DIM)
+        loss, grads = jax.value_and_grad(elbo_loss)(
+            p, x, kg, Z_DIM, 1, compute_dtype)
         updates, o = optimizer.update(grads, o)
         return (optax.apply_updates(p, updates), o), -loss
 
@@ -104,6 +105,9 @@ def measure_batch(x_train, batch):
     }
 
 
+BF16_BATCHES = [128, 2048, 8192]
+
+
 def main():
     x_train = load_train()
     platform = jax.devices()[0].platform
@@ -112,12 +116,23 @@ def main():
         row = measure_batch(x_train, batch)
         rows.append(row)
         print(json.dumps(row), flush=True)
+    # Mixed-precision rows (round 5): bf16 encoder/decoder matmuls with
+    # f32 master params and f32 log-probs (examples/utils/nn.py). The
+    # wide-batch step is HBM-bound in f32 (hbm_frac ~1.0 at 8192 per
+    # mfu.json), so halving activation/weight bytes is the lever the
+    # roofline points at. final_lb records training-quality parity.
+    bf16_rows = []
+    for batch in BF16_BATCHES:
+        row = measure_batch(x_train, batch, compute_dtype=jnp.bfloat16)
+        bf16_rows.append(row)
+        print(json.dumps({"bf16": row}), flush=True)
     result = {
         "what": "VAE 784-500-500 z40 SGVB batch sweep ({} backend); "
                 "protocol-matched batch-128 stays the north-star "
                 "number".format(platform),
         "timed_steps": TIMED_STEPS,
         "rows": rows,
+        "bf16_compute_rows": bf16_rows,
     }
     with open(OUT, "w") as f:
         json.dump(result, f, indent=1)

@@ -35,7 +35,17 @@ def init_linear(key, n_in: int, n_out: int, dtype=jnp.float32):
     }
 
 
-def linear_apply(params, x):
+def linear_apply(params, x, compute_dtype=None):
+    """Dense layer. ``compute_dtype`` (e.g. ``jnp.bfloat16``) casts the
+    input and the f32 master weights for the matmul — the standard
+    mixed-precision recipe (params/optimizer state stay f32; the cast's
+    VJP upcasts the gradients back). On TPU this halves the HBM bytes of
+    every activation and weight read, which is the binding constraint on
+    wide-batch MLP steps (PERF.md round 5: VAE batch-8192 hbm_frac ~1.0)."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        return x @ params["w"].astype(compute_dtype) \
+            + params["b"].astype(compute_dtype)
     return x @ params["w"] + params["b"]
 
 
@@ -49,15 +59,21 @@ def init_mlp(key, sizes: Sequence[int], dtype=jnp.float32) -> List:
 
 
 def mlp_apply(params: List, x, activation: Callable = jax.nn.relu,
-              final_activation=None):
+              final_activation=None, compute_dtype=None):
     """Apply an MLP; hidden layers use ``activation``, the last layer uses
-    ``final_activation`` (None = linear)."""
+    ``final_activation`` (None = linear). ``compute_dtype`` runs every
+    layer's matmul+activation in that dtype (see :func:`linear_apply`);
+    the OUTPUT is cast back to the input's dtype so downstream
+    distribution heads (log-probs, samplers) keep full precision."""
+    out_dtype = x.dtype
     for i, layer in enumerate(params):
-        x = linear_apply(layer, x)
+        x = linear_apply(layer, x, compute_dtype=compute_dtype)
         if i + 1 < len(params):
             x = activation(x)
         elif final_activation is not None:
             x = final_activation(x)
+    if compute_dtype is not None:
+        x = x.astype(out_dtype)
     return x
 
 

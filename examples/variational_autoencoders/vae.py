@@ -25,8 +25,13 @@ from zhusuan_tpu.variational import elbo, importance_weighted_objective
 from examples.utils.nn import init_mlp, mlp_apply
 
 
-def build_gen(params, x_dim, z_dim, n, n_particles=1):
-    """The generative model p(z) p(x|z) (reference vae.py:18-30)."""
+def build_gen(params, x_dim, z_dim, n, n_particles=1, compute_dtype=None):
+    """The generative model p(z) p(x|z) (reference vae.py:18-30).
+
+    ``compute_dtype=jnp.bfloat16`` runs the decoder MLP mixed-precision
+    (f32 master params, bf16 matmuls/activations); the Bernoulli logits
+    and every log-prob stay f32 — mlp_apply casts its output back.
+    """
 
     @zs.meta_bayesian_net()
     def gen():
@@ -35,7 +40,8 @@ def build_gen(params, x_dim, z_dim, n, n_particles=1):
             "z", jnp.zeros([n, z_dim]), std=1.0, group_ndims=1,
             n_samples=n_particles,
         )
-        h = mlp_apply(params["decoder"], z.tensor)
+        h = mlp_apply(params["decoder"], z.tensor,
+                      compute_dtype=compute_dtype)
         bn.deterministic("x_mean", jax.nn.sigmoid(h))
         bn.bernoulli("x", h, group_ndims=1, dtype=jnp.float32)
         return bn
@@ -43,11 +49,12 @@ def build_gen(params, x_dim, z_dim, n, n_particles=1):
     return gen()
 
 
-def build_q(params, x, z_dim, n_particles, key):
+def build_q(params, x, z_dim, n_particles, key, compute_dtype=None):
     """The variational posterior q(z|x) (reference vae.py:33-41: BOTH
     500-unit layers are relu-activated)."""
     bn = zs.BayesianNet(key=key)
-    h = mlp_apply(params["encoder"], x, final_activation=jax.nn.relu)
+    h = mlp_apply(params["encoder"], x, final_activation=jax.nn.relu,
+                  compute_dtype=compute_dtype)
     z_mean = mlp_apply([params["z_mean"]], h)
     z_logstd = mlp_apply([params["z_logstd"]], h)
     bn.normal(
@@ -68,11 +75,18 @@ def init_params(key, x_dim=784, z_dim=40, hidden=500):
     }
 
 
-def elbo_loss(params, x, key, z_dim, n_particles=1):
-    """Negative ELBO, mean over the batch — one fused computation."""
+def elbo_loss(params, x, key, z_dim, n_particles=1, compute_dtype=None):
+    """Negative ELBO, mean over the batch — one fused computation.
+
+    ``compute_dtype=jnp.bfloat16`` opts the encoder/decoder MLPs into
+    mixed precision (halves the HBM bytes that bound wide batches —
+    PERF.md round 5); sampling, log-probs, and the ELBO stay f32.
+    """
     n = x.shape[0]
-    variational = build_q(params, x, z_dim, n_particles, key)
-    model = build_gen(params, x.shape[-1], z_dim, n, n_particles)
+    variational = build_q(params, x, z_dim, n_particles, key,
+                          compute_dtype=compute_dtype)
+    model = build_gen(params, x.shape[-1], z_dim, n, n_particles,
+                      compute_dtype=compute_dtype)
     lower_bound = elbo(
         model, {"x": x}, variational=variational, axis=0
     )

@@ -99,6 +99,39 @@ class TestVAEFamily:
         )
         assert last > first  # ELBO improves
 
+    def test_vae_bf16_compute(self):
+        """Mixed-precision opt-in: bf16 encoder/decoder matmuls, f32
+        master params / log-probs. The loss must stay f32, track the f32
+        path, and training must still improve the ELBO."""
+        from examples.variational_autoencoders import vae
+
+        params = vae.init_params(KEY, 64, 8, hidden=32)
+        x = jnp.asarray(_fake_binary(16, 64))
+        l32 = vae.elbo_loss(params, x, KEY, 8)
+        l16 = vae.elbo_loss(params, x, KEY, 8, compute_dtype=jnp.bfloat16)
+        assert l16.dtype == l32.dtype  # output precision preserved
+        # same key => same latent draw up to matmul rounding; bf16 has
+        # ~3 decimal digits, so a few percent on a ~40-nat loss.
+        assert abs(float(l16) - float(l32)) < 0.05 * abs(float(l32)) + 1.0
+        g = jax.grad(vae.elbo_loss)(
+            params, x, KEY, 8, 1, jnp.bfloat16)
+        for gl, pl in zip(jax.tree_util.tree_leaves(g),
+                          jax.tree_util.tree_leaves(params)):
+            # grads upcast through the cast VJP back to the master dtype
+            assert gl.dtype == pl.dtype and bool(jnp.all(jnp.isfinite(gl)))
+
+        opt = optax.adam(1e-3)
+
+        @jax.jit
+        def step(p, o, xb, k):
+            loss, grads = jax.value_and_grad(vae.elbo_loss)(
+                p, xb, k, 8, 1, jnp.bfloat16)
+            updates, o = opt.update(grads, o)
+            return optax.apply_updates(p, updates), o, -loss
+
+        params, last, first = self._train(step, params, opt.init(params), x)
+        assert last > first
+
     def test_iwae(self):
         from examples.variational_autoencoders import iwae, vae
 

@@ -65,7 +65,8 @@ def _metrics(post, y_te, y_scale, noise_var):
     return rmse, nll
 
 
-def main(n_iters=800, m_inducing=50, seed=0, verbose=True):
+def main(n_iters=800, m_inducing=50, seed=0, verbose=True,
+         svgp_n_iters=None):
     x_tr, y_tr, x_te, y_te, y_scale = load_diabetes(seed)
     d = x_tr.shape[1]
 
@@ -109,7 +110,7 @@ def main(n_iters=800, m_inducing=50, seed=0, verbose=True):
             kern(p), p["state"], x_tr, y_tr,
             gp.GaussianLikelihood(jnp.exp(p["log_noise"])),
         ),
-        p0, n_iters=max(n_iters, 1500), lr=0.02,
+        p0, n_iters=svgp_n_iters or max(n_iters, 1500), lr=0.02,
     )
     noise_sv = float(jnp.exp(p_sv["log_noise"]))
     post = gp.svgp_predict(kern(p_sv), p_sv["state"], x_te)

@@ -42,10 +42,12 @@ def run_hmc(lj, key, n_chains=512, n_iters=1000, n_adapt=500):
     return np.asarray(out["samples"]["z"][n_adapt:], np.float64)
 
 
-def main(n_flows=8, n_fit_iters=2000, seed=0):
+def main(n_flows=8, n_fit_iters=2000, seed=0, n_chains=512,
+         n_iters=1000, n_adapt=500):
     k0, k1, k2 = jax.random.split(jax.random.PRNGKey(seed), 3)
 
-    plain = run_hmc(log_joint, k1)
+    plain = run_hmc(log_joint, k1, n_chains=n_chains, n_iters=n_iters,
+                    n_adapt=n_adapt)
     v_plain = plain[..., 0].reshape(-1)
     print("plain HMC:   std(v) = {:.2f} (true 3.00), min v = {:.1f}".format(
         v_plain.std(), v_plain.min()))
@@ -58,7 +60,8 @@ def main(n_flows=8, n_fit_iters=2000, seed=0):
         float(np.asarray(fit.losses[-100:]).mean())))
     lat_lj, _, from_lat = neutra_log_joint(log_joint, "z", fit.params)
 
-    lat = run_hmc(lat_lj, k2)
+    lat = run_hmc(lat_lj, k2, n_chains=n_chains, n_iters=n_iters,
+                  n_adapt=n_adapt)
     neutra = np.asarray(
         from_lat(jnp.asarray(lat, jnp.float32)), np.float64
     )

@@ -16,7 +16,9 @@ from zhusuan_tpu.distributions import (
 )
 
 KEY = jax.random.PRNGKey(7)
-N = 200_000
+# Round-5 thin: measured max rel-err at 60k draws is 0.004 (gamma) /
+# 0.001 (beta, dirichlet) vs 0.05-0.08 bounds — 200k bought nothing.
+N = 60_000
 
 
 def mc_grad(build, f, params, n=N, key=KEY):
@@ -103,7 +105,7 @@ class TestImplicitReparamGradients:
         g = mc_grad(
             lambda d: StudentT(d, 0.0, 1.0, reparameterize_df=True),
             lambda x: jnp.clip(x, -30.0, 30.0) ** 2,
-            (jnp.asarray(df),), n=400_000,
+            (jnp.asarray(df),), n=150_000,  # err 0.007 vs 0.25 bound
         )[0]
         np.testing.assert_allclose(float(g), -2 / (df - 2) ** 2,
                                    rtol=0.25)

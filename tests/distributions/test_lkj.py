@@ -115,7 +115,9 @@ class TestLogProb:
         eta0, eta1 = 1.0, 2.0
         d0 = LKJCholesky(4, jnp.float64(eta0))
         d1 = LKJCholesky(4, jnp.float64(eta1))
-        L = d0.sample(jax.random.PRNGKey(9), n_samples=200_000)
+        # 60k draws (round-5 thin): measured |mean-1| = 0.0039 vs the
+        # 0.02 bound (0.0004 at 200k) — 7s saved, margin intact.
+        L = d0.sample(jax.random.PRNGKey(9), n_samples=60_000)
         ratio = jnp.exp(d1.log_prob(L) - d0.log_prob(L))
         assert abs(float(jnp.mean(ratio)) - 1.0) < 0.02, float(
             jnp.mean(ratio))

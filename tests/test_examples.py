@@ -68,9 +68,11 @@ class TestToyExamples:
     def test_neal_funnel_neutra(self):
         from examples.toy_examples import neal_funnel_neutra
 
-        std_plain, std_neutra = neal_funnel_neutra.main(n_fit_iters=1500)
-        # NeuTra explores the funnel neck plain HMC cannot reach
-        # (measured: plain ~2.5, NeuTra ~2.95 vs true 3.0).
+        # Round-5 thin config: measured plain 2.53 / NeuTra 2.83 vs true
+        # 3.0 — gap 0.30 vs the 0.2 bound at half the chains/iters.
+        std_plain, std_neutra = neal_funnel_neutra.main(
+            n_fit_iters=1000, n_chains=256, n_iters=600, n_adapt=300)
+        # NeuTra explores the funnel neck plain HMC cannot reach.
         assert std_neutra > std_plain + 0.2
         assert abs(std_neutra - 3.0) < 0.45
 

@@ -304,7 +304,12 @@ class TestDiabetesRealData:
         bounds within noise of the exact GP."""
         from examples.gaussian_process.gp_regression_diabetes import main
 
-        (r_ex, r_sg, r_sv) = main(n_iters=400, verbose=False)
+        # Thin config (round 5): margins measured at the fuller
+        # n_iters=400/svgp=1500 config are ~6 scaled units inside the
+        # RMSE band and gaps <0.4 vs the 3.0 limit; 150/500 reproduces
+        # them to <1 unit at a third of the wall-clock.
+        (r_ex, r_sg, r_sv) = main(n_iters=150, svgp_n_iters=500,
+                                  verbose=False)
         for rmse, nll in (r_ex, r_sg, r_sv):
             assert 50.0 < rmse < 62.0, (rmse, nll)
         assert abs(r_sg[0] - r_ex[0]) < 3.0

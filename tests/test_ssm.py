@@ -236,11 +236,13 @@ class TestConditionalSMC:
         pg = zs.ParticleGibbs(lambda theta: pf)
 
         ref0 = jnp.zeros((T, D), jnp.float64)
+        # 200 sweeps (round-5 thin): measured max|mean err| 0.106 vs the
+        # 0.15 bound (0.071 at 400 sweeps) — margin intact at half cost.
         run = jax.jit(lambda k: pg.run(
-            k, jnp.asarray(YS), {}, ref0, 400,
+            k, jnp.asarray(YS), {}, ref0, 200,
             collect_fields=("trajectory", "ancestor_moves")))
         _, _, out = run(jax.random.PRNGKey(0))
-        trajs = np.asarray(out["trajectory"])[50:]  # [sweeps, T, D]
+        trajs = np.asarray(out["trajectory"])[40:]  # [sweeps, T, D]
         np.testing.assert_allclose(trajs.mean(0), MS_S, atol=0.15)
         sd = trajs.std(0)
         sd_exact = np.sqrt(np.diagonal(PS_S, axis1=1, axis2=2))
@@ -301,12 +303,14 @@ class TestConditionalSMC:
             return {"a": a_new}
 
         pg = zs.ParticleGibbs(make_filter, update_a)
+        # 300 sweeps (round-5 thin): measured |mean err| 0.0009 and sd
+        # ratio 1.02 vs bounds 0.05 / (0.6, 1.6) — 13s saved vs 600.
         run = jax.jit(lambda k: pg.run(
             k, ys, {"a": jnp.asarray(0.3, jnp.float64)},
-            jnp.zeros((c.T1,), jnp.float64), 600,
+            jnp.zeros((c.T1,), jnp.float64), 300,
             collect_fields=("params",)))
         _, _, out = run(jax.random.PRNGKey(3))
-        draws = np.asarray(out["params"]["a"])[100:]
+        draws = np.asarray(out["params"]["a"])[60:]
         assert abs(draws.mean() - mean_ex) < 0.05
         assert 0.6 * sd_ex < draws.std() < 1.6 * sd_ex
 
@@ -392,9 +396,11 @@ class TestPMMH:
         state = kern.init(
             {"a": jnp.linspace(0.4, 1.1, 8, dtype=jnp.float64)}
         )
-        run = jax.jit(lambda s, k: kern.run(s, k, 1200))
+        # 600 iters (round-5 thin): measured |mean err| 0.0038, sd ratio
+        # 1.05 — both far inside the bounds (0.0068/1.00 at 1200).
+        run = jax.jit(lambda s, k: kern.run(s, k, 600))
         final, out = run(state, jax.random.PRNGKey(0))
-        draws = np.asarray(out["samples"]["a"])[200:]  # burn-in off
+        draws = np.asarray(out["samples"]["a"])[150:]  # burn-in off
         assert abs(draws.mean() - mean_ex) < 0.05
         assert 0.5 * sd_ex < draws.std() < 1.8 * sd_ex
         # The chain actually moves, at a sane pseudo-marginal rate.
@@ -582,17 +588,29 @@ class TestParallelScans:
     sequential recursions to float tolerance — filter, smoother, HMM,
     gradients, and edge lengths."""
 
+    # Round-5 thin: the parallel==sequential property is length-
+    # independent (edge lengths 1-3 covered below), and associative-scan
+    # compile time grows superlinearly in T on this 1-vCPU box (T=50
+    # compile 15.4s vs T=12 2.0s measured) — so the equality checks run
+    # on a 12-step slice against the sequential recursion directly.
     def test_parallel_kalman_filter_matches_sequential(self):
-        res = zs.kalman_filter(YS, A, Q, H, R, M0, P0, parallel=True)
-        np.testing.assert_allclose(res.means, MS_F, rtol=1e-8, atol=1e-10)
-        np.testing.assert_allclose(res.covs, PS_F, rtol=1e-8, atol=1e-10)
-        np.testing.assert_allclose(float(res.log_likelihood), LL_EXACT,
-                                   rtol=1e-8)
+        seq = zs.kalman_filter(YS[:12], A, Q, H, R, M0, P0)
+        res = zs.kalman_filter(YS[:12], A, Q, H, R, M0, P0, parallel=True)
+        np.testing.assert_allclose(res.means, seq.means,
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(res.covs, seq.covs,
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(float(res.log_likelihood),
+                                   float(seq.log_likelihood), rtol=1e-8)
 
     def test_parallel_kalman_smoother_matches_sequential(self):
-        res = zs.kalman_smoother(YS, A, Q, H, R, M0, P0, parallel=True)
-        np.testing.assert_allclose(res.means, MS_S, rtol=1e-8, atol=1e-10)
-        np.testing.assert_allclose(res.covs, PS_S, rtol=1e-8, atol=1e-10)
+        seq = zs.kalman_smoother(YS[:12], A, Q, H, R, M0, P0)
+        res = zs.kalman_smoother(YS[:12], A, Q, H, R, M0, P0,
+                                 parallel=True)
+        np.testing.assert_allclose(res.means, seq.means,
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(res.covs, seq.covs,
+                                   rtol=1e-8, atol=1e-10)
 
     @pytest.mark.parametrize("t_len", [1, 2, 3])
     def test_parallel_kalman_short_series(self, t_len):
@@ -608,7 +626,8 @@ class TestParallelScans:
     def test_parallel_kalman_gradients_match(self):
         """d log_z / d(A, Q_scale) identical through both code paths —
         the parallel filter is usable for ML parameter estimation."""
-        ys = jnp.asarray(YS[:20])
+        ys = jnp.asarray(YS[:8])  # round-5 thin: grad-of-assoc-scan
+        # compile is 20s at T=20 vs 9s at T=8; property is T-independent.
 
         def ll(a_mat, q_scale, parallel):
             return zs.kalman_filter(
@@ -624,7 +643,7 @@ class TestParallelScans:
 
     def test_parallel_hmm_filter_smoother_match_sequential(self):
         rng = np.random.default_rng(3)
-        K, T_len = 5, 40
+        K, T_len = 5, 16  # round-5 thin; property is T-independent
         log_pi0 = np.log(rng.dirichlet(np.ones(K)))
         log_trans = np.log(rng.dirichlet(np.ones(K), size=K))
         log_obs = rng.normal(size=(T_len, K))

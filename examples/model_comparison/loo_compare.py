@@ -77,7 +77,8 @@ def fit_and_score(X, y, key, n_chains=32, n_iters=500, n_adapt=250):
     return psis_loo(ll), waic(ll)
 
 
-def main(n_data=40, seed=0):
+def main(n_data=40, seed=0, n_chains=32, n_iters=500,
+         n_adapt=250):
     rng = np.random.RandomState(seed)
     x = np.linspace(-1.0, 1.0, n_data)
     w_true = np.array([0.3, 1.2])
@@ -87,7 +88,9 @@ def main(n_data=40, seed=0):
     results = {}
     for degree in (0, 1, 2):
         X = make_design(x, degree)
-        loo, wc = fit_and_score(X, y, jax.random.fold_in(key, degree))
+        loo, wc = fit_and_score(X, y,
+                                jax.random.fold_in(key, degree),
+                                n_chains, n_iters, n_adapt)
         results[degree] = loo
         print(
             "degree {}: elpd_loo = {:8.2f} +- {:.2f}  p_loo = {:.2f}  "

@@ -86,7 +86,7 @@ def ais_test_perplexity(X_test, beta, eta_mean, eta_logstd, n_topics,
 
 
 def main(epochs=20, batch_size=100, n_topics=20, num_e_steps=5, n_chains=1,
-         run_ais=True):
+         run_ais=True, ais_temperatures=100):
     from examples.utils.dataset import load_uci_bow
 
     X, vocab, synthetic = load_uci_bow("nips", n_docs=1500, n_vocab=500)
@@ -200,7 +200,7 @@ def main(epochs=20, batch_size=100, n_topics=20, num_e_steps=5, n_chains=1,
         print("Evaluating test perplexity using AIS...")
         ll_lb, ppl_ub = ais_test_perplexity(
             X_test[:50], beta, eta_mean, eta_logstd, n_topics,
-            n_chains=10, n_temperatures=100,
+            n_chains=10, n_temperatures=ais_temperatures,
         )
         print(">> log likelihood lower bound = {:.2f}\n"
               ">> perplexity upper bound = {:.2f}".format(ll_lb, ppl_ub))

@@ -85,7 +85,9 @@ class TestFlowDistributionContract:
         # Grid-integrate exp(log_prob) over a wide box in 2-D.
         params = _perturbed_params(d=2, n=2, key=7)
         dist = FlowDistribution.coupling(_base(2), params)
-        grid = jnp.linspace(-24.0, 24.0, 1201)
+        grid = jnp.linspace(-24.0, 24.0, 601)  # round-5 thin: measured
+        # |total-1| 3e-5 at both 601 and 1201 points — h is not the
+        # limiting error at this box size.
         xx, yy = jnp.meshgrid(grid, grid)
         pts = jnp.stack([xx.ravel(), yy.ravel()], axis=-1)
         dens = jnp.exp(dist.log_prob(pts))
@@ -225,13 +227,15 @@ class TestFlowVariational:
         def log_joint(obs):
             return dist.log_prob(obs["z"])
 
-        hmc = zs.HMC(step_size=0.2, n_leapfrogs=10, adapt_step_size=True)
+        # Round-5 thin: measured |mean| 0.011 / |std-1| 0.004 at
+        # 300/150/8 vs 0.1 bounds (0.009/0.006 at 600/300/10).
+        hmc = zs.HMC(step_size=0.2, n_leapfrogs=8, adapt_step_size=True)
         state = hmc.init({"z": jnp.zeros((32, 3))}, n_chain_dims=1)
         state, out = hmc.run(
-            log_joint, {}, state, jax.random.PRNGKey(1), n_iters=600,
-            n_adapt=300,
+            log_joint, {}, state, jax.random.PRNGKey(1), n_iters=300,
+            n_adapt=150,
         )
-        s = out["samples"]["z"][300:].reshape(-1, 3)
+        s = out["samples"]["z"][150:].reshape(-1, 3)
         assert abs(float(jnp.mean(s))) < 0.1
         assert abs(float(jnp.std(s)) - 1.0) < 0.1
 

@@ -466,7 +466,7 @@ class TestTopicModel:
         from examples.topic_models import lntm_mcem
 
         beta, eta_mean, eta_logstd = lntm_mcem.main(
-            epochs=2, batch_size=50, n_topics=5
+            epochs=2, batch_size=50, n_topics=5, ais_temperatures=40
         )
         assert np.all(np.isfinite(np.asarray(beta)))
 
@@ -541,13 +541,15 @@ class TestGANs:
         init_gen = dcgan.init_gen_params(kg, z_dim, ngf=8)
         gap0 = abs(self._gen_mean(dcgan, init_gen, z_dim, 5) - data_mean)
 
+        # 8 epochs (round-5 thin): measured gap ratio 0.752 and trained-D
+        # accuracy 0.209 vs bounds 0.85 / 0.8 (0.692 / 0.562 at 10).
         gen_p, disc_p, hist = dcgan.main(
-            epochs=10, batch_size=32, z_dim=z_dim, ngf=8, ndf=4, lr=1e-3,
+            epochs=8, batch_size=32, z_dim=z_dim, ngf=8, ndf=4, lr=1e-3,
             x_train=data, iters_per_epoch=16, save_samples=False)
         gap1 = abs(self._gen_mean(dcgan, gen_p, z_dim, 6) - data_mean)
-        assert len(hist["gen_loss"]) == 10
-        # 160 steps: the generator's brightness moves decisively toward
-        # the data (0.25 -> ~0.17 in the pinned test config).
+        assert len(hist["gen_loss"]) == 8
+        # 128 steps: the generator's brightness moves decisively toward
+        # the data (0.25 -> ~0.19 in the pinned test config).
         assert gap1 < 0.85 * gap0, (gap1, gap0)
 
         x_real = jnp.asarray(data[:256])
@@ -557,9 +559,9 @@ class TestGANs:
         f = np.asarray(dcgan.discriminator(disc_p, fakes)) < 0
         acc_trained = 0.5 * (r.mean() + f.mean())
         # The D that trained against this G cannot confidently separate
-        # it from the data (falls toward chance, ~0.56 in the pinned
-        # config) — an untrained G is trivially separable (>0.9), so this
-        # only passes if G genuinely chased D's decision boundary.
+        # it from the data (falls toward/below chance, ~0.21 in the
+        # pinned config) — an untrained G is trivially separable (>0.9),
+        # so this only passes if G genuinely chased D's decision boundary.
         assert acc_trained < 0.8, acc_trained
 
     def test_wgan_training_dynamics(self):
@@ -733,7 +735,7 @@ class TestSVGPDiabetes:
 
         key = KEY
         first_lb = None
-        for i in range(500):
+        for i in range(300):  # round-5 thin; improvement margin is wide
             key, sub = jax.random.split(key)
             params, opt_state, lb = step(params, opt_state, sub)
             if first_lb is None:
@@ -786,7 +788,9 @@ class TestModelComparison:
         # truth is the robust property to pin.)
         from examples.model_comparison import bayes_factor_smc as bf
 
-        results = bf.main()
+        # Round-5 thin: measured errs 0.069 / 0.038 vs the 0.3 bound at
+        # 1500 particles (4000 buys nothing here).
+        results = bf.main(n_particles=1500)
         for degree, (est, truth) in results.items():
             assert abs(est - truth) < 0.3, (degree, est, truth)
 
@@ -800,7 +804,9 @@ class TestModelComparison:
 
         from examples.model_comparison import loo_compare
 
-        results = loo_compare.main()
+        # Round-5 thin: at 300/150 measured gap01/2se = 2.41, gap12/se =
+        # 0.05, max k = 0.37 — all the pinned relations hold with room.
+        results = loo_compare.main(n_iters=300, n_adapt=150)
         gap01 = float(results[1].elpd_loo - results[0].elpd_loo)
         se01 = float(np.hypot(results[0].se, results[1].se))
         assert gap01 > 2.0 * se01, (gap01, se01)
@@ -861,8 +867,10 @@ class TestHierarchical:
         # non-centered fix removes (nearly) all of them.
         from examples.hierarchical import eight_schools as es
 
+        # Round-5 thin: measured c=0.013 / nc=0.0004 / small_frac=1.0 at
+        # 500/250 — same diagnosis at 60% of the draws.
         c_rate, nc_rate, small_frac = es.funnel_diagnosis(
-            n_chains=32, n_iters=800, n_adapt=400, verbose=False
+            n_chains=32, n_iters=500, n_adapt=250, verbose=False
         )
         assert c_rate > 0.01, c_rate  # the funnel bites
         assert nc_rate < c_rate / 3, (c_rate, nc_rate)
@@ -889,9 +897,11 @@ class TestDirichletVAE:
         tv0 = (0.5 * np.abs(true_topics[:, None] - phi0[None]).sum(-1)
                ).min(1).mean()
 
+        # Round-5 thin: measured dloss 32.6 / dtv 0.072 at 60 epochs vs
+        # bounds 20 / 0.05 (33.6 / 0.076 at 100).
         params, _, hist = fit_scan(
             dv.elbo_loss, params, optax.adam(1e-2), bows,
-            key=key, epochs=100, batch_size=64,
+            key=key, epochs=60, batch_size=64,
         )
         phi = np.asarray(jax.nn.softmax(params["log_phi"], axis=-1))
         tv = (0.5 * np.abs(true_topics[:, None] - phi[None]).sum(-1)
@@ -946,8 +956,10 @@ class TestMixtureModels:
         # and posterior-mean responsibilities must cluster the data.
         from examples.mixture_models import gmm
 
+        # Round-5 thin: errs 0.081/0.033/0.086 vs atol 0.3/0.07/0.25 at
+        # 550/400, acc 0.983.
         (w, mu, sd), acc, stats = gmm.main(
-            n_chains=8, n_iters=800, n_adapt=600, verbose=False
+            n_chains=8, n_iters=550, n_adapt=400, verbose=False
         )
         np.testing.assert_allclose(mu, gmm.TRUE_MU, atol=0.3)
         np.testing.assert_allclose(w, gmm.TRUE_W, atol=0.07)
@@ -960,10 +972,12 @@ class TestChangepoint:
         """Poisson change-point by Gibbs (DiscreteGibbs tau + HMC rates):
         the posterior mode of tau must hit the true change point and the
         rate ordering must be recovered (CPU scale: T=60, 64 chains x
-        1200 sweeps)."""
+        700 sweeps)."""
         from examples.state_space import changepoint as cp
 
-        res = cp.run(t=60, n_chains=64, n_iters=1200, burnin=400, seed=0)
+        # Round-5 thin: mode exact, mean err 0.59, conc frac 0.89 at
+        # 700/250 (bounds 3.0 / 0.6).
+        res = cp.run(t=60, n_chains=64, n_iters=700, burnin=250, seed=0)
         assert res["synthetic"]
         assert res["tau_mode"] == cp.TRUE["tau"]
         assert abs(res["tau_mean"] - cp.TRUE["tau"]) < 3.0
@@ -979,10 +993,11 @@ class TestOrdinalRegression:
     def test_nuts_recovers_cutpoints_and_weights(self):
         """Cumulative-logit ordinal regression: NUTS over Ordered
         cutpoints + weights recovers the generating parameters within
-        posterior uncertainty (CPU scale: n=400, 32 chains x 1200)."""
+        posterior uncertainty (CPU scale: n=400, 16 chains x 500)."""
         from examples.robust_models import ordinal_regression as orx
 
-        res = orx.run(n=400, n_chains=16, n_iters=900, burnin=300, seed=1)
+        # Round-5 thin: max |err|/bound 0.37 at 500/200 (4sd bounds).
+        res = orx.run(n=400, n_chains=16, n_iters=500, burnin=200, seed=1)
         assert res["synthetic"]
         # Every draw respects the ordering constraint.
         assert (np.diff(res["cuts_draws"], axis=-1) > 0).all()
@@ -1001,7 +1016,8 @@ class TestCovarianceEstimation:
         concentration point) entrywise within posterior sd."""
         from examples.hierarchical import covariance_estimation as ce
 
-        res = ce.run(n=300, n_chains=8, n_iters=900, burnin=300, seed=2)
+        # Round-5 thin: max |err|/bound 0.33 at 500/200.
+        res = ce.run(n=300, n_chains=8, n_iters=500, burnin=200, seed=2)
         assert res["synthetic"]
         err = np.abs(res["cov_mean"] - res["sample_cov"])
         assert (err < 4.0 * res["cov_sd"] + 0.05).all(), err
@@ -1021,7 +1037,8 @@ class TestSurvivalRegression:
         — censoring correctly handled through RightCensored."""
         from examples.robust_models import survival_regression as sr
 
-        res = sr.run(n=500, n_chains=8, n_iters=900, burnin=300, seed=4)
+        # Round-5 thin: max |err|/bound 0.53 at 500/200.
+        res = sr.run(n=500, n_chains=8, n_iters=500, burnin=200, seed=4)
         assert res["synthetic"]
         assert 0.2 < res["frac_censored"] < 0.6
         assert abs(res["k_mean"] - sr.TRUE_K) < 4 * res["k_sd"]

@@ -117,12 +117,14 @@ class TestMultiPath:
     def test_gaussian_pooled_moments_and_khat(self):
         log_joint, mean, cov = _mvn_target(dim=4, seed=2)
         inits = {"z": jax.random.normal(jax.random.PRNGKey(9), (4, 4)) * 3.0}
+        # Round-5 thin: measured margins at 1000/500/30 are mean err
+        # 0.063 / cov err 0.076 / khat 0.46 vs bounds 0.1 / 0.15 / 0.7.
         res = multipath_pathfinder(
             log_joint, {}, inits, jax.random.PRNGKey(4),
-            n_draws=2000, n_draws_per_path=1000, max_iters=50,
+            n_draws=1000, n_draws_per_path=500, max_iters=30,
         )
         draws = np.asarray(res.draws["z"])
-        assert draws.shape == (2000, 4)
+        assert draws.shape == (1000, 4)
         np.testing.assert_allclose(draws.mean(0), mean, atol=0.1)
         np.testing.assert_allclose(np.cov(draws.T), cov, atol=0.15)
         # Gaussian target -> the approximation is near-exact -> flat

@@ -425,6 +425,13 @@ def multipath_pathfinder(
             "beyond the leading path axis (scalar log-joint per path); "
             "got log-joint shape {}.".format(probe)
         )
+    if n_draws > n_paths * n_draws_per_path:
+        # Fail before any path runs — the pool size is known up front.
+        raise ValueError(
+            "n_draws ({}) exceeds the pooled draw count ({}); raise "
+            "n_draws_per_path or the number of paths.".format(
+                n_draws, n_paths * n_draws_per_path)
+        )
     x0s = jax.vmap(lambda tree: ravel_pytree(tree)[0])(inits)
 
     def one_path(x0, k):
@@ -447,12 +454,6 @@ def multipath_pathfinder(
     # Gumbel top-k = sampling WITHOUT replacement proportional to the
     # smoothed weights (better pooled-draw diversity than categorical
     # with replacement; the paper's recommendation).
-    if n_draws > pooled.shape[0]:
-        raise ValueError(
-            "n_draws ({}) exceeds the pooled draw count ({}); raise "
-            "n_draws_per_path or the number of paths.".format(
-                n_draws, pooled.shape[0])
-        )
     gumbel = jax.random.gumbel(keys[-1], log_w.shape, log_w.dtype)
     _, idx = jax.lax.top_k(log_w + gumbel, int(n_draws))
     sel = pooled[idx]

@@ -266,9 +266,10 @@ class TestVectorBijectors:
         L0 = jnp.tile(jnp.eye(2), (512, 1, 1))
         state = hmc.init(to_u({"L": L0}), n_chain_dims=1)
         state, out = jax.jit(
-            lambda s, k: hmc.run(ulj, {}, s, k, n_iters=1500, n_adapt=600)
-        )(state, jax.random.PRNGKey(1))
-        L = np.asarray(to_c({"L": out["samples"]["L"]})["L"][600:])
+            lambda s, k: hmc.run(ulj, {}, s, k, n_iters=800, n_adapt=300)
+        )(state, jax.random.PRNGKey(1))  # round-5 thin: measured |mean|
+        # 0.002 and var-ratio err 0.002 vs bounds 0.02 / 0.08.
+        L = np.asarray(to_c({"L": out["samples"]["L"]})["L"][300:])
         r = (L @ np.swapaxes(L, -1, -2))[..., 1, 0].ravel()
         assert abs(r.mean()) < 0.02, r.mean()
         want_var = 1.0 / (2.0 * eta + 1.0)

@@ -108,12 +108,14 @@ class TestFunnel:
     def test_neutra_recovers_funnel_v_scale(self):
         fit = fit_neutra(
             _funnel_log_joint, "z", self.D, jax.random.PRNGKey(0),
-            n_flows=8, hidden=32, n_iters=1500, n_particles=64,
+            n_flows=8, hidden=32, n_iters=900, n_particles=64,
             learning_rate=2e-3,
         )
         # Training made progress (the identity-initialized flow starts
         # within ~1 nat of its plateau on this 5-D funnel, so the bar is
         # a robust fraction of the measured ~0.8-nat improvement).
+        # Round-5 thin: at 900 iters measured dloss 0.80, scale-gap 0.46,
+        # std(v) 2.91 — every bound keeps >50% margin.
         losses = np.asarray(fit.losses)
         assert losses[-100:].mean() < losses[:100].mean() - 0.3
         lat_lj, _, from_lat = neutra_log_joint(

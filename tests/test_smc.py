@@ -75,9 +75,9 @@ class TestConjugate:
         # The population estimator should be tight: 3 independent runs
         # within a small band around the truth.
         vals = [
-            float(self._run(MALA(step_size=0.5), n_particles=2000,
-                            seed=s).log_z)
-            for s in range(3)
+            float(self._run(MALA(step_size=0.5), n_particles=1000,
+                            seed=s).log_z)  # round-5 thin: max err
+            for s in range(3)               # 0.031 vs the 0.06 bound
         ]
         assert max(abs(v - TRUE_LOG_Z) for v in vals) < 0.06, vals
 

@@ -4,6 +4,10 @@ See PERF.md for the measurements behind what is (and deliberately is not)
 hand-written here.
 """
 
+from zhusuan_tpu.ops.advi_step import (
+    advi_step_supported,
+    fused_meanfield_advi,
+)
 from zhusuan_tpu.ops.checks import check_numerics, checked
 from zhusuan_tpu.ops.hmc_step import fused_hmc_step, hmc_step_supported
 from zhusuan_tpu.ops.leapfrog import fused_leapfrog, leapfrog_supported
@@ -16,6 +20,8 @@ from zhusuan_tpu.ops.sgld_step import fused_sgld_step
 from zhusuan_tpu.ops.sgnht_step import fused_sgnht_step
 
 __all__ = [
+    "advi_step_supported",
+    "fused_meanfield_advi",
     "check_numerics",
     "cholesky_inverse",
     "linalg",

@@ -43,6 +43,11 @@ def advi(
     learning_rate: float = 1e-2,
     optimizer=None,
     bijectors: Optional[dict] = None,
+    init_params: Optional[dict] = None,
+    lr_schedule=None,
+    experimental_fused="auto",
+    _fused_interpret: bool = False,
+    _fused_noise=None,
 ) -> ADVIResult:
     """Fit an automatic Gaussian guide to ``meta_bn``'s posterior by
     SGVB, entirely on-device.
@@ -59,6 +64,20 @@ def advi(
     :param optimizer: optional optax optimizer overriding the default.
     :param bijectors: optional per-latent support bijector overrides,
         passed through to the guide constructor.
+    :param init_params: optional initial guide parameters (same pytree
+        as ``guide.init_params()``) overriding the default init.
+    :param lr_schedule: optional jnp-traceable ``step -> lr`` (e.g. an
+        optax schedule, or ``lambda t: 0.1`` for a constant rate)
+        replacing the default cosine decay; both execution paths use it
+        through Adam.
+    :param experimental_fused: ``"auto"`` (default) runs the ENTIRE fit
+        as one Pallas kernel (:func:`zhusuan_tpu.ops.fused_meanfield_advi`)
+        when eligible — mean-field guide, default Adam optimizer, f32,
+        sizes inside VMEM, TPU backend; gradients are mathematically
+        identical per sample to the scan path's, the random stream is
+        not (hardware PRNG). ``True`` forces the kernel (raises when
+        ineligible; on CPU it runs in interpret mode — test use only),
+        ``False`` always uses the ``lax.scan`` path.
     :return: :class:`ADVIResult`.
     """
     import optax
@@ -75,14 +94,30 @@ def advi(
         g = cls(meta_bn, observed=observed, bijectors=bijectors)
     else:
         g = guide
-    if optimizer is None:
-        optimizer = optax.adam(
-            optax.cosine_decay_schedule(
-                learning_rate, max(int(n_iters), 1), 0.1
-            )
-        )
 
-    params = g.init_params()
+    if lr_schedule is None:
+        lr_schedule = optax.cosine_decay_schedule(
+            learning_rate, max(int(n_iters), 1), 0.1
+        )
+    if experimental_fused is not False and optimizer is None:
+        fused = _maybe_fused_fit(
+            g, meta_bn, observed, key, int(n_iters), int(n_samples),
+            lr_schedule, init_params,
+            force=(experimental_fused is True),
+            interpret=_fused_interpret, noise=_fused_noise,
+        )
+        if fused is not None:
+            return fused
+    elif experimental_fused is True:
+        raise ValueError(
+            "experimental_fused=True requires the default optimizer "
+            "(the kernel replicates Adam + the cosine schedule); got a "
+            "custom optimizer."
+        )
+    if optimizer is None:
+        optimizer = optax.adam(lr_schedule)
+
+    params = g.init_params() if init_params is None else init_params
     opt_state = optimizer.init(params)
 
     def loss_fn(p, k):
@@ -100,3 +135,76 @@ def advi(
         jax.random.split(jnp.asarray(key), int(n_iters)),
     )
     return ADVIResult(guide=g, params=params, losses=losses)
+
+
+def _maybe_fused_fit(g, meta_bn, observed, key, n_iters, n_samples,
+                     lr_schedule, init_params, force, interpret,
+                     noise=None):
+    """Run the whole fit as one Pallas kernel when eligible (None when
+    not and ``force`` is False; raises when not and ``force`` is True).
+    Gradient identity with the scan path is pinned by
+    tests/test_ops_advi.py."""
+    from zhusuan_tpu.mcmc.base import make_log_joint_fn, on_cpu_backend
+    from zhusuan_tpu.ops.advi_step import (
+        advi_step_supported, fused_meanfield_advi,
+    )
+
+    def bail(reason):
+        if force:
+            raise ValueError(
+                "experimental_fused=True but the fused ADVI kernel "
+                "cannot run: " + reason
+            )
+        return None
+
+    if not isinstance(g, MeanFieldGuide):
+        return bail("only the mean-field guide has a fused trainer.")
+    names = g.latent_names
+    dim = g._dim
+    if jnp.dtype(g._dtype) != jnp.float32:
+        return bail("the kernel is float32-only (guide dtype {})."
+                    .format(g._dtype))
+    if not advi_step_supported(dim, n_samples, n_iters):
+        return bail(
+            "unsupported size (dim={}, n_samples={}, n_iters={}); "
+            "n_samples must be even and the particle block must fit "
+            "VMEM.".format(dim, n_samples, n_iters)
+        )
+    if on_cpu_backend() and not force:
+        return None  # kernel targets TPU; interpret mode is test-only
+
+    log_posterior = make_log_joint_fn(meta_bn, observed)
+    shapes, sizes = g._shapes, g._sizes
+
+    def flat_log_post(z):
+        z_u, off = {}, 0
+        for n in names:
+            z_u[n] = z[off:off + sizes[n]].reshape(shapes[n])
+            off += sizes[n]
+        samples, neg_ld = g._constrain(z_u, 0)
+        lp = jnp.reshape(log_posterior(samples), ())
+        for v in neg_ld.values():
+            lp = lp - v
+        return lp
+
+    params = g.init_params() if init_params is None else init_params
+    loc0 = jnp.concatenate(
+        [jnp.reshape(params["loc"][n], (-1,)) for n in names]
+    )
+    ls0 = jnp.concatenate(
+        [jnp.reshape(params["log_scale"][n], (-1,)) for n in names]
+    )
+    loc, ls, losses = fused_meanfield_advi(
+        flat_log_post, loc0, ls0, n_iters, n_samples, key, lr_schedule,
+        noise=noise, interpret=(interpret or on_cpu_backend()),
+    )
+
+    def unflatten(v):
+        out, off = {}, 0
+        for n in names:
+            out[n] = v[off:off + sizes[n]].reshape(shapes[n])
+            off += sizes[n]
+        return out
+
+    fitted = {"loc": unflatten(loc), "log_scale": unflatten(ls)}
+    return ADVIResult(guide=g, params=fitted, losses=losses)
